@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.HammingDistance64
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the harness's local[32] single-JVM mode, but every setting is
+  * what we'd want on a real cluster too: AQE (runtime re-plan + skew-join
+  * splitting), modest shuffle parallelism at small SF (on a 1000-executor
+  * cluster this would be raised to ~2-3x total cores), UTC session TZ so
+  * time bucketing matches the DuckDB oracle.
+  */
+object GraftSession {
+
+  /** Injects graft's native Catalyst functions (codegen'd, no UDF overhead). */
+  class Extensions extends (SparkSessionExtensions => Unit) {
+    override def apply(ext: SparkSessionExtensions): Unit = {
+      ext.injectFunction(
+        (new FunctionIdentifier("hamming64"),
+          new ExpressionInfo(classOf[HammingDistance64].getName, "hamming64"),
+          (children: Seq[Expression]) => HammingDistance64(children(0), children(1))))
+    }
+  }
+
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new Extensions()(_))
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Registers graft functions on a session graft did not build (e.g. the
+    * driver-owned session handed to SparkEntry.queries). Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = new FunctionIdentifier("hamming64")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(
+        id,
+        new ExpressionInfo(classOf[HammingDistance64].getName, "hamming64"),
+        (children: Seq[Expression]) => HammingDistance64(children(0), children(1)))
+    }
+  }
+}

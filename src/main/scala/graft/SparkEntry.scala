@@ -1,13 +1,228 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` key has a matching DuckDB oracle in [[oracleSql]] unless
+  * the operator is not SQL-expressible (LSH/IVF bucketing internals,
+  * SimHash) — those get the driver's rows-only check and are covered by
+  * ScalaTest specs instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Olap.q1Pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference pipeline (Kafka->ClickHouse demo, README.rst Steps 2-4)
+    "ingest_events_typed" -> (RefPipeline.ingestEventsTyped _),
+    "events_count" -> (RefPipeline.eventsCount _),
+    "points_by_type" -> (RefPipeline.pointsByType _),
+    "attendance_granular" -> (RefPipeline.attendanceGranular _),
+    "attendance_daily" -> (RefPipeline.attendanceDaily _),
+    "latest_event" -> (RefPipeline.latestEvent _),
+    "sessionize" -> (RefPipeline.sessionize _),
+    // General OLAP
+    "q1_pricing" -> (Olap.q1Pricing _),
+    "q3_shipping" -> (Olap.q3Shipping _),
+    "q5_region_revenue" -> (Olap.q5RegionRevenue _),
+    "q_top_customers" -> (Olap.topCustomers _),
+    "q_part_stats" -> (Olap.partStats _),
+    "q_rollup" -> (Olap.ordersRollup _),
+    // Dedup family
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_embedding" -> (Dedup.embeddingCosine _),
+    // Similarity search
+    "ann_topk" -> (Similarity.topK _),
+    "ann_lsh" -> (Similarity.lshTopK _),
+    "ann_ivf" -> (Similarity.ivfTopK _),
+    // Text analysis
+    "text_tokens" -> (TextAnalysis.tokens _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // Multimodal
+    "multimodal_meta" -> (Multimodal.mediaMeta _),
+  )
+
+  private val tokCte =
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents"
+
+  private val shingleCtes =
+    s"""WITH tkt AS ($tokCte),
+       |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+       |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
+       |ex AS (SELECT doc_id, len(sg) AS n, unnest(sg) AS sh FROM sgt WHERE len(sg) > 0),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+       |             any_value(a.n) AS na, any_value(b.n) AS nb
+       |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardSql(threshold: String): String =
+    s"""$shingleCtes
+       |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM p
+       |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= $threshold""".stripMargin
+
+  private val vecCtes =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ingest_events_typed" ->
+      """SELECT event_id, CAST(ts AS DATE) AS event_date, user_id, event_type,
+        |round(value, 4) AS value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events""".stripMargin,
+    "events_count" -> "SELECT count(*) AS n FROM events",
+    "points_by_type" ->
+      """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "attendance_granular" ->
+      """SELECT CAST(ts AS DATE) AS day, extract(hour FROM ts) AS hr, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "attendance_daily" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS day, extract(hour FROM ts) AS hr, event_type,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2, 3)
+        |SELECT day, event_type, max(n) AS max_n, min(n) AS min_n, round(avg(n), 4) AS avg_n
+        |FROM g GROUP BY day, event_type""".stripMargin,
+    "latest_event" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC LIMIT 1""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |           FROM events),
+        |m AS (SELECT user_id, event_id, value, t,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |             OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, value, t,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM m)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+        |       min(t) AS start_s, max(t) AS end_s, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 4) AS sum_qty,
+        |round(sum(l_extendedprice), 4) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_extendedprice), 4) AS avg_price,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_top_customers" ->
+      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent,
+        |                      count(*) AS n_orders
+        |               FROM orders GROUP BY o_custkey)
+        |SELECT CAST(row_number() OVER (ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk,
+        |       c_custkey, c_name, total_spent, n_orders
+        |FROM spend JOIN customer ON o_custkey = c_custkey
+        |QUALIFY rnk <= 20""".stripMargin,
+    "q_part_stats" ->
+      """WITH g AS (SELECT p_brand, count(*) AS n_parts, count(DISTINCT p_type) AS n_types,
+        |             sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS cents,
+        |             round(max(p_retailprice), 4) AS max_price,
+        |             CAST(min(p_size) AS BIGINT) AS min_size
+        |           FROM part GROUP BY p_brand)
+        |SELECT p_brand, n_parts, n_types,
+        |  floor(CAST(cents AS DOUBLE) * 100.0 / n_parts + 0.5) / 10000.0 AS avg_price,
+        |  max_price, min_size
+        |FROM g""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardSql("0.9"),
+    "dedup_minhash_lsh" -> jaccardSql("0.8"),
+    "dedup_embedding" ->
+      s"""$vecCtes
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_sum(list_transform(a.v, (x, i) -> x * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+         |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         |WHERE round(list_sum(list_transform(a.v, (x, i) -> x * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.42""".stripMargin,
+    "ann_topk" ->
+      s"""$vecCtes,
+         |q AS (SELECT vec_id AS q_id, v AS va, nrm AS nrma FROM nv WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, v AS vb, nrm AS nrmb FROM nv WHERE vec_id >= 10),
+         |s AS (SELECT q_id, n_id,
+         |        list_sum(list_transform(va, (x, i) -> x * vb[i])) / (nrma * nrmb) AS cosine
+         |      FROM c, q)
+         |SELECT q_id, n_id, round(cosine, 4) AS score,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cosine, 6) DESC, n_id) AS BIGINT) AS rnk
+         |FROM s QUALIFY rnk <= 5""".stripMargin,
+    "text_tokens" ->
+      s"""WITH t AS ($tokCte)
+         |SELECT t.doc_id, len(tk) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS n_token_chars,
+         |  CAST(ceil(length(text) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS n_bpe_est
+         |FROM t JOIN documents d ON t.doc_id = d.doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS ($tokCte),
+         |m AS (SELECT doc_id, len(tk) AS n_tok,
+         |        len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is'))) AS n_stop,
+         |        CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_len
+         |      FROM t)
+         |SELECT doc_id, n_tok AS n_tokens,
+         |  CASE WHEN n_tok > 0 THEN round(sum_len / CAST(n_tok AS DOUBLE), 4) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN n_tok > 0 THEN round(n_stop / CAST(n_tok AS DOUBLE), 4) ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN n_tok > 0 THEN round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+         |         (1.0 - n_stop / CAST(n_tok AS DOUBLE)), 4) ELSE 0.0 END AS quality_score
+         |FROM m""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS ($tokCte),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS hits_en,
+         |        len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS hits_de,
+         |        len(list_filter(tk, x -> x IN ('le','la','et','est','les'))) AS hits_fr,
+         |        len(list_filter(tk, x -> x IN ('el','los','y','es','las'))) AS hits_es
+         |      FROM t)
+         |SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+         |  CASE WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'unknown'
+         |       WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+         |       WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+         |       WHEN hits_fr >= hits_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM h""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH t AS ($tokCte)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(tk, (x, i) -> i * (length(x) * 17 + ascii(x)))) AS BIGINT) AS fp
+         |FROM t""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 577 AS width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 417 AS height,
+        |  1 + doc_id % 16 AS n_frames, 'image' AS modality
+        |FROM documents""".stripMargin,
+  )
 }

