@@ -9,8 +9,8 @@ object Bench {
   // shingle-join dedups, ANN, sessionization windows).
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_region_revenue", "q_top_customers",
-    "attendance_daily", "sessionize",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding",
+    "attendance_daily", "sessionize", "q_asof_join",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding", "dedup_simhash",
     "ann_topk", "text_quality", "text_fingerprint")
 
   def main(args: Array[String]): Unit = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.HammingDistance64
+import graft.functions.{DotProduct, HammingDistance64}
 
 /** Session factory for the graft engine.
   *
@@ -22,6 +22,10 @@ object GraftSession {
         (new FunctionIdentifier("hamming64"),
           new ExpressionInfo(classOf[HammingDistance64].getName, "hamming64"),
           (children: Seq[Expression]) => HammingDistance64(children(0), children(1))))
+      ext.injectFunction(
+        (new FunctionIdentifier("dot_product"),
+          new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+          (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     }
   }
 
@@ -48,12 +52,19 @@ object GraftSession {
     * driver-owned session handed to SparkEntry.queries). Idempotent. */
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = new FunctionIdentifier("hamming64")
-    if (!reg.functionExists(id)) {
+    val hammingId = new FunctionIdentifier("hamming64")
+    if (!reg.functionExists(hammingId)) {
       reg.registerFunction(
-        id,
+        hammingId,
         new ExpressionInfo(classOf[HammingDistance64].getName, "hamming64"),
         (children: Seq[Expression]) => HammingDistance64(children(0), children(1)))
+    }
+    val dotId = new FunctionIdentifier("dot_product")
+    if (!reg.functionExists(dotId)) {
+      reg.registerFunction(
+        dotId,
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
     }
   }
 }

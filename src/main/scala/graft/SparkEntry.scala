@@ -49,6 +49,14 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     // Multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
+    "multimodal_patches" -> (Analytics.mediaPatches _),
+    // Second-wave analytics
+    "q_sample" -> (Analytics.sample _),
+    "q_top_spenders" -> (Analytics.topSpenders _),
+    "q_running_total" -> (Analytics.runningTotal _),
+    "q_asof_join" -> (Analytics.asofJoin _),
+    "q_funnel" -> (Analytics.funnel _),
+    "text_topterms" -> (Analytics.topTerms _),
   )
 
   private val tokCte =
@@ -224,5 +232,56 @@ object SparkEntry {
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 417 AS height,
         |  1 + doc_id % 16 AS n_frames, 'image' AS modality
         |FROM documents""".stripMargin,
+    "multimodal_patches" ->
+      """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |           FROM documents),
+        |p AS (SELECT doc_id, n_bytes,
+        |        unnest(range(0, CAST(ceil(n_bytes / 256.0) AS BIGINT))) AS patch_idx
+        |      FROM b)
+        |SELECT doc_id, patch_idx, least(256, n_bytes - patch_idx * 256) AS patch_len
+        |FROM p""".stripMargin,
+    "q_sample" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY event_type""".stripMargin,
+    "q_top_spenders" ->
+      """WITH u AS (SELECT event_type, user_id, round(sum(value), 4) AS total
+        |           FROM events GROUP BY event_type, user_id),
+        |r AS (SELECT event_type, user_id,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rnk
+        |      FROM u)
+        |SELECT event_type, string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rnk) AS top_users
+        |FROM r WHERE rnk <= 3 GROUP BY event_type""".stripMargin,
+    "q_running_total" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS daily
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, daily,
+        |  round(sum(daily) OVER (PARTITION BY event_type ORDER BY day
+        |                         ROWS UNBOUNDED PRECEDING), 4) AS running
+        |FROM d""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT event_id, user_id, event_type,
+        |        last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_error_id
+        |      FROM e)
+        |SELECT event_id, user_id, prev_error_id FROM m WHERE event_type = 'purchase'""".stripMargin,
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS first_signup
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, count(*) AS purchases_7d, round(sum(value), 4) AS spend_7d
+        |      FROM events e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.first_signup
+        |        AND epoch_us(e.ts) < s.first_signup + 604800000000
+        |      GROUP BY e.user_id)
+        |SELECT s.user_id, CAST(CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS converted,
+        |       coalesce(p.purchases_7d, 0) AS purchases_7d,
+        |       coalesce(p.spend_7d, 0.0) AS spend_7d
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin,
+    "text_topterms" ->
+      s"""WITH t AS ($tokCte),
+         |ex AS (SELECT doc_id, unnest(tk) AS term FROM t)
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM ex GROUP BY term""".stripMargin,
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second-wave analytics surface: the ClickHouse-adjacent capabilities the
+  * reference's README points at (SAMPLE clause, array functions, window
+  * analytics) plus the as-of join and funnel operators every event
+  * warehouse grows.
+  *
+  * Scale notes: the as-of join is the union+window formulation — one
+  * shuffle on user_id, no range-join pair explosion; sampling is a
+  * deterministic hash predicate evaluated at the scan (ClickHouse's
+  * intHash32 sampling key, md5-flavored so any engine reproduces it).
+  */
+object Analytics {
+
+  /** SAMPLE-clause analog: deterministic 2/16 hash sample by event_id.
+    * The predicate is pushed into the scan stage; every engine computes the
+    * same md5, so the "sample" is reproducible anywhere. */
+  def sample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1).isin("0", "1"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+
+  /** Array-function analog (groupArray / arraySort): per event type, the
+    * top-3 users by lifetime value, emitted as an ordered CSV string (a
+    * string survives any engine's array-representation quirks). */
+  def topSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .groupBy("event_type", "user_id")
+      .agg(round(sum("value"), 4).as("total"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("total").desc, col("user_id"))))
+      .filter(col("rnk") <= 3)
+    perUser
+      .groupBy("event_type")
+      .agg(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(rnk, user_id))), s -> cast(s.user_id as string))"))
+        .as("top_users"))
+  }
+
+  /** Running cumulative revenue per event type (ordered-window fold — the
+    * summation order is the window order, so it is engine-reproducible). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("daily"))
+    daily.withColumn("running",
+      round(sum("daily").over(
+        Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+  }
+
+  /** As-of join: each purchase event paired with the most recent PRIOR
+    * error event of the same user. Union+window formulation: both sides
+    * shuffle once on user_id and the "join" is an ignore-nulls last_value
+    * over the interleaved timeline — no per-row range probe, no pair
+    * explosion, skew handled by AQE like any single shuffle. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("prev_error_id",
+        last(when(col("event_type") === "error", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "prev_error_id")
+  }
+
+  /** Signup -> purchase-within-7-days conversion funnel per user. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("value"), unix_micros(col("ts")).as("tus"))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("first_signup"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("tus") >= col("first_signup") &&
+        col("tus") < col("first_signup") + lit(604800000000L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("purchases_7d"), round(sum("value"), 4).as("spend_7d"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("purchases_7d").isNull, 0L).otherwise(1L).as("converted"),
+        coalesce(col("purchases_7d"), lit(0L)).as("purchases_7d"),
+        coalesce(col("spend_7d"), lit(0.0)).as("spend_7d"))
+  }
+
+  /** Corpus term statistics (document frequency / collection frequency) —
+    * the inverted-index pre-pass of every text pipeline. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("term"))
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+
+  /** Fixed-size patch layout over the binary payload — the batch shape a
+    * vision encoder consumes (one row per 256-byte patch, computed without
+    * ever shuffling the bytes themselves). */
+  def mediaPatches(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        explode(expr("sequence(0L, cast(ceil(n_bytes / 256.0) as bigint) - 1)")).as("patch_idx"))
+      .withColumn("patch_len", least(lit(256L), col("n_bytes") - col("patch_idx") * 256L))
+      .select("doc_id", "patch_idx", "patch_len")
+}

@@ -89,10 +89,14 @@ object Olap {
       .agg(round(sum("o_totalprice"), 4).as("total_spent"),
         count(lit(1)).as("n_orders"))
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+    // top-20 via orderBy+limit first: Catalyst plans a TakeOrderedAndProject
+    // (per-partition heaps, no global sort/shuffle); the unpartitioned
+    // row_number window then only ever sees 20 rows.
     spend
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(20)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("total_spent").desc, col("c_custkey"))).cast("long"))
-      .filter(col("rnk") <= 20)
       .select("rnk", "c_custkey", "c_name", "total_spent", "n_orders")
   }
 

@@ -1,30 +1,43 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{GraftSession, Tables}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`Array[Float]` vectors).
   *
   * Three tiers, same contract (top-k neighbors per query vector):
   *  - [[topK]]        exact brute force — the correctness baseline.
-  *  - [[lshTopK]]     random-hyperplane LSH — bucket equi-join, the
-  *                    shuffle-light path when the corpus is billions.
+  *  - [[lshTopK]]     random-hyperplane LSH (OR-amplified band tables) —
+  *                    the shuffle-light path when the corpus is billions.
   *  - [[ivfTopK]]     IVF (k-means coarse quantizer + nprobe) — the
   *                    FAISS-shaped scale path.
+  *
+  * All dot products go through the native codegen'd
+  * [[graft.functions.DotProduct]] expression (same sequential summation
+  * order as the builtin fold, so scores match the DuckDB oracle exactly).
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
+  private val cosineCol =
+    expr("dot_product(va, vb)") / (col("nrma") * col("nrmb"))
 
   /** vec_id, v (double vector), nrm (L2 norm), computed map-side once. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    GraftSession.registerFunctions(spark)
     Tables(spark, dir).embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + x * x))"))
+      .withColumn("nrm", expr("sqrt(dot_product(v, v))"))
+  }
+
+  private def rankTop5(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(round(col("cosine"), 6).desc, col("n_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"), col("rnk"))
 
   /** Exact cosine top-5 for each query vector (vec_id < 10) over the rest
     * of the corpus. The tiny query set is broadcast, so the corpus never
@@ -36,45 +49,40 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))
     val c = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"))
-    c.crossJoin(broadcast(q))
-      .withColumn("cosine", expr(dotExpr) / (col("nrma") * col("nrmb")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(round(col("cosine"), 6).desc, col("n_id"))).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"), col("rnk"))
+    rankTop5(c.crossJoin(broadcast(q)).withColumn("cosine", cosineCol))
   }
 
-  /** Deterministic random hyperplanes (fixed seed, JVM-stable LCG). */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes (fixed seed, JVM-stable LCG),
+    * flattened as `tables x planesPerTable` rows of dim doubles. */
+  private def planes(nTables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    Seq.fill(nTables, planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Random-hyperplane LSH: 12-bit sign signature → bucket equi-join →
-    * exact rerank inside the bucket. At planetary scale the bucket key
-    * join replaces the cross join; recall is traded via the plane count. */
+  /** Random-hyperplane LSH with OR-amplification: 4 independent hash
+    * tables of 6 planes each. A corpus vector meets a query iff they share
+    * a bucket in ANY table (explode table-keyed buckets, equi-join,
+    * de-dup), then exact cosine rerank inside the candidate set. At
+    * billion-vector scale the equi-join on (table, bucket) replaces the
+    * cross join; recall is tuned via tables x planes. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val pl = planes(12, 64)
-    val plCol = typedLit(pl.map(_.toSeq).toSeq)
+    val pl = typedLit(planes(4, 6, 64))
     val e = vecs(spark, dir)
-      .withColumn("pl", plCol)
-      .withColumn("bucket", expr(
-        """aggregate(transform(pl, (p, i) ->
-          |    CASE WHEN aggregate(zip_with(v, p, (x, y) -> x * y),
-          |                        cast(0.0 as double), (a, x) -> a + x) > 0
-          |         THEN shiftleft(1L, i) ELSE 0L END),
-          |  0L, (a, b) -> a | b)""".stripMargin))
-      .drop("pl")
-    val q = e.filter(col("vec_id") < 10)
+      .withColumn("pl", pl)
+      .withColumn("buckets", expr(
+        """transform(sequence(0, 3), t ->
+          |  aggregate(sequence(0, 5), cast(t * 64 as bigint), (acc, p) ->
+          |    acc * 2 + CASE WHEN dot_product(v, element_at(element_at(pl, t + 1), p + 1)) > 0
+          |                   THEN 1L ELSE 0L END))""".stripMargin))
+    val keyed = e.select(col("vec_id"), col("v"), col("nrm"), explode(col("buckets")).as("bucket"))
+    val q = keyed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"), col("bucket"))
-    val c = e.filter(col("vec_id") >= 10)
+    val c = keyed.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"), col("bucket"))
-    c.join(q, Seq("bucket"))
-      .withColumn("cosine", expr(dotExpr) / (col("nrma") * col("nrmb")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(round(col("cosine"), 6).desc, col("n_id"))).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"), col("rnk"))
+    val cand = c.join(q, Seq("bucket"))
+      .select("q_id", "n_id", "va", "vb", "nrma", "nrmb")
+      .dropDuplicates("q_id", "n_id")
+    rankTop5(cand.withColumn("cosine", cosineCol))
   }
 
   /** IVF: k-means coarse quantizer (k=8, 3 Lloyd iterations, first-k init)
@@ -82,8 +90,7 @@ object Similarity {
     * is ever collected to the driver. Queries probe the 2 nearest
     * centroids and rerank exactly within those inverted lists. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    val e = vecs(spark0, dir).cache()
+    val e = vecs(spark, dir).cache()
     val dim = 64
     val k = 8
 
@@ -91,19 +98,19 @@ object Similarity {
       .select("vec_id", "v").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
 
-    def assigned(cs: Array[(Int, Array[Double])]): DataFrame = {
-      val cCol = typedLit(cs.map { case (cid, v) => (cid, v.toSeq) }.toSeq)
-      e.withColumn("cs", cCol)
-        .withColumn("cid", expr(
-          """aggregate(cs, named_struct('cid', -1, 'd', cast(1e18 as double)),
-            |  (best, c) -> CASE WHEN aggregate(zip_with(v, c._2, (x, y) -> (x - y) * (x - y)),
-            |                                   cast(0.0 as double), (a, x) -> a + x) < best.d
-            |    THEN named_struct('cid', c._1, 'd',
-            |           aggregate(zip_with(v, c._2, (x, y) -> (x - y) * (x - y)),
-            |                     cast(0.0 as double), (a, x) -> a + x))
-            |    ELSE best END).cid""".stripMargin))
-        .drop("cs")
-    }
+    def withCentroids(df: DataFrame, cs: Array[(Int, Array[Double])]): DataFrame =
+      df.withColumn("cs", typedLit(cs.map { case (cid, v) => (cid, v.toSeq) }.toSeq))
+        // squared L2 distance to each centroid: |v|^2 - 2<v,c> + |c|^2; the
+        // |v|^2 term is rank-invariant, so argmin over -2<v,c> + |c|^2
+        .withColumn("dists", expr(
+          """transform(cs, c ->
+            |  named_struct('d', dot_product(c._2, c._2) - 2.0d * dot_product(v, c._2),
+            |               'cid', c._1))""".stripMargin))
+
+    def assigned(cs: Array[(Int, Array[Double])]): DataFrame =
+      withCentroids(e, cs)
+        .withColumn("cid", expr("array_min(dists).cid"))
+        .drop("cs", "dists")
 
     for (_ <- 1 to 3) {
       val means = assigned(centroids)
@@ -122,25 +129,14 @@ object Similarity {
       }
     }
 
-    val asg = assigned(centroids)
-    val cCol = typedLit(centroids.map { case (cid, v) => (cid, v.toSeq) }.toSeq)
+    val asg = assigned(centroids).cache()
     // nprobe = 2 nearest centroids per query
-    val q = asg.filter(col("vec_id") < 10)
-      .withColumn("cs", cCol)
-      .withColumn("probe", expr(
-        """slice(transform(array_sort(transform(cs, c ->
-          |   named_struct('d', aggregate(zip_with(v, c._2, (x, y) -> (x - y) * (x - y)),
-          |                               cast(0.0 as double), (a, x) -> a + x),
-          |                'cid', c._1))), s -> s.cid), 1, 2)""".stripMargin))
+    val q = withCentroids(asg.filter(col("vec_id") < 10), centroids)
+      .withColumn("probe", expr("transform(slice(array_sort(dists), 1, 2), s -> s.cid)"))
       .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"),
         explode(col("probe")).as("cid"))
     val c = asg.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"), col("cid"))
-    c.join(q, Seq("cid"))
-      .withColumn("cosine", expr(dotExpr) / (col("nrma") * col("nrmb")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(round(col("cosine"), 6).desc, col("n_id"))).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"), col("rnk"))
+    rankTop5(c.join(broadcast(q), Seq("cid")).withColumn("cosine", cosineCol))
   }
 }
