@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion for the reference's event stream
+  * (anelook/apache-kafka-clickhouse-demo: kcat -> Kafka topic
+  * `entry-events` -> ClickHouse Kafka engine, README.rst Step 1-2).
+  *
+  * The Spark-native shape: one explicit schema + one JSON-as-string
+  * projection, reusable across EVERY source — the transforms downstream
+  * never know whether rows arrived from Kafka, files, or a test
+  * MemoryStream. That is the analog of the reference's
+  * `JSONAsString` Kafka-engine table + extraction materialized view,
+  * without coupling the pipeline to the broker.
+  */
+object EventsSource {
+
+  /** Wire schema of one NDJSON event (reference events_years_*.ndjson:
+    * {"timestamp": unix-ms, "subject": ..., "points": int, ...} —
+    * generalized to the driver's events schema). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("timestamp", LongType), // unix millis, reference-style
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** JSON-as-string -> typed columns (JSONExtract* + fromUnixTimestamp64Milli
+    * analog, all codegen'd builtins). Works on any DataFrame with a
+    * `message: string` column — batch or streaming. */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("message"), eventSchema).as("e"))
+      .select(
+        col("e.event_id").as("event_id"),
+        timestamp_millis(col("e.timestamp")).as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"),
+        col("e.props").as("props"))
+
+  /** Streaming NDJSON file source (each line one JSON event) — drop-in for
+    * the kcat -> topic flow when testing without a broker. */
+  def fileStream(spark: SparkSession, path: String): DataFrame =
+    parse(spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(path).withColumnRenamed("value", "message"))
+
+  /** Kafka source options for the reference topology (README.rst Step 1:
+    * topic `entry-events`, local broker). Usage — requires the
+    * spark-sql-kafka connector on the classpath (not shipped in this
+    * environment, hence options-only here):
+    * {{{
+    * val raw = spark.readStream.format("kafka").options(kafkaOptions()).load()
+    * val typed = EventsSource.parse(raw.selectExpr("CAST(value AS STRING) AS message"))
+    * }}}
+    */
+  def kafkaOptions(
+      bootstrapServers: String = "localhost:9092",
+      topic: String = "entry-events",
+      startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    // one Kafka partition maps to one Spark input partition; at 100 TB the
+    // topic must be partitioned accordingly (maxOffsetsPerTrigger bounds
+    // micro-batch size instead of the reference's manual cutover)
+    "maxOffsetsPerTrigger" -> "5000000")
+}
