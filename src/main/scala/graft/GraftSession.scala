@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, HammingDistance64}
+import graft.plans.{TopKPerKeyExtension, TopKPerKeyRewrite, TopKPerKeyStrategy}
 
 /** Session factory for the graft engine.
   *
@@ -26,6 +27,8 @@ object GraftSession {
         (new FunctionIdentifier("dot_product"),
           new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
           (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
+      ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     }
   }
 
@@ -66,5 +69,6 @@ object GraftSession {
         new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1)))
     }
+    TopKPerKeyExtension.install(spark)
   }
 }

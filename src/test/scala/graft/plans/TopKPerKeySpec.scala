@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+
+  private def topkQuery(): DataFrame = {
+    import spark.implicits._
+    val df = spark.range(10000)
+      .select(
+        (col("id") % 37).as("key"),
+        (col("id") * 2654435761L % 1000003L).as("score"),
+        col("id"))
+    df.withColumn("rnk", row_number().over(
+        Window.partitionBy("key").orderBy(col("score").desc, col("id"))))
+      .filter(col("rnk") <= 5)
+  }
+
+  test("the row_number<=k pattern is planned as TopKPerKeyExec") {
+    // physical nodeName strips the Exec suffix; assert on the exec class
+    val exec = topkQuery().queryExecution.executedPlan
+    val planned = exec.toString.contains("TopKPerKey")
+    assert(planned, s"rewrite did not fire:\n$exec")
+    assert(!exec.toString.contains("Window "), s"WindowExec still present:\n$exec")
+  }
+
+  test("TopKPerKeyExec output equals the WindowExec baseline") {
+    val fast = topkQuery().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // baseline: same query with the rewrite disabled
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(_ == TopKPerKeyRewrite)
+    try {
+      val slowDf = topkQuery()
+      val slowPlan = slowDf.queryExecution.executedPlan.toString
+      assert(!slowPlan.contains("TopKPerKeyExec"))
+      val slow = slowDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(fast == slow,
+        s"mismatch: onlyFast=${(fast -- slow).take(3)} onlySlow=${(slow -- fast).take(3)}")
+    } finally {
+      spark.experimental.extraOptimizations = saved
+    }
+  }
+
+  test("every key yields exactly min(k, group size) ranked rows") {
+    val rows = topkQuery().collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    assert(byKey.size == 37)
+    byKey.values.foreach { rs =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+  }
+}
