@@ -38,6 +38,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
+    "dedup_clusters" -> (Dedup.clusters _),
     // Similarity search
     "ann_topk" -> (Similarity.topK _),
     "ann_lsh" -> (Similarity.lshTopK _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "q_top_spenders" -> (Analytics.topSpenders _),
     "q_running_total" -> (Analytics.runningTotal _),
     "q_asof_join" -> (Analytics.asofJoin _),
+    "q_quantiles" -> (Analytics.quantiles _),
     "q_funnel" -> (Analytics.funnel _),
     "text_topterms" -> (Analytics.topTerms _),
   )
@@ -172,6 +174,21 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardSql("0.9"),
     "dedup_minhash_lsh" -> jaccardSql("0.8"),
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE tkt AS ($tokCte),
+         |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+         |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
+         |ex AS (SELECT doc_id, len(sg) AS n, unnest(sg) AS sh FROM sgt WHERE len(sg) > 0),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+         |             any_value(a.n) AS na, any_value(b.n) AS nb
+         |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |e0 AS (SELECT doc_a, doc_b FROM p
+         |       WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM e0
+         |      UNION SELECT doc_b, doc_a FROM e0),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin,
     "dedup_embedding" ->
       s"""$vecCtes
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -267,6 +284,12 @@ object SparkEntry {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_error_id
         |      FROM e)
         |SELECT event_id, user_id, prev_error_id FROM m WHERE event_type = 'purchase'""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
+        |  round(max(value), 4) AS max_value, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_funnel" ->
       """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS first_signup
         |           FROM events WHERE event_type = 'signup' GROUP BY user_id),

@@ -92,6 +92,18 @@ object Analytics {
         coalesce(col("spend_7d"), lit(0.0)).as("spend_7d"))
   }
 
+  /** Exact interpolated quantiles per event type (the quantile() /
+    * quantileExact() surface of the reference's engine — exact flavor so
+    * any engine reproduces it; percentile_approx is the sketch sibling). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(max("value"), 4).as("max_value"),
+        count(lit(1)).as("n"))
+
   /** Corpus term statistics (document frequency / collection frequency) —
     * the inverted-index pre-pass of every text pipeline. */
   def topTerms(spark: SparkSession, dir: String): DataFrame =
