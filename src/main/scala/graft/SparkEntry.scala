@@ -59,6 +59,8 @@ object SparkEntry {
     "q_quantiles" -> (Analytics.quantiles _),
     "q_funnel" -> (Analytics.funnel _),
     "text_topterms" -> (Analytics.topTerms _),
+    // End-to-end corpus preparation
+    "pipeline_clean_corpus" -> (Pipeline.cleanCorpus _),
   )
 
   private val tokCte =
@@ -306,5 +308,30 @@ object SparkEntry {
       s"""WITH t AS ($tokCte),
          |ex AS (SELECT doc_id, unnest(tk) AS term FROM t)
          |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM ex GROUP BY term""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH RECURSIVE tkt AS ($tokCte),
+         |m AS (SELECT doc_id, len(tk) AS n_tok,
+         |        len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is'))) AS n_stop
+         |      FROM tkt),
+         |q AS (SELECT doc_id, n_tok AS n_tokens,
+         |        CASE WHEN n_tok > 0 THEN round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+         |               (1.0 - n_stop / CAST(n_tok AS DOUBLE)), 4) ELSE 0.0 END AS quality_score
+         |      FROM m),
+         |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+         |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
+         |ex AS (SELECT doc_id, len(sg) AS n, unnest(sg) AS sh FROM sgt WHERE len(sg) > 0),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+         |             any_value(a.n) AS na, any_value(b.n) AS nb
+         |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |e0 AS (SELECT doc_a, doc_b FROM p
+         |       WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM e0
+         |      UNION SELECT doc_b, doc_a FROM e0),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+         |nonrep AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         |SELECT doc_id, n_tokens, quality_score FROM q
+         |WHERE quality_score >= 0.2 AND doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin,
   )
 }
