@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HammingDistance64}
+import graft.functions.{DotProduct, HammingDistance64, SimHash64}
 import graft.plans.{TopKPerKeyExtension, TopKPerKeyRewrite, TopKPerKeyStrategy}
 
 /** Session factory for the graft engine.
@@ -27,6 +27,10 @@ object GraftSession {
         (new FunctionIdentifier("dot_product"),
           new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
           (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      ext.injectFunction(
+        (new FunctionIdentifier("simhash64"),
+          new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+          (children: Seq[Expression]) => SimHash64(children.head)))
       ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
       ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     }
@@ -68,6 +72,13 @@ object GraftSession {
         dotId,
         new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    }
+    val simhashId = new FunctionIdentifier("simhash64")
+    if (!reg.functionExists(simhashId)) {
+      reg.registerFunction(
+        simhashId,
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => SimHash64(children.head))
     }
     TopKPerKeyExtension.install(spark)
   }

@@ -57,6 +57,8 @@ object SparkEntry {
     "q_running_total" -> (Analytics.runningTotal _),
     "q_asof_join" -> (Analytics.asofJoin _),
     "q_quantiles" -> (Analytics.quantiles _),
+    "q_approx_distinct" -> (Analytics.approxDistinct _),
+    "multimodal_embed_join" -> (Analytics.textEmbedJoin _),
     "q_funnel" -> (Analytics.funnel _),
     "text_topterms" -> (Analytics.topTerms _),
     // End-to-end corpus preparation
@@ -308,6 +310,15 @@ object SparkEntry {
       s"""WITH t AS ($tokCte),
          |ex AS (SELECT doc_id, unnest(tk) AS term FROM t)
          |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM ex GROUP BY term""".stripMargin,
+    "multimodal_embed_join" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+         |           FROM documents),
+         |v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |        round(sqrt(list_sum(list_transform(embedding,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vec_norm
+         |      FROM embeddings)
+         |SELECT doc_id, n_tokens, label, vec_norm FROM d JOIN v ON doc_id = vec_id""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE tkt AS ($tokCte),
          |m AS (SELECT doc_id, len(tk) AS n_tok,

@@ -104,6 +104,34 @@ object Analytics {
         round(max("value"), 4).as("max_value"),
         count(lit(1)).as("n"))
 
+  /** Approximate distinct counting (HyperLogLog++ — ClickHouse `uniq`
+    * analog) side-by-side with the exact count. Sketches merge
+    * associatively, so the partial/final aggregation pattern holds at any
+    * scale; no SQL oracle (sketch values are engine-specific), accuracy is
+    * asserted in AnalyticsSpec instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
+        countDistinct("user_id").as("exact_users"),
+        count(lit(1)).as("n"))
+
+  /** Multimodal fusion: text metadata joined with the embedding modality on
+    * the shared id — the row shape a multimodal trainer consumes. */
+  def textEmbedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), expr(s"cast(size(${TextAnalysis.tokensExpr}) as bigint)").as("n_tokens"))
+    val vecs = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("vec_norm", round(expr("sqrt(dot_product(v, v))"), 4))
+      .drop("v")
+    docs.join(vecs, col("doc_id") === col("vec_id"))
+      .select("doc_id", "n_tokens", "label", "vec_norm")
+  }
+
   /** Corpus term statistics (document frequency / collection frequency) —
     * the inverted-index pre-pass of every text pipeline. */
   def topTerms(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within 5% of the exact distinct count") {
+    Analytics.approxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("as-of join only ever pairs a purchase with an EARLIER error of the same user") {
+    val events = graft.Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val byId = events.collect().map(r => r.getLong(0) -> r).toMap
+    Analytics.asofJoin(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        val purchase = byId(r.getLong(0))
+        val error = byId(r.getLong(2))
+        assert(error.getString(2) == "error")
+        assert(error.getLong(1) == purchase.getLong(1))
+        assert(error.getLong(3) <= purchase.getLong(3))
+      }
+    }
+  }
+
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    import graft.streaming.EventPipeline.RawEvent
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RawEvent]
+    val deduped = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def ev(id: Long, off: Long) =
+        RawEvent(id, new java.sql.Timestamp(t0 + off), 1, "click", 1.0, "{}")
+      input.addData(ev(1, 0), ev(2, 1000), ev(1, 2000)) // replayed id=1
+      q.processAllAvailable()
+      input.addData(ev(2, 3000), ev(3, 4000)) // replayed id=2 in a later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+}
