@@ -34,10 +34,14 @@ object Similarity {
 
   private def rankTop5(scored: DataFrame): DataFrame =
     scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(round(col("cosine"), 6).desc, col("n_id"))).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"), col("rnk"))
+      // filter on the raw row_number, cast afterwards: the filter sitting
+      // directly on the window output lets the TopKPerKey rewrite replace
+      // WindowExec with the bounded-heap operator (see graft.plans)
+      .withColumn("rnk_i", row_number().over(
+        Window.partitionBy("q_id").orderBy(round(col("cosine"), 6).desc, col("n_id"))))
+      .filter(col("rnk_i") <= 5)
+      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"),
+        col("rnk_i").cast("long").as("rnk"))
 
   /** Exact cosine top-5 for each query vector (vec_id < 10) over the rest
     * of the corpus. The tiny query set is broadcast, so the corpus never
