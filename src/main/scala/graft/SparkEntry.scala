@@ -213,6 +213,7 @@ object SparkEntry {
       s"""WITH t AS ($tokCte)
          |SELECT t.doc_id, len(tk) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS n_token_chars,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens,
          |  CAST(ceil(length(text) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS n_bpe_est
          |FROM t JOIN documents d ON t.doc_id = d.doc_id""".stripMargin,
     "text_quality" ->

@@ -30,6 +30,7 @@ object TextAnalysis {
         size(col("tk")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
         expr("cast(aggregate(tk, 0L, (a, x) -> a + length(x)) as bigint)").as("n_token_chars"),
+        expr("cast(size(regexp_extract_all(text, '[a-z0-9]+', 0)) as bigint)").as("n_regex_tokens"),
         expr("cast(ceil(length(text) / 4.0) as bigint)").as("n_bpe_est"))
 
   /** Quality scoring: stopword ratio, mean token length, and a composite
