@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HammingDistance64, SimHash64}
+import graft.functions.{DotProduct, HammingDistance64, MinHash32, SimHash64}
 import graft.plans.{TopKPerKeyExtension, TopKPerKeyRewrite, TopKPerKeyStrategy}
 
 /** Session factory for the graft engine.
@@ -31,6 +31,10 @@ object GraftSession {
         (new FunctionIdentifier("simhash64"),
           new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
           (children: Seq[Expression]) => SimHash64(children.head)))
+      ext.injectFunction(
+        (new FunctionIdentifier("minhash32"),
+          new ExpressionInfo(classOf[MinHash32].getName, "minhash32"),
+          (children: Seq[Expression]) => MinHash32(children.head)))
       ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
       ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     }
@@ -79,6 +83,13 @@ object GraftSession {
         simhashId,
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         (children: Seq[Expression]) => SimHash64(children.head))
+    }
+    val minhashId = new FunctionIdentifier("minhash32")
+    if (!reg.functionExists(minhashId)) {
+      reg.registerFunction(
+        minhashId,
+        new ExpressionInfo(classOf[MinHash32].getName, "minhash32"),
+        (children: Seq[Expression]) => MinHash32(children.head))
     }
     TopKPerKeyExtension.install(spark)
   }
