@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("entry returns rows on a PLAIN session (the driver's t1 smoke contract)") {
+    // newSession(): fresh session state with NONE of graft's registered
+    // functions — entry must not depend on any extension being installed
+    val spark = SparkSpec.session.newSession()
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}
