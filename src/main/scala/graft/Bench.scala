@@ -3,7 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint: runs the headline queries on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver. */
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  *
+  * A query that throws is recorded under `"errors"` (name -> message) and
+  * contributes NOTHING to `"value"` — a failing query must never improve
+  * the headline number (it previously recorded its elapsed-until-throw
+  * time as a normal timing).
+  */
 object Bench {
   // Headline set: the scale-sensitive operators (scans+joins+aggs, the
   // shingle-join dedups, ANN, sessionization windows).
@@ -13,24 +19,53 @@ object Bench {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding", "dedup_simhash",
     "ann_topk", "text_quality", "text_fingerprint")
 
+  /** Times each named query via `SparkEntry.queries`; a throwing query
+    * lands in the error map (exception class + message), not the timings. */
+  def run(spark: SparkSession, sfDir: String, names: Seq[String],
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = SparkEntry.queries)
+      : (Seq[(String, Double)], Seq[(String, String)]) = {
+    val timings = Seq.newBuilder[(String, Double)]
+    val errors = Seq.newBuilder[(String, String)]
+    names.foreach { name =>
+      queries.get(name).foreach { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          timings += name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
+      }
+    }
+    (timings.result(), errors.result())
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
+  def renderJson(timings: Seq[(String, Double)], errors: Seq[(String, String)], sfDir: String): String = {
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries
     // one warm-up pass on the smallest table to absorb JVM/codegen startup
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = headline.flatMap { name =>
-      queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (timings, errors) = run(spark, sfDir, headline)
+    println(renderJson(timings, errors, sfDir))
     spark.stop()
   }
 }

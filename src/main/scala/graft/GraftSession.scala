@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, HammingDistance64, MinHash32, SimHash64}
@@ -57,6 +57,28 @@ object GraftSession {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  // --- cache hygiene -------------------------------------------------------
+  // Query builders cache frames reused inside ONE query (shingle arrays,
+  // sketches). On the driver's shared session those caches used to strand
+  // block-store memory across the 38-query pass; tracking them lets the next
+  // query sweep its predecessor's blocks. Unpersisting is always safe —
+  // Spark lazily recomputes an unpersisted frame.
+  private val liveCaches =
+    scala.collection.mutable.Map.empty[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+
+  /** `df.cache()` + remember the frame so [[sweepCaches]] can free it. */
+  def trackCache(df: DataFrame): DataFrame = synchronized {
+    df.cache()
+    liveCaches.getOrElseUpdate(df.sparkSession, scala.collection.mutable.Buffer.empty) += df
+    df
+  }
+
+  /** Unpersists every cache tracked on this session (called by each
+    * SparkEntry query wrapper at entry, freeing the previous query's). */
+  def sweepCaches(spark: SparkSession): Unit = synchronized {
+    liveCaches.remove(spark).foreach(_.foreach(_.unpersist(blocking = false)))
   }
 
   /** Registers graft functions on a session graft did not build (e.g. the

@@ -16,7 +16,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Olap.q1Pricing(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Each query sweeps the PREVIOUS query's tracked caches at entry, so the
+    * driver's sequential 38-query pass never strands block-store memory
+    * (safe: unpersisted frames recompute lazily). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((spark: SparkSession, dir: String) => {
+        GraftSession.sweepCaches(spark)
+        fn(spark, dir)
+      })
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference pipeline (Kafka->ClickHouse demo, README.rst Steps 2-4)
     "ingest_events_typed" -> (RefPipeline.ingestEventsTyped _),
     "events_count" -> (RefPipeline.eventsCount _),
@@ -81,6 +92,26 @@ object SparkEntry {
     s"""$shingleCtes
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM p
        |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= $threshold""".stripMargin
+
+  /** ngram oracle with the identical shingle df cap as Dedup.ngramJaccard:
+    * candidates restricted to shingles with 2 <= df <= ShingleDfCap, exact
+    * Jaccard verified from the FULL shingle sets. */
+  private def ngramCappedSql: String = {
+    val cap = operators.Dedup.ShingleDfCap
+    s"""WITH tkt AS ($tokCte),
+       |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+       |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
+       |sgn AS (SELECT doc_id, sg, len(sg) AS n FROM sgt WHERE len(sg) > 0),
+       |ex AS (SELECT doc_id, unnest(sg) AS sh FROM sgn),
+       |j AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) >= 2 AND count(*) <= $cap),
+       |exc AS (SELECT ex.doc_id, ex.sh FROM ex JOIN j ON ex.sh = j.sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |v AS (SELECT doc_a, doc_b, len(list_intersect(x.sg, y.sg)) AS c, x.n AS na, y.n AS nb
+       |      FROM cand JOIN sgn x ON cand.doc_a = x.doc_id JOIN sgn y ON cand.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM v
+       |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.9""".stripMargin
+  }
 
   private val vecCtes =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -176,7 +207,7 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "dedup_ngram_jaccard" -> jaccardSql("0.9"),
+    "dedup_ngram_jaccard" -> ngramCappedSql,
     "dedup_minhash_lsh" -> jaccardSql("0.8"),
     "dedup_clusters" ->
       s"""WITH RECURSIVE tkt AS ($tokCte),

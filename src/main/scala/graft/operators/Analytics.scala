@@ -147,8 +147,14 @@ object Analytics {
     Tables(spark, dir).documents
       .select(col("doc_id"),
         length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+      // zero-byte docs emit NO patches: an unguarded sequence(0, -1) yields
+      // the descending [0, -1] and two bogus rows, while the oracle's
+      // range(0, 0) is empty — explode drops the empty array instead
       .select(col("doc_id"), col("n_bytes"),
-        explode(expr("sequence(0L, cast(ceil(n_bytes / 256.0) as bigint) - 1)")).as("patch_idx"))
+        explode(expr(
+          """CASE WHEN n_bytes > 0
+            |  THEN sequence(0L, cast(ceil(n_bytes / 256.0) as bigint) - 1)
+            |  ELSE cast(array() as array<bigint>) END""".stripMargin)).as("patch_idx"))
       .withColumn("patch_len", least(lit(256L), col("n_bytes") - col("patch_idx") * 256L))
       .select("doc_id", "patch_idx", "patch_len")
 }

@@ -89,18 +89,26 @@ object Similarity {
     rankTop5(cand.withColumn("cosine", cosineCol))
   }
 
-  /** IVF: k-means coarse quantizer (k=8, 3 Lloyd iterations, first-k init)
-    * trained with DataFrame aggregations; only the k x dim centroid matrix
-    * is ever collected to the driver. Queries probe the 2 nearest
-    * centroids and rerank exactly within those inverted lists. */
+  /** IVF: k-means coarse quantizer (k=8, 3 Lloyd iterations) trained with
+    * DataFrame aggregations; only the k x dim centroid matrix is ever
+    * collected to the driver. Queries probe the 2 nearest centroids and
+    * rerank exactly within those inverted lists.
+    *
+    * Training is shuffle-lean: cell means come from the partial-aggregating
+    * [[graft.functions.VectorMeanAgg]] (one double[] accumulator per
+    * (partition, cell), merged map-side) — no per-dimension row explosion.
+    * Init is a deterministic hash-sample (first k vectors in xxhash64
+    * order), not first-k-by-id, so seeds don't share insertion locality. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir).cache()
-    val dim = 64
+    val e = GraftSession.trackCache(vecs(spark, dir))
     val k = 8
 
-    var centroids: Array[(Int, Array[Double])] = e.filter(col("vec_id") < k)
+    var centroids: Array[(Int, Array[Double])] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k)
       .select("vec_id", "v").collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
     def withCentroids(df: DataFrame, cs: Array[(Int, Array[Double])]): DataFrame =
       df.withColumn("cs", typedLit(cs.map { case (cid, v) => (cid, v.toSeq) }.toSeq))
@@ -116,24 +124,19 @@ object Similarity {
         .withColumn("cid", expr("array_min(dists).cid"))
         .drop("cs", "dists")
 
+    val vmean = udaf(graft.functions.VectorMeanAgg)
     for (_ <- 1 to 3) {
       val means = assigned(centroids)
-        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cid", "d").agg(avg("x").as("m"))
+        .groupBy("cid").agg(vmean(col("v")).as("m"))
         .collect()
-      val byCid = means.groupBy(_.getInt(0))
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
       centroids = centroids.map { case (cid, old) =>
-        byCid.get(cid) match {
-          case Some(rows) =>
-            val m = new Array[Double](dim)
-            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-            (cid, m)
-          case None => (cid, old)
-        }
+        (cid, means.getOrElse(cid, old))
       }
     }
 
-    val asg = assigned(centroids).cache()
+    val asg = GraftSession.trackCache(assigned(centroids))
     // nprobe = 2 nearest centroids per query
     val q = withCentroids(asg.filter(col("vec_id") < 10), centroids)
       .withColumn("probe", expr("transform(slice(array_sort(dists), 1, 2), s -> s.cid)"))

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+class BenchSpec extends SparkSpec {
+
+  test("a throwing query is reported as an error and excluded from the total") {
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ok" -> ((s, dir) => s.read.parquet(s"$dir/region.parquet")),
+      "boom" -> ((_, _) => throw new IllegalStateException("synthetic failure")))
+    val (timings, errors) = Bench.run(spark, sf, Seq("ok", "boom"), queries)
+    assert(timings.map(_._1) == Seq("ok"))
+    assert(errors.map(_._1) == Seq("boom"))
+    assert(errors.head._2.contains("IllegalStateException"))
+    val json = Bench.renderJson(timings, errors, sf)
+    // the failed query must not appear among the timings nor inflate value
+    assert(json.contains("\"errors\":{\"boom\":"))
+    assert(!json.contains("\"boom\":-"))
+    val value = json.split("\"value\":")(1).split(",")(0).toDouble
+    assert(value == timings.map(_._2).sum)
+  }
+
+  test("headline JSON stays well-formed with no errors") {
+    val json = Bench.renderJson(Seq("a" -> 1.5, "b" -> 0.5), Nil, "/x")
+    assert(json == """{"metric":"total","value":2.0,"unit":"sec","queries":{"a":1.5,"b":0.5},"errors":{},"sf":"/x"}""")
+  }
+}

@@ -6,8 +6,8 @@ class DedupSpec extends SparkSpec {
 
   test("minhash+LSH verified pairs equal exhaustive jaccard pairs at the same threshold") {
     // minhashLsh uses threshold 0.8; the exhaustive shingle-join at 0.8 is
-    // the ground truth. With 32 bands x 1 row, recall at j>=0.8 is
-    // 1 - 0.2^32 — any miss here is a bug, not bad luck.
+    // the ground truth. With 16 bands x 2 rows, miss probability at j>=0.8
+    // is (1 - 0.64)^16 ~ 5e-8 — any miss here is a bug, not bad luck.
     val lsh = Dedup.minhashLsh(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.ngramJaccard(spark, sf) // threshold 0.9 subset
