@@ -33,6 +33,15 @@ import org.apache.spark.sql.types.IntegerType
   * The rewrite is a pure optimization: sessions without it fall back to
   * WindowExec with the same output, so correctness never depends on the
   * extension being installed.
+  *
+  * MEMORY MODEL (the trade against WindowExec): the heap map holds
+  * O(distinct-keys-per-partition x k) rows on-heap and does NOT spill,
+  * where WindowExec's sort would. That is the right trade when k is small
+  * (the top-N patterns this engine emits: k <= 20) — at 10^6 keys/partition
+  * x k=20 x ~100 B rows it is ~2 GB, bounded by sizing partitions like any
+  * hash aggregation. To keep the no-spill surface small the rewrite only
+  * fires for k <= [[TopKPerKeyRewrite.MaxK]]; larger bounds keep the
+  * spill-capable WindowExec plan.
   */
 final case class TopKPerKey(
     k: Int,
@@ -121,6 +130,11 @@ final case class TopKPerKeyExec(
 object TopKPerKeyRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
 
+  /** Largest k the bounded-heap operator accepts: per-partition memory is
+    * keys x k rows with no spill path, so a large k belongs in WindowExec
+    * (which sorts and spills) rather than here. */
+  val MaxK = 1024
+
   private def asBound(cond: Expression, rankAttr: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rankAttr) => Some(v)
     case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rankAttr) => Some(v - 1)
@@ -134,7 +148,7 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] {
           WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
           partitionSpec, orderSpec, child, _)) if orderSpec.nonEmpty =>
       asBound(cond, alias.toAttribute) match {
-        case Some(k) if k > 0 =>
+        case Some(k) if k > 0 && k <= MaxK =>
           TopKPerKey(k, partitionSpec, orderSpec, alias.toAttribute, child)
         case _ => f
       }

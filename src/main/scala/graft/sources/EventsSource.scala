@@ -48,15 +48,60 @@ object EventsSource {
     parse(spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
       .text(path).withColumnRenamed("value", "message"))
 
+  /** Wire schema of the reference's ACTUAL NDJSON corpus
+    * (README.rst Step 2.2: events_years_*.ndjson — timestamp unix-ms,
+    * subject, teacher, room, points Int8, student Tuple(name, house)).
+    * The nested struct is the part the flat driver schema never covers. */
+  val referenceSchema: StructType = StructType(Seq(
+    StructField("timestamp", LongType), // unix millis
+    StructField("subject", StringType),
+    StructField("teacher", StringType),
+    StructField("room", StringType),
+    StructField("points", IntegerType),
+    StructField("student", StructType(Seq(
+      StructField("name", StringType),
+      StructField("house", StringType))))))
+
+  /** The reference's extraction materialized view (README.rst Step 2.3):
+    * JSON-as-string -> typed columns including the nested student tuple
+    * (`JSONExtract(message, 'student', 'Tuple(String,String)')`) and the
+    * Int8 narrowing (`toInt8(JSONExtractInt(...))`). Works on batch and
+    * streaming frames alike. */
+  def parseReference(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("message"), referenceSchema).as("e"))
+      .select(
+        timestamp_millis(col("e.timestamp")).as("timestamp"),
+        col("e.subject").as("subject"),
+        col("e.teacher").as("teacher"),
+        col("e.room").as("room"),
+        col("e.points").cast("tinyint").as("points"),
+        col("e.student").as("student"))
+
+  /** README.rst Step 2.4's ad-hoc query: total points per house, read from
+    * the nested tuple (`student.house`). One partial-aggregated shuffle on
+    * a 4-value key — trivially scale-safe. */
+  def pointsByHouse(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("student.house").as("house"))
+      .agg(sum(col("points").cast("long")).as("total_points"))
+
+  /** The reference topology's Kafka reader (kcat -> topic `entry-events` ->
+    * engine table, README.rst Step 1-2), as a compiled code path: the
+    * `format("kafka")` source resolves at RUNTIME, so this builds against
+    * stock Spark but needs the spark-sql-kafka connector jar on the
+    * cluster classpath to execute (absent in this offline build — the spec
+    * asserts the precise missing-source error instead of the stream). */
+  def kafkaStream(
+      spark: SparkSession,
+      bootstrapServers: String = "localhost:9092",
+      topic: String = "entry-events"): DataFrame =
+    parseReference(
+      spark.readStream.format("kafka").options(kafkaOptions(bootstrapServers, topic)).load()
+        .selectExpr("CAST(value AS STRING) AS message"))
+
   /** Kafka source options for the reference topology (README.rst Step 1:
-    * topic `entry-events`, local broker). Usage — requires the
-    * spark-sql-kafka connector on the classpath (not shipped in this
-    * environment, hence options-only here):
-    * {{{
-    * val raw = spark.readStream.format("kafka").options(kafkaOptions()).load()
-    * val typed = EventsSource.parse(raw.selectExpr("CAST(value AS STRING) AS message"))
-    * }}}
-    */
+    * topic `entry-events`, local broker). */
   def kafkaOptions(
       bootstrapServers: String = "localhost:9092",
       topic: String = "entry-events",

@@ -95,15 +95,13 @@ object EventPipeline {
       }
   }
 
-  /** The "MergeTree sink": idempotent micro-batch append keyed by batchId.
-    * `foreachBatch` is where a JDBC/ClickHouse/Delta writer would plug in;
-    * exactly-once comes from (batchId, deterministic batch content). */
-  def toSink(aggregated: DataFrame, sinkTable: String)(implicit spark: SparkSession) =
-    aggregated.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.sparkSession.sparkContext.setJobDescription(s"sink batch $batchId")
-        batch.write.mode("append").format("noop").save()
-      }
-      .queryName(sinkTable)
+  /** The "MergeTree sink": idempotent micro-batch upsert into a parquet
+    * table via [[ParquetUpsertSink]] (overwrite-by-batchId, so a replayed
+    * batch rewrites its own partition instead of duplicating). The
+    * exactly-once behavior is DEMONSTRATED, not asserted:
+    * ParquetUpsertSinkSpec replays a batchId and kills/restarts a
+    * checkpointed stream mid-flow. A JDBC/warehouse writer slots into the
+    * same contract with a keyed MERGE per (batchId, key). */
+  def toSink(aggregated: DataFrame, sinkPath: String)(implicit spark: SparkSession) =
+    ParquetUpsertSink.attach(aggregated, sinkPath)
 }

@@ -47,6 +47,18 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("k above MaxK keeps the spill-capable WindowExec plan") {
+    import spark.implicits._
+    val df = spark.range(1000)
+      .select((col("id") % 7).as("key"), col("id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("key").orderBy(col("id"))))
+      .filter(col("rnk") <= TopKPerKeyRewrite.MaxK + 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKey"), s"rewrite must not fire above MaxK:\n$plan")
+    assert(df.count() == 1000L)
+  }
+
   test("every key yields exactly min(k, group size) ranked rows") {
     val rows = topkQuery().collect()
     val byKey = rows.groupBy(_.getLong(0))

@@ -37,18 +37,21 @@ class EventsSourceSpec extends SparkSpec {
     assert(r.head.isNullAt(r.head.fieldIndex("event_id")))
   }
 
-  test("foreachBatch sink consumes the hourly aggregate stream") {
+  test("foreachBatch sink lands the hourly aggregate stream in the parquet table") {
     import graft.streaming.EventPipeline
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
+    val sinkDir = Files.createTempDirectory("graft-sink").toFile.getAbsolutePath
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventPipeline.RawEvent]
     val q = EventPipeline.toSink(
-      EventPipeline.hourlyCounts(EventPipeline.typed(input.toDF())), "mergetree_sink").start()
+      EventPipeline.hourlyCounts(EventPipeline.typed(input.toDF())), sinkDir).start()
     try {
       input.addData(EventPipeline.RawEvent(1, new java.sql.Timestamp(1700000000000L), 1, "click", 1.0, "{}"))
       q.processAllAvailable()
-      assert(q.lastProgress != null)
+      val state = graft.streaming.ParquetUpsertSink.read(spark, sinkDir, Seq("bucket", "event_type"))
+      assert(state.count() == 1L)
+      assert(state.head.getAs[Long]("n") == 1L)
     } finally q.stop()
   }
 }
