@@ -93,9 +93,9 @@ object SparkEntry {
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM p
        |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= $threshold""".stripMargin
 
-  /** ngram oracle with the identical shingle df cap as Dedup.ngramJaccard:
-    * candidates restricted to shingles with 2 <= df <= ShingleDfCap, exact
-    * Jaccard verified from the FULL shingle sets. */
+  /** ngram oracle with the identical shingle df cap + hot-shingle
+    * correction as Dedup.ngramJaccard: shared-rare counts aggregated in the
+    * capped join, plus the intersection of the tiny hot-shingle lists. */
   private def ngramCappedSql: String = {
     val cap = operators.Dedup.ShingleDfCap
     s"""WITH tkt AS ($tokCte),
@@ -103,12 +103,18 @@ object SparkEntry {
        |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
        |sgn AS (SELECT doc_id, sg, len(sg) AS n FROM sgt WHERE len(sg) > 0),
        |ex AS (SELECT doc_id, unnest(sg) AS sh FROM sgn),
-       |j AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) >= 2 AND count(*) <= $cap),
-       |exc AS (SELECT ex.doc_id, ex.sh FROM ex JOIN j ON ex.sh = j.sh),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-       |v AS (SELECT doc_a, doc_b, len(list_intersect(x.sg, y.sg)) AS c, x.n AS na, y.n AS nb
-       |      FROM cand JOIN sgn x ON cand.doc_a = x.doc_id JOIN sgn y ON cand.doc_b = y.doc_id)
+       |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+       |exc AS (SELECT ex.doc_id, ex.sh FROM ex JOIN df ON ex.sh = df.sh
+       |        WHERE df.df >= 2 AND df.df <= $cap),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_rare
+       |      FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |hot AS (SELECT ex.doc_id, list(ex.sh) AS hot FROM ex JOIN df ON ex.sh = df.sh
+       |        WHERE df.df > $cap GROUP BY ex.doc_id),
+       |meta AS (SELECT sgn.doc_id, sgn.n, coalesce(hot.hot, CAST([] AS VARCHAR[])) AS hot
+       |         FROM sgn LEFT JOIN hot ON sgn.doc_id = hot.doc_id),
+       |v AS (SELECT doc_a, doc_b, c_rare + len(list_intersect(x.hot, y.hot)) AS c,
+       |             x.n AS na, y.n AS nb
+       |      FROM p JOIN meta x ON p.doc_a = x.doc_id JOIN meta y ON p.doc_b = y.doc_id)
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM v
        |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.9""".stripMargin
   }
