@@ -74,6 +74,13 @@ object SparkEntry {
     "text_topterms" -> (Analytics.topTerms _),
     // End-to-end corpus preparation
     "pipeline_clean_corpus" -> (Pipeline.cleanCorpus _),
+    // Round-2 widening: ClickHouse-surface analogs + corpus ops
+    "q_argmax" -> (Analytics.argMax _),
+    "q_retention" -> (Analytics.retention _),
+    "q_window_funnel" -> (Analytics.windowFunnel _),
+    "q_heavy_hitters" -> (Analytics.heavyHitters _),
+    "dedup_normalized" -> (Dedup.normalized _),
+    "multimodal_framesample" -> (Multimodal.frameSample _),
   )
 
   private val tokCte =
@@ -357,6 +364,50 @@ object SparkEntry {
          |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vec_norm
          |      FROM embeddings)
          |SELECT doc_id, n_tokens, label, vec_norm FROM d JOIN v ON doc_id = vec_id""".stripMargin,
+    "q_argmax" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY value DESC, event_id DESC) AS rn
+        |           FROM events)
+        |SELECT event_type, round(value, 4) AS max_value, event_id AS argmax_event
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, ts FROM events),
+        |f AS (SELECT user_id, min(tus) AS t0, CAST(min(ts) AS DATE) AS cohort_day
+        |      FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |fl AS (SELECT e.user_id, any_value(f.cohort_day) AS cohort_day,
+        |         max(CASE WHEN e.tus > f.t0 AND e.tus <= f.t0 + 86400000000 THEN 1 ELSE 0 END) AS r1,
+        |         max(CASE WHEN e.tus > f.t0 AND e.tus <= f.t0 + 604800000000 THEN 1 ELSE 0 END) AS r7,
+        |         max(CASE WHEN e.event_type = 'purchase' AND e.tus > f.t0
+        |                  AND e.tus <= f.t0 + 604800000000 THEN 1 ELSE 0 END) AS p7
+        |       FROM e JOIN f ON e.user_id = f.user_id GROUP BY e.user_id)
+        |SELECT cohort_day, count(*) AS n_users, CAST(sum(r1) AS BIGINT) AS returned_1d,
+        |       CAST(sum(r7) AS BIGINT) AS returned_7d, CAST(sum(p7) AS BIGINT) AS purchased_7d
+        |FROM fl GROUP BY cohort_day""".stripMargin,
+    "q_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.tus > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY e.user_id),
+        |lvl AS (SELECT s1.user_id,
+        |          CASE WHEN s3.t3 IS NOT NULL AND s3.t3 <= s1.t1 + 604800000000 THEN 3
+        |               WHEN s2.t2 IS NOT NULL AND s2.t2 <= s1.t1 + 604800000000 THEN 2
+        |               ELSE 1 END AS funnel_level
+        |        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |                LEFT JOIN s3 ON s1.user_id = s3.user_id)
+        |SELECT CAST(funnel_level AS BIGINT) AS funnel_level, count(*) AS n_users
+        |FROM lvl GROUP BY funnel_level""".stripMargin,
+    "dedup_normalized" ->
+      s"""WITH t AS ($tokCte)
+         |SELECT md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS bag_hash,
+         |       count(*) AS n_docs, min(doc_id) AS keep_id
+         |FROM t GROUP BY 1""".stripMargin,
+    "multimodal_framesample" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS n_frames FROM documents),
+        |s AS (SELECT doc_id, n_frames, CAST(ceil(n_frames / 4.0) AS BIGINT) AS stride FROM m)
+        |SELECT doc_id, n_frames, unnest(range(0, n_frames, stride)) AS frame_idx FROM s""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE tkt AS ($tokCte),
          |m AS (SELECT doc_id, len(tk) AS n_tok,

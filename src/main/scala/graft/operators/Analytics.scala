@@ -140,6 +140,86 @@ object Analytics {
       .groupBy("term")
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
 
+  /** ClickHouse `argMax(arg, val)` analog: per event type, the event that
+    * carries the maximum value. One partial-aggregated shuffle; the
+    * lexicographic max over struct(value, event_id) makes the answer
+    * deterministic under value ties (largest event_id wins), where a bare
+    * max_by would be tie-arbitrary. */
+  def argMax(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      .select(col("event_type"), round(col("m.value"), 4).as("max_value"),
+        col("m.event_id").as("argmax_event"))
+
+  /** ClickHouse `retention(cond1, cond2, ...)` analog, aggregated to signup
+    * cohorts: per signup day, how many users came back within 1 day, within
+    * 7 days, and purchased within 7 days. Two shuffles total (per-user
+    * flags, then per-cohort rollup) — the per-user conditional-max flags
+    * are exactly retention()'s array of 0/1s. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"), unix_micros(col("ts")).as("tus"))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("tus").as("t0"), to_date(min("ts")).as("cohort_day"))
+    val flags = e.join(signups, "user_id")
+      .groupBy("user_id")
+      .agg(
+        first("cohort_day").as("cohort_day"),
+        max(when(col("tus") > col("t0") && col("tus") <= col("t0") + day, 1L)
+          .otherwise(0L)).as("r1"),
+        max(when(col("tus") > col("t0") && col("tus") <= col("t0") + 7 * day, 1L)
+          .otherwise(0L)).as("r7"),
+        max(when(col("event_type") === "purchase" &&
+          col("tus") > col("t0") && col("tus") <= col("t0") + 7 * day, 1L)
+          .otherwise(0L)).as("p7"))
+    flags.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"), sum("r1").as("returned_1d"),
+        sum("r7").as("returned_7d"), sum("p7").as("purchased_7d"))
+  }
+
+  /** ClickHouse `windowFunnel(window)(ts, cond1, cond2, cond3)` analog:
+    * the deepest prefix of signup -> view -> purchase each user completes
+    * IN ORDER within 7 days of the signup, rolled up to users-per-level.
+    * Each step is one conditional min-aggregation + join on user_id (the
+    * sequence probe never explodes into per-pair rows). */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val win = 604800000000L
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val s2 = e.filter(col("event_type") === "view")
+      .join(s1, "user_id").filter(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min("tus").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min("tus").as("t3"))
+    s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull && col("t3") <= col("t1") + win, 3L)
+          .when(col("t2").isNotNull && col("t2") <= col("t1") + win, 2L)
+          .otherwise(1L).as("funnel_level"))
+      .groupBy("funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** ClickHouse `topK(k)` analog: approximate heavy hitters over the term
+    * stream via Spark's ApproxTopK sketch aggregate (mergeable partial
+    * states — one pass, no exact groupBy over the full vocabulary first).
+    * Output is re-ranked deterministically. No SQL oracle (sketch
+    * internals are engine-specific); AnalyticsSpec asserts agreement with
+    * the exact counts, which this vocabulary size guarantees. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(expr(TextAnalysis.tokensExpr)).as("term"))
+      .agg(expr("approx_top_k(term, 10)").as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.item").as("term"), col("s.count").cast("long").as("cnt"))
+
   /** Fixed-size patch layout over the binary payload — the batch shape a
     * vision encoder consumes (one row per 256-byte patch, computed without
     * ever shuffling the bytes themselves). */

@@ -55,4 +55,16 @@ object Multimodal {
       it.map(FakeDecoder.decode)
     }.toDF()
   }
+
+  /** Deterministic frame sampling for the video modality: at most 4 evenly
+    * strided frames per document (`stride = ceil(n_frames / 4)`), one row
+    * per sampled frame — the frame-selection batch shape a video encoder
+    * consumes. Computed from the decoded metadata; the frame BYTES would
+    * be sliced in the same partition-batched decode pass, so nothing wide
+    * ever shuffles. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaMeta(spark, dir)
+      .withColumn("stride", ceil(col("n_frames") / 4.0).cast("long"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0L, n_frames - 1, stride)")).as("frame_idx"))
 }

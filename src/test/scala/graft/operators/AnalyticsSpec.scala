@@ -29,6 +29,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitters sketch agrees with the exact term counts at this vocabulary size") {
+    val sketch = Analytics.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size == 10)
+    val exact = Analytics.topTerms(spark, sf)
+      .orderBy(col("cf").desc, col("term")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cf"))
+    // every reported item carries its exact count (the tracker never evicts
+    // at this vocabulary size), and the true top term is reported
+    sketch.foreach { case (term, cnt) =>
+      assert(exact.toMap.get(term).contains(cnt), s"$term: sketch=$cnt exact=${exact.toMap.get(term)}")
+    }
+    assert(sketch.contains(exact.head._1), s"missing true top term ${exact.head._1}")
+  }
+
+  test("window funnel levels partition the signup cohort") {
+    val lvls = Analytics.windowFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val signups = graft.Tables(spark, sf).events
+      .filter(col("event_type") === "signup").select("user_id").distinct().count()
+    assert(lvls.keySet.subsetOf(Set(1L, 2L, 3L)))
+    assert(lvls.values.sum == signups, s"levels $lvls must cover all $signups signup users")
+  }
+
   test("streaming dedup drops replayed event_ids within the watermark") {
     import graft.streaming.EventPipeline.RawEvent
     import spark.implicits._
