@@ -17,7 +17,9 @@ object Bench {
     "q1_pricing", "q3_shipping", "q5_region_revenue", "q_top_customers",
     "attendance_daily", "sessionize", "q_asof_join",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding", "dedup_simhash",
-    "ann_topk", "text_quality", "text_fingerprint")
+    "ann_topk", "text_quality", "text_fingerprint",
+    // round-2 widening (no r1 counterpart in BENCH_r01)
+    "q_argmax", "q_retention", "q_window_funnel", "dedup_normalized")
 
   /** Times each named query via `SparkEntry.queries`; a throwing query
     * lands in the error map (exception class + message), not the timings. */

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed (pre-partitioned) storage — the co-located-join half of the
+  * SURVEY §4 scale design.
+  *
+  * At 100 TB the single biggest avoidable cost in a fact-fact join is
+  * shuffling both tables on the join key for every query. Bucketing pays
+  * that shuffle ONCE at write time: both tables are hash-clustered (and
+  * sorted) by the key into the same bucket count, so every later join on
+  * that key is planned as a SortMergeJoin over matching buckets with NO
+  * Exchange on either side — WarehouseSpec asserts exactly that on the
+  * physical plan. This is the Spark analog of the reference engine keeping
+  * MergeTree parts ordered by the table's ORDER BY key.
+  *
+  * The bucket count is a real tuning knob: buckets ≈ total-cores wanted in
+  * the join stage; each bucket must fit a task comfortably (same sizing
+  * rule as shuffle partitions, but chosen once at layout time).
+  */
+object Warehouse {
+
+  /** Writes `orders` and `lineitem` bucketed + sorted by their join key
+    * into the session catalog (tables `<prefix>_orders` /
+    * `<prefix>_lineitem`). One-time layout cost; every subsequent
+    * key-equal join of the two is shuffle-free. */
+  def bucketizeOrders(spark: SparkSession, dir: String, buckets: Int = 8,
+      prefix: String = "wh"): Unit = {
+    val t = graft.Tables(spark, dir)
+    t.orders.write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"${prefix}_orders")
+    t.lineitem
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"${prefix}_lineitem")
+  }
+
+  /** Revenue per order priority over the BUCKETED tables: the
+    * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
+    * SortMergeJoin); the only shuffle left is the final small aggregation. */
+  def revenueByPriorityCoLocated(spark: SparkSession, prefix: String = "wh"): DataFrame =
+    spark.table(s"${prefix}_orders")
+      .join(spark.table(s"${prefix}_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+}

@@ -14,6 +14,9 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
       .appName("graft-test")
+      // saveAsTable output (WarehouseSpec's bucketed tables) stays in /tmp
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
