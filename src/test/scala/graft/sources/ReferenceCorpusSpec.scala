@@ -85,6 +85,31 @@ class ReferenceCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full cascade: stream -> nested extraction -> windowed house points -> idempotent sink") {
+    // the reference's Steps 1-4 end-to-end on the REAL wire format:
+    // kcat flow (file stream) -> Step-2.3 MV projection (nested tuple) ->
+    // Step-3/4 style windowed aggregate -> MergeTree-analog upsert sink
+    val dir = writeCorpus()
+    val sinkDir = Files.createTempDirectory("graft-refsink").toFile.getAbsolutePath
+    val stream = EventsSource.parseReference(
+      spark.readStream
+        .schema(new StructType().add("value", "string"))
+        .text(dir).withColumnRenamed("value", "message"))
+    val daily = stream
+      .withWatermark("timestamp", "1 hour")
+      .groupBy(window(col("timestamp"), "1 day"), col("student.house").as("house"))
+      .agg(sum(col("points").cast("long")).as("points"))
+      .select(col("window.start").as("day"), col("house"), col("points"))
+    val q = graft.streaming.ParquetUpsertSink.attach(daily, sinkDir).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = graft.streaming.ParquetUpsertSink.read(spark, sinkDir, Seq("day", "house"))
+    val byHouse = landed.groupBy("house").agg(sum("points").as("total_points"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHouse == expectedByHouse,
+      s"streamed cascade totals $byHouse != batch ground truth $expectedByHouse")
+  }
+
   test("kafka reader path is wired; executing it without the connector names the missing source") {
     val e = intercept[Exception](EventsSource.kafkaStream(spark))
     assert(Option(e.getMessage).exists(_.toLowerCase.contains("kafka")),
