@@ -19,7 +19,9 @@ object Bench {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding", "dedup_simhash",
     "ann_topk", "text_quality", "text_fingerprint",
     // round-2 widening (no r1 counterpart in BENCH_r01)
-    "q_argmax", "q_retention", "q_window_funnel", "dedup_normalized")
+    "q_argmax", "q_retention", "q_window_funnel", "dedup_normalized",
+    // round-3 widening
+    "q_pivot", "q_cube", "q_histogram", "text_tfidf")
 
   /** Times each named query via `SparkEntry.queries`; a throwing query
     * lands in the error map (exception class + message), not the timings. */

@@ -81,6 +81,14 @@ object SparkEntry {
     "q_heavy_hitters" -> (Analytics.heavyHitters _),
     "dedup_normalized" -> (Dedup.normalized _),
     "multimodal_framesample" -> (Multimodal.frameSample _),
+    // Round-3 widening: grouping-set/pivot/join-shape surface + text/corpus ops
+    "q_cube" -> (Olap.ordersCube _),
+    "q_pivot" -> (Olap.pivotPriorities _),
+    "q_anti_join" -> (Olap.customersWithoutOrders _),
+    "q_histogram" -> (Analytics.histogram _),
+    "text_bigrams" -> (TextAnalysis.bigrams _),
+    "text_tfidf" -> (TextAnalysis.tfidfTop _),
+    "pipeline_train_mix" -> (Pipeline.trainMix _),
   )
 
   private val tokCte =
@@ -408,6 +416,68 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS n_frames FROM documents),
         |s AS (SELECT doc_id, n_frames, CAST(ceil(n_frames / 4.0) AS BIGINT) AS stride FROM m)
         |SELECT doc_id, n_frames, unnest(range(0, n_frames, stride)) AS frame_idx FROM s""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus AS status,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS p_urgent,
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS p_high,
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 4) AS p_medium,
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 4) AS p_notspec,
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS p_low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_anti_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |       round(CAST(floor(value / 50.0) AS BIGINT) * 50.0, 4) AS lo,
+        |       count(*) AS n, round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+    "text_bigrams" ->
+      s"""WITH t AS ($tokCte),
+         |b AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bigram
+         |      FROM t WHERE len(tk) >= 2)
+         |SELECT bigram, count(DISTINCT doc_id) AS df, count(*) AS cf FROM b GROUP BY bigram""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH t AS ($tokCte),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |        tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+         |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY round(score, 6) DESC, term) AS rn FROM s)
+         |SELECT doc_id, term AS top_term, tf, df, round(score, 4) AS tfidf FROM r WHERE rn = 1""".stripMargin,
+    "pipeline_train_mix" ->
+      s"""WITH t AS ($tokCte),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS hits_en,
+         |        len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS hits_de,
+         |        len(list_filter(tk, x -> x IN ('le','la','et','est','les'))) AS hits_fr,
+         |        len(list_filter(tk, x -> x IN ('el','los','y','es','las'))) AS hits_es
+         |      FROM t),
+         |l AS (SELECT doc_id,
+         |        CASE WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'unknown'
+         |             WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+         |             WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+         |             WHEN hits_fr >= hits_es THEN 'fr'
+         |             ELSE 'es' END AS pred_lang
+         |      FROM h),
+         |b AS (SELECT doc_id, pred_lang,
+         |        CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket
+         |      FROM l)
+         |SELECT doc_id, pred_lang, bucket FROM b
+         |WHERE bucket < CASE WHEN pred_lang = 'en' THEN 5
+         |                    WHEN pred_lang = 'unknown' THEN 2 ELSE 16 END""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE tkt AS ($tokCte),
          |m AS (SELECT doc_id, len(tk) AS n_tok,

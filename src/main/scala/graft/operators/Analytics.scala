@@ -220,6 +220,19 @@ object Analytics {
       .select(explode(col("top")).as("s"))
       .select(col("s.item").as("term"), col("s.count").cast("long").as("cnt"))
 
+  /** Fixed-width value histogram (ClickHouse `histogram()` surface, exact
+    * flavor): bin = floor(value / 50). The bin id is computed map-side, so
+    * the whole histogram is one partial-aggregated shuffle over ~10 keys —
+    * the same plan shape at any scale. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(floor(col("value") / 50.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 4).as("min_v"),
+        round(max("value"), 4).as("max_v"))
+      .withColumn("lo", round(col("bin") * lit(50.0), 4))
+      .select("bin", "lo", "n", "min_v", "max_v")
+
   /** Fixed-size patch layout over the binary payload — the batch shape a
     * vision encoder consumes (one row per 256-byte patch, computed without
     * ever shuffling the bytes themselves). */

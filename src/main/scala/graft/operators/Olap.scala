@@ -131,4 +131,49 @@ object Olap {
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total"))
+
+  /** Full CUBE over the same two dimensions — [[ordersRollup]]'s sibling
+    * that also emits the (ALL, priority) slices. Same scale shape: Spark
+    * expands the grouping sets map-side and aggregates through ONE shuffle
+    * (no per-grouping-set rescan). */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+
+  /** Priority columns pivoted wide (`groupBy.pivot` with the value list
+    * given EXPLICITLY — without it Spark runs an extra distinct-collect job
+    * to discover the columns, a driver round-trip a 100 TB pipeline never
+    * wants). One partial-aggregated shuffle; each cell is a conditional
+    * sum, exactly the ClickHouse `sumIf` per column. */
+  def pivotPriorities(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum("o_totalprice"), 4))
+      .select(col("o_orderstatus").as("status"),
+        col("`1-URGENT`").as("p_urgent"), col("`2-HIGH`").as("p_high"),
+        col("`3-MEDIUM`").as("p_medium"), col("`4-NOT SPECIFIED`").as("p_notspec"),
+        col("`5-LOW`").as("p_low"))
+
+  /** Customers with no URGENT order, per nation — the LEFT ANTI join
+    * surface (ClickHouse `ANTI JOIN` / `NOT EXISTS`). The priority filter
+    * is pushed into the orders scan BEFORE the anti join, the join shuffles
+    * both sides on custkey once and streams; no null-padded rows ever
+    * materialize. (Every custkey in the driver data has at least one order,
+    * so the unfiltered variant is vacuous — the predicate makes the anti
+    * semantics observable.) */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
 }

@@ -82,6 +82,44 @@ object TextAnalysis {
           .otherwise("es").as("pred_lang"))
   }
 
+  /** Corpus bigram statistics (df/cf) — the 2-gram language-model pre-pass
+    * next to [[Analytics.topTerms]]'s unigram inverted index. Bigrams are
+    * built map-side from the token array (no shuffle of text), then one
+    * partial-aggregated shuffle on the bigram key. */
+  def bigrams(spark: SparkSession, dir: String): DataFrame =
+    withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) >= 2
+          |  THEN transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))
+          |  ELSE cast(array() as array<string>) END""".stripMargin)).as("bigram"))
+      .groupBy("bigram")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+
+  /** Per-document top keyword by tf-idf (idf = ln(N/df)) — the classic
+    * keyword-extraction pass. Corpus stats (N, per-term df) are computed
+    * once and broadcast onto the per-doc term frequencies; the winner is a
+    * row_number over the ROUNDED score with a term tiebreak, so the answer
+    * is deterministic under float noise. Nothing is collected to the
+    * driver — N rides a broadcast single-row frame. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tok = withTokens(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(round(col("score"), 6).desc, col("term"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        col("tf"), col("df"), round(col("score"), 4).as("tfidf"))
+  }
+
   /** Order-sensitive document fingerprint: position-weighted polynomial over
     * (token length, leading byte). Cheap rolling-hash-style signature whose
     * arithmetic is reproducible in any ANSI-ish SQL engine (the oracle). */
