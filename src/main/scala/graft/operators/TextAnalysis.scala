@@ -106,8 +106,11 @@ object TextAnalysis {
     val tok = withTokens(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(col("tk")).as("term"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf has exactly one row per (doc, term), so df is a plain count over
+    // it - no second tokenize pass and no countDistinct shuffle
+    val tf = graft.GraftSession.trackCache(
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",

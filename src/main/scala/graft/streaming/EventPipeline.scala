@@ -95,6 +95,27 @@ object EventPipeline {
       }
   }
 
+  /** Stream-stream interval join: every purchase attributed to the same
+    * user's signup within the preceding 7 days — the streaming twin of the
+    * batch funnel (Analytics.funnel). Both sides carry a watermark and the
+    * join condition bounds event time on BOTH ends, so the state store can
+    * evict: a signup is held for the 7-day attribution window plus the
+    * 1-hour late allowance (the inherent state floor of the semantics —
+    * nothing extra is retained), and each side shuffles once on user_id. */
+  def purchaseAttribution(typedEvents: DataFrame): DataFrame = {
+    val signups = typedEvents.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = typedEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(signups,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 7 days"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("value"),
+        col("s_ts").as("signup_ts"), col("p_ts").as("purchase_ts"))
+  }
+
   /** The "MergeTree sink": idempotent micro-batch upsert into a parquet
     * table via [[ParquetUpsertSink]] (overwrite-by-batchId, so a replayed
     * batch rewrites its own partition instead of duplicating). The

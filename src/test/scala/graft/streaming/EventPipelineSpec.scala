@@ -66,6 +66,34 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases only to an in-window signup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = purchaseAttribution(typed(input.toDF()))
+      .writeStream.format("memory").queryName("attrib").outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = 1700000000L
+      val week = 7L * 24 * 3600
+      input.addData(
+        ev(1, t0, 42, "signup", 0.0),
+        ev(2, t0 + 100, 42, "purchase", 9.5), // in window -> attributed
+        ev(3, t0 + 100, 7, "purchase", 3.0), // user 7 never signed up -> dropped
+        ev(4, t0 + week + 3600, 42, "purchase", 1.0)) // past the 7-day window -> dropped
+      q.processAllAvailable()
+      // advance both watermarks so the join state for t0's signup can close
+      input.addData(ev(5, t0 + week + 7200, 9, "signup", 0.0),
+        ev(6, t0 + week + 7200, 9, "purchase", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      val attributed = rows.map(r => r.getAs[Long]("purchase_id")).toSet
+      assert(attributed == Set(2L, 6L), s"got $attributed")
+      val r2 = rows.find(_.getAs[Long]("purchase_id") == 2L).get
+      assert(r2.getAs[Long]("user_id") == 42L)
+      assert(r2.getAs[Timestamp]("signup_ts").getTime == t0 * 1000)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     // RefPipeline.sessionize (batch) on the events table is the ground
     // truth; the streaming operator must produce the same closed sessions.
