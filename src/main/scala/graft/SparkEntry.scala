@@ -89,6 +89,7 @@ object SparkEntry {
     "text_bigrams" -> (TextAnalysis.bigrams _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
     "pipeline_train_mix" -> (Pipeline.trainMix _),
+    "q_approx_quantile" -> (Analytics.approxQuantiles _),
   )
 
   private val tokCte =

@@ -117,6 +117,23 @@ object Analytics {
         countDistinct("user_id").as("exact_users"),
         count(lit(1)).as("n"))
 
+  /** Approximate quantiles (ClickHouse `quantileTDigest` analog):
+    * percentile_approx keeps a bounded sketch per group that merges
+    * associatively, so the partial/final pattern holds at any scale where
+    * the exact `percentile` would buffer every value. Sits beside
+    * [[quantiles]] the way [[approxDistinct]] sits beside the exact
+    * distinct; no SQL oracle (sketch internals are engine-specific),
+    * accuracy asserted in AnalyticsSpec against the exact values. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50_approx"),
+        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("p90_approx"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_exact"),
+        count(lit(1)).as("n"))
+
   /** Multimodal fusion: text metadata joined with the embedding modality on
     * the shared id — the row shape a multimodal trainer consumes. */
   def textEmbedJoin(spark: SparkSession, dir: String): DataFrame = {

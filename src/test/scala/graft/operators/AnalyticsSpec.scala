@@ -14,6 +14,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within 5% of the exact interpolated quantiles") {
+    Analytics.approxQuantiles(spark, sf).collect().foreach { r =>
+      Seq(("p50_approx", "p50_exact"), ("p90_approx", "p90_exact")).foreach { case (a, e) =>
+        val approx = r.getAs[Double](a)
+        val exact = r.getAs[Double](e)
+        assert(math.abs(approx - exact) / math.max(exact, 1e-9) <= 0.05,
+          s"${r.getAs[String]("event_type")} $a=$approx vs $e=$exact")
+      }
+    }
+  }
+
   test("as-of join only ever pairs a purchase with an EARLIER error of the same user") {
     val events = graft.Tables(spark, sf).events
       .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
