@@ -26,6 +26,23 @@ class DedupSpec extends SparkSpec {
     assert(simPairs.intersect(mh).nonEmpty)
   }
 
+  test("shingle pipeline never leaks into a scan predicate (pushdown regression guard)") {
+    // Round 3 found that a filter on a computed column (size(sg) > 0) gets
+    // predicate-pushed through the projections and the scatter Exchange
+    // into the documents scan, re-inlining the tokenizer per reference —
+    // the whole shingle pipeline then ran twice, once single-threaded.
+    // Guard: the shingle frame must come from the cache boundary, and no
+    // FileScan may carry a higher-order-function predicate.
+    val plan = Dedup.minhashLsh(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "shingle frame must be read through the cache boundary")
+    val scanFilters = plan.linesIterator.filter(_.contains("DataFilters"))
+    scanFilters.foreach { l =>
+      assert(!l.contains("lambdafunction") && !l.contains("array_distinct"),
+        s"HOF expression pushed into a scan predicate: ${l.take(200)}")
+    }
+  }
+
   test("exact dedup keeps the minimum doc_id per content group and covers all docs") {
     val total = graft.Tables(spark, sf).documents.count()
     val dedup = Dedup.exact(spark, sf)
