@@ -90,6 +90,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
     "pipeline_train_mix" -> (Pipeline.trainMix _),
     "q_approx_quantile" -> (Analytics.approxQuantiles _),
+    "multimodal_resize" -> (Multimodal.resizePlan _),
   )
 
   private val tokCte =
@@ -417,6 +418,18 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id, 1 + doc_id % 16 AS n_frames FROM documents),
         |s AS (SELECT doc_id, n_frames, CAST(ceil(n_frames / 4.0) AS BIGINT) AS stride FROM m)
         |SELECT doc_id, n_frames, unnest(range(0, n_frames, stride)) AS frame_idx FROM s""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |             64 + CAST(octet_length(encode(text)) AS BIGINT) % 577 AS width,
+        |             64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 417 AS height
+        |           FROM documents),
+        |r AS (SELECT doc_id, width, height,
+        |        CASE WHEN width >= height THEN 224 ELSE (width * 224) // height END AS out_w,
+        |        CASE WHEN width >= height THEN (height * 224) // width ELSE 224 END AS out_h
+        |      FROM m)
+        |SELECT doc_id, width, height, out_w, out_h,
+        |       CAST(ceil(out_w / 16.0) * ceil(out_h / 16.0) AS BIGINT) AS n_patches
+        |FROM r""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -56,6 +56,25 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Aspect-preserving resize planning for the vision-encoder input: fit
+    * each decoded image inside a 224x224 square (the long side lands on
+    * 224, the short side scales by the same factor) and lay out the
+    * 16-pixel patch grid the encoder consumes. All arithmetic is exact
+    * integer floor-division of the decoded dimensions, so any engine
+    * reproduces it bit-for-bit; in production the actual pixel resample
+    * happens in the same partition-batched decode pass as [[mediaMeta]],
+    * so the wide bytes never shuffle — this is the planning row the
+    * resize kernel executes. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+    mediaMeta(spark, dir)
+      .withColumn("out_w", expr(
+        "CASE WHEN width >= height THEN 224L ELSE (width * 224L) div height END"))
+      .withColumn("out_h", expr(
+        "CASE WHEN width >= height THEN (height * 224L) div width ELSE 224L END"))
+      .withColumn("n_patches", expr(
+        "cast(ceil(out_w / 16.0) * ceil(out_h / 16.0) as bigint)"))
+      .select("doc_id", "width", "height", "out_w", "out_h", "n_patches")
+
   /** Deterministic frame sampling for the video modality: at most 4 evenly
     * strided frames per document (`stride = ceil(n_frames / 4)`), one row
     * per sampled frame — the frame-selection batch shape a video encoder
