@@ -38,6 +38,24 @@ object Warehouse {
       .saveAsTable(s"${prefix}_lineitem")
   }
 
+  /** The corpus-pipeline sibling of [[bucketizeOrders]]: materializes the
+    * tokenize→shingle projection ONCE as a doc_id-bucketed table. Every
+    * dedup query recomputes the shingle frame from raw text today (cheap
+    * per query, but at 100 TB the tokenize pass IS a full corpus scan);
+    * a pipeline running the whole dedup family amortizes it by writing
+    * `(doc_id, sg, n)` once and pointing every consumer at the layout —
+    * WarehouseSpec proves the consumers then plan WITHOUT any tokenizer
+    * in the tree and reproduce the exact same near-dup pairs. */
+  def materializeShingles(spark: SparkSession, dir: String, buckets: Int = 8,
+      prefix: String = "wh"): Unit =
+    graft.Tables(spark, dir).documents
+      .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("tk"))
+      .select(col("doc_id"), expr(Dedup.shinglesExpr).as("sg"))
+      .withColumn("n", size(col("sg")).cast("long"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_shingles")
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */

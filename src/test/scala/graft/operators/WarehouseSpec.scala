@@ -36,4 +36,28 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
+
+  test("materialized shingle table feeds dedup without re-tokenizing and reproduces the pairs") {
+    Warehouse.materializeShingles(spark, sf, buckets = 4, prefix = "whtest")
+    val sgd = spark.table("whtest_shingles").filter(col("n") > 0)
+    // exact-Jaccard pairs straight off the layout (the verify arithmetic of
+    // Dedup.minhashLsh, minus candidate generation - exhaustive is fine at
+    // this SF because the explode-join bounds the pair space)
+    val ex = sgd.select(col("doc_id"), explode(col("sg")).as("sh"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sgd.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sgd.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4) >= 0.8)
+    // no tokenizer anywhere in the plan: the layout paid that pass already
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("split("), s"shingle consumer re-tokenized the text:\n${plan.take(500)}")
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"layout pairs diverge: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+  }
 }
