@@ -17,9 +17,10 @@ object SparkEntry {
     Olap.q1Pricing(spark, "/root/testdata/sf0.001")
 
   /** Each query sweeps the PREVIOUS query's tracked caches at entry, so the
-    * driver's sequential 38-query pass never strands block-store memory
-    * (safe: unpersisted frames recompute lazily). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    * driver's sequential multi-query pass never strands block-store memory
+    * (safe: unpersisted frames recompute lazily). A `val`: the map and its
+    * closures are built once, not re-wrapped per access. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
       name -> ((spark: SparkSession, dir: String) => {
         GraftSession.sweepCaches(spark)
@@ -27,7 +28,7 @@ object SparkEntry {
       })
     }
 
-  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private lazy val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference pipeline (Kafka->ClickHouse demo, README.rst Steps 2-4)
     "ingest_events_typed" -> (RefPipeline.ingestEventsTyped _),
     "events_count" -> (RefPipeline.eventsCount _),
@@ -110,11 +111,13 @@ object SparkEntry {
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM p
        |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= $threshold""".stripMargin
 
-  /** ngram oracle with the identical shingle df cap + hot-shingle
-    * correction as Dedup.ngramJaccard: shared-rare counts aggregated in the
-    * capped join, plus the intersection of the tiny hot-shingle lists. */
+  /** ngram oracle with the identical three-tier df decomposition as
+    * Dedup.jaccardPairs: shared-rare counts aggregated in the capped join,
+    * mid-tier (cap, hard] counts via the pair-driven second join, ultra
+    * (> hard) shingles excluded from numerator and denominator. */
   private def ngramCappedSql: String = {
     val cap = operators.Dedup.ShingleDfCap
+    val hard = operators.Dedup.ShingleDfHardCap
     s"""WITH tkt AS ($tokCte),
        |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
        |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
@@ -125,13 +128,20 @@ object SparkEntry {
        |        WHERE df.df >= 2 AND df.df <= $cap),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_rare
        |      FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |hot AS (SELECT ex.doc_id, list(ex.sh) AS hot FROM ex JOIN df ON ex.sh = df.sh
-       |        WHERE df.df > $cap GROUP BY ex.doc_id),
-       |meta AS (SELECT sgn.doc_id, sgn.n, coalesce(hot.hot, CAST([] AS VARCHAR[])) AS hot
-       |         FROM sgn LEFT JOIN hot ON sgn.doc_id = hot.doc_id),
-       |v AS (SELECT doc_a, doc_b, c_rare + len(list_intersect(x.hot, y.hot)) AS c,
-       |             x.n AS na, y.n AS nb
-       |      FROM p JOIN meta x ON p.doc_a = x.doc_id JOIN meta y ON p.doc_b = y.doc_id)
+       |exm AS (SELECT ex.doc_id, ex.sh FROM ex JOIN df ON ex.sh = df.sh
+       |        WHERE df.df > $cap AND df.df <= $hard),
+       |cm AS (SELECT p.doc_a, p.doc_b, count(*) AS c_mid
+       |       FROM p JOIN exm a ON p.doc_a = a.doc_id
+       |              JOIN exm b ON p.doc_b = b.doc_id AND a.sh = b.sh
+       |       GROUP BY 1, 2),
+       |nd AS (SELECT ex.doc_id, count(*) AS n_drop FROM ex JOIN df ON ex.sh = df.sh
+       |       WHERE df.df > $hard GROUP BY ex.doc_id),
+       |meta AS (SELECT sgn.doc_id, sgn.n - coalesce(nd.n_drop, 0) AS n_eff
+       |         FROM sgn LEFT JOIN nd ON sgn.doc_id = nd.doc_id),
+       |v AS (SELECT p.doc_a, p.doc_b, p.c_rare + coalesce(cm.c_mid, 0) AS c,
+       |             x.n_eff AS na, y.n_eff AS nb
+       |      FROM p LEFT JOIN cm ON p.doc_a = cm.doc_a AND p.doc_b = cm.doc_b
+       |             JOIN meta x ON p.doc_a = x.doc_id JOIN meta y ON p.doc_b = y.doc_id)
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM v
        |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.9""".stripMargin
   }
@@ -140,7 +150,7 @@ object SparkEntry {
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = Map(
     "ingest_events_typed" ->
       """SELECT event_id, CAST(ts AS DATE) AS event_date, user_id, event_type,
         |round(value, 4) AS value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k

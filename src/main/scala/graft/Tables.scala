@@ -23,9 +23,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     * real many-split 100 TB table the gate makes this a no-op (the scan
     * already feeds the cluster), so the extra shuffle is only ever paid
     * when it buys parallelism that the file layout withheld. */
-  private def scattered(df: DataFrame): DataFrame = {
+  private def scattered(df: DataFrame, name: String): DataFrame = {
     val slots = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    // the split-count probe (`df.rdd.getNumPartitions`) forces a full
+    // physical-planning + RDD-conversion pass, so memoize it per (dir,
+    // table): the file layout is immutable for a given testdata dir, and
+    // several probes per query were pure planner noise
+    val splits = Tables.splitCounts.getOrElseUpdate((dir, name), df.rdd.getNumPartitions)
+    if (splits < slots) df.repartition(slots) else df
   }
 
   // Relational tables are NOT scattered, measured deliberately: their
@@ -54,6 +59,11 @@ final case class Tables(spark: SparkSession, dir: String) {
       case _ => df
     }
   }
-  def documents: DataFrame = scattered(t("documents"))
-  def embeddings: DataFrame = scattered(t("embeddings"))
+  def documents: DataFrame = scattered(t("documents"), "documents")
+  def embeddings: DataFrame = scattered(t("embeddings"), "embeddings")
+}
+
+object Tables {
+  private val splitCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
 }

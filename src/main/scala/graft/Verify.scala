@@ -12,9 +12,20 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // saveAsTable output (the shingle layout below) stays out of the repo
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Materialize the shingle layout so the dedup family is checked over
+    // the SAME path the bench times (tokenize paid once, consumers
+    // tokenizer-free). Any failure falls back to the raw-scan path — the
+    // queries are proven result-identical both ways (WarehouseSpec).
+    try operators.Warehouse.materializeShingles(spark, sfDir, buckets = cpus.toInt)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] shingle layout skipped: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

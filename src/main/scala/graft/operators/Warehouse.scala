@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
+  /** Which testdata dir each session's shingle layout was materialized
+    * from. [[shingleLayout]] serves a layout back ONLY for the same dir: a
+    * catalog-existence check alone would silently feed sf0.001 shingles to
+    * an sf0.01 query after a scale switch on a shared session. */
+  private val shingleDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   /** Writes `orders` and `lineitem` bucketed + sorted by their join key
     * into the session catalog (tables `<prefix>_orders` /
     * `<prefix>_lineitem`). One-time layout cost; every subsequent
@@ -47,14 +54,38 @@ object Warehouse {
     * WarehouseSpec proves the consumers then plan WITHOUT any tokenizer
     * in the tree and reproduce the exact same near-dup pairs. */
   def materializeShingles(spark: SparkSession, dir: String, buckets: Int = 8,
-      prefix: String = "wh"): Unit =
+      prefix: String = "wh"): Unit = {
     graft.Tables(spark, dir).documents
       .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("tk"))
       .select(col("doc_id"), expr(Dedup.shinglesExpr).as("sg"))
       .withColumn("n", size(col("sg")).cast("long"))
+      // pre-shuffle on the bucket key: each task then owns whole buckets,
+      // so the write emits one file per bucket instead of tasks x buckets
+      .repartition(buckets, col("doc_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${prefix}_shingles")
+    shingleDirs((spark, s"${prefix}_shingles")) = dir
+  }
+
+  /** The materialized shingle table IF this session built one from exactly
+    * this dir (None otherwise — consumers fall back to the raw scan).
+    * [[graft.operators.Dedup]] consults this, so materializing once makes
+    * the whole dedup family tokenizer-free. */
+  def shingleLayout(spark: SparkSession, dir: String,
+      prefix: String = "wh"): Option[DataFrame] = {
+    val tbl = s"${prefix}_shingles"
+    if (shingleDirs.get((spark, tbl)).contains(dir) && spark.catalog.tableExists(tbl))
+      Some(spark.table(tbl))
+    else None
+  }
+
+  /** Drops the layout table + its registry entry (spec hygiene: suites
+    * running after a layout test must see the raw path again). */
+  def dropShingleLayout(spark: SparkSession, prefix: String = "wh"): Unit = {
+    shingleDirs.remove((spark, s"${prefix}_shingles"))
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
+  }
 
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the

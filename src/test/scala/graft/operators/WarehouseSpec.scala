@@ -37,6 +37,25 @@ class WarehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
 
+  test("Dedup.shingled consumes the wh layout tokenizer-free with identical results") {
+    // raw-path results first (no layout registered for the default prefix)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rawMinhash = pairs(Dedup.minhashLsh(spark, sf))
+    val rawNgram = pairs(Dedup.ngramJaccard(spark, sf))
+    Warehouse.materializeShingles(spark, sf, buckets = 4) // default "wh": the prefix Dedup consults
+    try {
+      // through the driver contract, as the driver's session would run it
+      val q = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("split("), s"layout-fed plan re-tokenized:\n${plan.take(500)}")
+      assert(plan.contains("wh_shingles"), s"plan does not scan the layout:\n${plan.take(500)}")
+      assert(pairs(q) == rawMinhash, "minhash pairs diverge between raw and layout paths")
+      val q2 = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      assert(pairs(q2) == rawNgram, "ngram pairs diverge between raw and layout paths")
+    } finally Warehouse.dropShingleLayout(spark)
+  }
+
   test("materialized shingle table feeds dedup without re-tokenizing and reproduces the pairs") {
     Warehouse.materializeShingles(spark, sf, buckets = 4, prefix = "whtest")
     val sgd = spark.table("whtest_shingles").filter(col("n") > 0)

@@ -13,8 +13,13 @@ class WideningSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val rollup = Olap.ordersRollup(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-    rollup.foreach { case (k, v) =>
-      assert(cube.get(k).contains(v), s"cube disagrees with rollup at $k")
+    rollup.foreach { case (k, (n, tot)) =>
+      // counts compare exactly; the round(sum(double),4) totals get a small
+      // tolerance — different physical plans may merge partials in a
+      // different order, flipping the 4th decimal at a rounding boundary
+      val cell = cube.get(k)
+      assert(cell.exists { case (cn, ctot) => cn == n && math.abs(ctot - tot) <= 1e-3 },
+        s"cube disagrees with rollup at $k: $cell vs ($n, $tot)")
     }
     val extraSlices = cube.keySet.diff(rollup.keySet)
     assert(extraSlices.nonEmpty && extraSlices.forall { case (s, p) => s == "ALL" && p != "ALL" },
@@ -32,8 +37,11 @@ class WideningSpec extends SparkSpec {
       Seq("1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3, "4-NOT SPECIFIED" -> 4, "5-LOW" -> 5)
         .foreach { case (prio, idx) =>
           val cell = if (r.isNullAt(idx)) None else Some(r.getDouble(idx))
-          assert(cube.get((status, prio)) == cell,
-            s"pivot($status, $prio)=$cell != cube ${cube.get((status, prio))}")
+          val expected = cube.get((status, prio))
+          // same-null-ness exact, values with the partial-merge-order tolerance
+          assert(expected.isDefined == cell.isDefined &&
+            expected.zip(cell).forall { case (e, c) => math.abs(e - c) <= 1e-3 },
+            s"pivot($status, $prio)=$cell != cube $expected")
         }
     }
   }
@@ -54,7 +62,10 @@ class WideningSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == events)
     rows.foreach { r =>
       val lo = r.getAs[Double]("lo")
-      assert(r.getAs[Double]("min_v") >= lo && r.getAs[Double]("max_v") < lo + 50.0,
+      // min_v/max_v are round(x,4)-ed: a raw value within 5e-5 of a bin
+      // edge rounds ONTO the edge, so the bounds get that tolerance
+      assert(r.getAs[Double]("min_v") >= lo - 5e-5 &&
+        r.getAs[Double]("max_v") < lo + 50.0 + 5e-5,
         s"bin ${r.getAs[Long]("bin")} bounds violated: $r")
     }
   }
