@@ -54,7 +54,7 @@ object SparkEntry {
     // Similarity search
     "ann_topk" -> (Similarity.topK _),
     "ann_lsh" -> (Similarity.lshTopK _),
-    "ann_ivf" -> (Similarity.ivfTopK _),
+    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // Text analysis
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -92,6 +92,11 @@ object SparkEntry {
     "pipeline_train_mix" -> (Pipeline.trainMix _),
     "q_approx_quantile" -> (Analytics.approxQuantiles _),
     "multimodal_resize" -> (Multimodal.resizePlan _),
+    // Round-4 widening: streaming MV as a checked key + join/window/distinct surface
+    "streaming_points_by_type" -> (RefPipeline.streamingPointsByType _),
+    "q_semi_join" -> (Olap.customersWithUrgentOrders _),
+    "q_distinct_users" -> (Analytics.distinctUsers _),
+    "q_moving_sum" -> (Analytics.movingSum _),
   )
 
   private val tokCte =
@@ -459,6 +464,27 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_moving_sum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS daily
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, daily,
+        |  round(sum(daily) OVER (PARTITION BY event_type ORDER BY day
+        |                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS sum_7d,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+        |FROM d""".stripMargin,
+    "streaming_points_by_type" ->
+      """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
         |       round(CAST(floor(value / 50.0) AS BIGINT) * 50.0, 4) AS lo,

@@ -55,6 +55,31 @@ object Analytics {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
   }
 
+  /** Exact distinct users per event type (ClickHouse `uniqExact`) beside
+    * the plain count. A distinct aggregate inside a groupBy plans as the
+    * two-phase Expand+HashAggregate — partial de-dup map-side, one shuffle
+    * keyed (event_type, user_id), then the final count; the approximate
+    * sibling at 100 TB is [[approxDistinct]] (HLL, no second phase). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+
+  /** 7-row moving window per event type over the daily revenue series
+    * (ClickHouse neighbor()/moving-sum analog): the bounded-frame sibling
+    * of [[runningTotal]]'s unbounded fold. Both window functions share one
+    * event_type shuffle; the frame sums at most 7 already-rounded daily
+    * values in window order, so the result is engine-reproducible. */
+  def movingSum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("daily"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("sum_7d", round(sum("daily").over(w), 4))
+      .withColumn("n_7d", count(lit(1)).over(w))
+  }
+
   /** As-of join: each purchase event paired with the most recent PRIOR
     * error event of the same user. Union+window formulation: both sides
     * shuffle once on user_id and the "join" is an ignore-nulls last_value

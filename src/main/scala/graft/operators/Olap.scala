@@ -176,4 +176,19 @@ object Olap {
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
       .agg(count(lit(1)).as("n_customers"))
   }
+
+  /** The anti join's complement — LEFT SEMI (`EXISTS`): customers with at
+    * least one URGENT order, per nation. Same scale shape as
+    * [[customersWithoutOrders]]: filter pushed into the orders scan, one
+    * custkey shuffle, the semi join streams without materializing matches
+    * (a row is emitted on the FIRST match, duplicates on the build side
+    * never multiply the output). */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
 }

@@ -80,6 +80,42 @@ object RefPipeline {
       .limit(1)
       .select("event_id", "user_id", "event_type")
 
+  /** The reference's core story — a STREAM maintaining the MV aggregate
+    * (README.rst Step 1-2: kcat → Kafka topic → engine table → MV) — as a
+    * driver-checkable query: the events file streams through the typed
+    * projection into the grouped-sum MV (the [[pointsByType]] cascade) via
+    * Structured Streaming with an AvailableNow trigger, lands in an
+    * in-memory sink table, and the finished table is returned. The oracle
+    * is the BATCH equivalent — the exactly-once contract in one line: a
+    * stream that processes all available input must equal the batch query.
+    *
+    * Scale shape: the streaming aggregation keeps one state row per group
+    * (5 event types) and runs partial aggregation per micro-batch; the file
+    * source is the stand-in for the Kafka source ([[graft.sources
+    * .EventsSource.kafkaStream]] — connector jar unavailable offline). */
+  def streamingPointsByType(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams need an explicit schema: take it from the parquet footer
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sink = "graft_streaming_points"
+    spark.catalog.dropTempView(sink) // shared sessions may re-run the query
+    // events.parquet is a single FILE. FileStreamSource force-sets
+    // basePath := path for NON-glob paths (clobbering the user option),
+    // and then batch resolution rejects a file basePath — so the path is
+    // spelled as a one-character glob, which skips the override and lets
+    // the explicit directory basePath through.
+    val q = spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.[p]arquet")
+      .groupBy("event_type")
+      .agg(round(sum("value"), 4).as("total_points"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Gap-based sessionization (30-min inactivity): the batch twin of the
     * streaming `flatMapGroupsWithState` session operator. One shuffle on
     * user_id (both windows share the partitioning), then a single

@@ -89,19 +89,22 @@ object Similarity {
     rankTop5(cand.withColumn("cosine", cosineCol))
   }
 
-  /** IVF: k-means coarse quantizer (k=8, 3 Lloyd iterations) trained with
-    * DataFrame aggregations; only the k x dim centroid matrix is ever
-    * collected to the driver. Queries probe the 2 nearest centroids and
-    * rerank exactly within those inverted lists.
+  /** IVF: k-means coarse quantizer trained with DataFrame aggregations;
+    * only the k x dim centroid matrix is ever collected to the driver.
+    * Queries probe the `nprobe` nearest centroids and rerank exactly
+    * within those inverted lists. The knobs are real tuning parameters
+    * (defaults match the driver-contract entry): more cells -> smaller
+    * inverted lists but lower recall per probe; more probes -> recall
+    * back up at linear cost; more Lloyd iterations -> tighter cells.
     *
     * Training is shuffle-lean: cell means come from the partial-aggregating
     * [[graft.functions.VectorMeanAgg]] (one double[] accumulator per
     * (partition, cell), merged map-side) — no per-dimension row explosion.
     * Init is a deterministic hash-sample (first k vectors in xxhash64
     * order), not first-k-by-id, so seeds don't share insertion locality. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 8, nprobe: Int = 2,
+      iters: Int = 3): DataFrame = {
     val e = GraftSession.trackCache(vecs(spark, dir))
-    val k = 8
 
     var centroids: Array[(Int, Array[Double])] = e
       .withColumn("h", xxhash64(col("vec_id")))
@@ -125,7 +128,7 @@ object Similarity {
         .drop("cs", "dists")
 
     val vmean = udaf(graft.functions.VectorMeanAgg)
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       val means = assigned(centroids)
         .groupBy("cid").agg(vmean(col("v")).as("m"))
         .collect()
@@ -137,9 +140,9 @@ object Similarity {
     }
 
     val asg = GraftSession.trackCache(assigned(centroids))
-    // nprobe = 2 nearest centroids per query
+    // nprobe nearest centroids per query
     val q = withCentroids(asg.filter(col("vec_id") < 10), centroids)
-      .withColumn("probe", expr("transform(slice(array_sort(dists), 1, 2), s -> s.cid)"))
+      .withColumn("probe", expr(s"transform(slice(array_sort(dists), 1, $nprobe), s -> s.cid)"))
       .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"),
         explode(col("probe")).as("cid"))
     val c = asg.filter(col("vec_id") >= 10)

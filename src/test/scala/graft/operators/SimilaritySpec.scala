@@ -23,6 +23,17 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 5, s"IVF recall@1 too low: $hits/10")
   }
 
+  test("IVF knobs work: k=16 cells, nprobe=3, 2 Lloyd iterations") {
+    val exact = topMap(Similarity.topK(spark, sf))
+    val ivf = topMap(Similarity.ivfTopK(spark, sf, k = 16, nprobe = 3, iters = 2))
+    assert(ivf.keySet == (0L until 10L).toSet)
+    ivf.values.foreach(ns => assert(ns.size == 5))
+    // finer quantizer (16 cells), 3/16 of the corpus probed: still expect a
+    // solid fraction of true nearest neighbors (near-dups share cells)
+    val hits = exact.count { case (q, ns) => ivf.get(q).exists(_.headOption == ns.headOption) }
+    assert(hits >= 3, s"IVF(k=16, nprobe=3) recall@1 too low: $hits/10")
+  }
+
   test("LSH results, when present, agree with exact cosine ordering") {
     val lsh = topMap(Similarity.lshTopK(spark, sf))
     lsh.foreach { case (q, ns) =>
