@@ -116,39 +116,28 @@ object SparkEntry {
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM p
        |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= $threshold""".stripMargin
 
-  /** ngram oracle with the identical three-tier df decomposition as
-    * Dedup.jaccardPairs: shared-rare counts aggregated in the capped join,
-    * mid-tier (cap, hard] counts via the pair-driven second join, ultra
-    * (> hard) shingles excluded from numerator and denominator. */
+  /** ngram oracle: exact Jaccard over the df <= hard shingle universe,
+    * every qualifying pair. Dedup.jaccardPairs reaches the same result via
+    * prefix filtering (zero-miss candidate pruning), so the oracle can be
+    * the direct definition — shared effective-shingle counts from the
+    * plain self-join, effective set sizes from the per-doc count. */
   private def ngramCappedSql: String = {
-    val cap = operators.Dedup.ShingleDfCap
     val hard = operators.Dedup.ShingleDfHardCap
     s"""WITH tkt AS ($tokCte),
        |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
        |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
-       |sgn AS (SELECT doc_id, sg, len(sg) AS n FROM sgt WHERE len(sg) > 0),
+       |sgn AS (SELECT doc_id, sg FROM sgt WHERE len(sg) > 0),
        |ex AS (SELECT doc_id, unnest(sg) AS sh FROM sgn),
        |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
-       |exc AS (SELECT ex.doc_id, ex.sh FROM ex JOIN df ON ex.sh = df.sh
-       |        WHERE df.df >= 2 AND df.df <= $cap),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_rare
-       |      FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |exm AS (SELECT ex.doc_id, ex.sh FROM ex JOIN df ON ex.sh = df.sh
-       |        WHERE df.df > $cap AND df.df <= $hard),
-       |cm AS (SELECT p.doc_a, p.doc_b, count(*) AS c_mid
-       |       FROM p JOIN exm a ON p.doc_a = a.doc_id
-       |              JOIN exm b ON p.doc_b = b.doc_id AND a.sh = b.sh
-       |       GROUP BY 1, 2),
-       |nd AS (SELECT ex.doc_id, count(*) AS n_drop FROM ex JOIN df ON ex.sh = df.sh
-       |       WHERE df.df > $hard GROUP BY ex.doc_id),
-       |meta AS (SELECT sgn.doc_id, sgn.n - coalesce(nd.n_drop, 0) AS n_eff
-       |         FROM sgn LEFT JOIN nd ON sgn.doc_id = nd.doc_id),
-       |v AS (SELECT p.doc_a, p.doc_b, p.c_rare + coalesce(cm.c_mid, 0) AS c,
-       |             x.n_eff AS na, y.n_eff AS nb
-       |      FROM p LEFT JOIN cm ON p.doc_a = cm.doc_a AND p.doc_b = cm.doc_b
-       |             JOIN meta x ON p.doc_a = x.doc_id JOIN meta y ON p.doc_b = y.doc_id)
-       |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM v
-       |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.9""".stripMargin
+       |exe AS (SELECT ex.doc_id, ex.sh FROM ex JOIN df ON ex.sh = df.sh
+       |        WHERE df.df <= $hard),
+       |meta AS (SELECT doc_id, count(*) AS n_eff FROM exe GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |      FROM exe a JOIN exe b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(c AS DOUBLE) / (x.n_eff + y.n_eff - c), 4) AS jaccard
+       |FROM p JOIN meta x ON doc_a = x.doc_id JOIN meta y ON doc_b = y.doc_id
+       |WHERE round(CAST(c AS DOUBLE) / (x.n_eff + y.n_eff - c), 4) >= 0.9""".stripMargin
   }
 
   private val vecCtes =

@@ -43,15 +43,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("jaccardPairs three-tier df decomposition matches brute force on a synthetic corpus") {
-    // Caps shrunk (cap=2, hard=4) so every tier fires: the testdata corpus
-    // never exceeds the production hard cap (max df 25 at sf0.1), so only a
-    // synthetic corpus can exercise the ultra-exclusion + mid-join paths.
+  test("jaccardPairs (prefix filter + hard cap) matches brute force on a synthetic corpus") {
+    // Hard cap shrunk to 4 so the ultra-exclusion fires: the testdata
+    // corpus never exceeds the production cap (max df 25 at sf0.1), so
+    // only a synthetic corpus can exercise it. Low thresholds make the
+    // prefix long (more candidates) and 0.5 makes it short — both sides
+    // of the prefix-length arithmetic get covered.
     import org.apache.spark.sql.functions.{col, size}
     val spark2 = spark; import spark2.implicits._
-    val cap = 2; val hard = 4
+    val hard = 4
     val sets: Map[Long, Seq[Long]] = Map(
-      1L -> Seq(100L, 200L, 201L, 300L, 11L), // ultra, mid(df3), mid(df4), rare, unique
+      1L -> Seq(100L, 200L, 201L, 300L, 11L), // ultra(df6), df3, df4, df2, unique
       2L -> Seq(100L, 200L, 201L, 300L, 12L),
       3L -> Seq(100L, 200L, 301L),
       4L -> Seq(100L, 201L, 301L, 13L),
@@ -62,20 +64,19 @@ class DedupSpec extends SparkSpec {
     val df = sets.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
     def brute(thr: Double): Set[(Long, Long, Double)] = (for {
       a <- sets.keys; b <- sets.keys if a < b
-      shared = sets(a).toSet.intersect(sets(b).toSet)
-      if shared.exists(sh => df(sh) >= 2 && df(sh) <= cap) // candidate: >=1 rare
-      effA = sets(a).count(sh => df(sh) <= hard); effB = sets(b).count(sh => df(sh) <= hard)
-      c = shared.count(sh => df(sh) <= hard)
-      j = math.floor(c.toDouble / (effA + effB - c) * 1e4 + 0.5) / 1e4
+      effA = sets(a).filter(sh => df(sh) <= hard).toSet
+      effB = sets(b).filter(sh => df(sh) <= hard).toSet
+      c = effA.intersect(effB).size if c > 0
+      j = math.floor(c.toDouble / (effA.size + effB.size - c) * 1e4 + 0.5) / 1e4
       if j >= thr
     } yield (a, b, j)).toSet
-    for (thr <- Seq(0.2, 0.5)) {
-      val got = Dedup.jaccardPairs(sgd, cap, hard, thr).collect()
+    for (thr <- Seq(0.2, 0.5, 0.9)) {
+      val got = Dedup.jaccardPairs(sgd, hard, thr).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == brute(thr), s"thr=$thr: got $got want ${brute(thr)}")
     }
-    // sanity on the fixture itself: tier boundaries really are exercised
-    assert(df(100L) > hard && df(200L) > cap && df(200L) <= hard && df(300L) <= cap)
+    // fixture sanity: the ultra tier really exists and brute finds pairs
+    assert(df(100L) > hard && brute(0.2).nonEmpty)
   }
 
   test("exact dedup keeps the minimum doc_id per content group and covers all docs") {
