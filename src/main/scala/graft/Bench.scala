@@ -23,7 +23,11 @@ object Bench {
     // round-3 widening
     "q_pivot", "q_cube", "q_histogram", "text_tfidf",
     // round-4 honesty: the slowest operators belong in the headline too
-    "dedup_clusters", "pipeline_clean_corpus", "ann_lsh", "ann_ivf")
+    "dedup_clusters", "pipeline_clean_corpus", "ann_lsh", "ann_ivf",
+    // round-4 widening (incl. the streaming MV run and the in-query
+    // bucketize+join — both do real work and both get timed)
+    "streaming_points_by_type", "q_semi_join", "q_distinct_users",
+    "q_moving_sum", "wh_colocated_join", "q_ntile", "multimodal_audio_windows")
 
   /** Times each named query via `SparkEntry.queries`; a throwing query
     * lands in the error map (exception class + message), not the timings. */
