@@ -100,6 +100,7 @@ object SparkEntry {
     "wh_colocated_join" -> (Warehouse.colocatedRevenue _),
     "q_ntile" -> (Analytics.spendQuartiles _),
     "multimodal_audio_windows" -> (Multimodal.audioWindows _),
+    "jdbc_sink_roundtrip" -> (RefPipeline.jdbcPointsRoundtrip _),
   )
 
   private val tokCte =
@@ -490,6 +491,9 @@ object SparkEntry {
         |      FROM s)
         |SELECT quartile, count(*) AS n_customers, round(sum(total_spent), 4) AS total
         |FROM q GROUP BY quartile""".stripMargin,
+    "jdbc_sink_roundtrip" ->
+      """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "multimodal_audio_windows" ->
       """WITH m AS (SELECT doc_id,
         |             CAST(octet_length(encode(text)) AS BIGINT) // 2 AS n_samples

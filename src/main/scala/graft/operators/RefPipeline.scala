@@ -116,6 +116,24 @@ object RefPipeline {
     spark.table(sink)
   }
 
+  /** The "JDBC sink" north star as a CHECKED key: the grouped-sum MV is
+    * upserted TWICE (the second apply is a replay — idempotence is what
+    * the oracle equality proves) into an embedded-Derby table through
+    * [[graft.streaming.JdbcUpsertSink]], then read back through Spark's
+    * JDBC source. Oracle = the batch aggregation: a keyed MERGE replayed
+    * over the same batch must land exactly the batch result. */
+  def jdbcPointsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val db = java.nio.file.Files.createTempDirectory("graft-derby").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val agg = pointsByType(spark, dir)
+    graft.streaming.JdbcUpsertSink.ensureTable(url, "points", agg.schema)
+    graft.streaming.JdbcUpsertSink.upsertBatch(agg, url, "points", Seq("event_type"))
+    graft.streaming.JdbcUpsertSink.upsertBatch(agg, url, "points", Seq("event_type"))
+    graft.streaming.JdbcUpsertSink.read(spark, url, "points")
+      .select(col("EVENT_TYPE").as("event_type"),
+        col("TOTAL_POINTS").as("total_points"), col("N").as("n"))
+  }
+
   /** Gap-based sessionization (30-min inactivity): the batch twin of the
     * streaming `flatMapGroupsWithState` session operator. One shuffle on
     * user_id (both windows share the partitioning), then a single
