@@ -27,7 +27,8 @@ object Bench {
     // round-4 widening (incl. the streaming MV run and the in-query
     // bucketize+join — both do real work and both get timed)
     "streaming_points_by_type", "q_semi_join", "q_distinct_users",
-    "q_moving_sum", "wh_colocated_join", "q_ntile", "multimodal_audio_windows")
+    "q_moving_sum", "wh_colocated_join", "q_ntile", "multimodal_audio_windows",
+    "jdbc_sink_roundtrip")
 
   /** Times each named query via `SparkEntry.queries`; a throwing query
     * lands in the error map (exception class + message), not the timings. */
