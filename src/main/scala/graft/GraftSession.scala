@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HammingDistance64, MinHash32, SimHash64}
+import graft.functions.{CdcChunks, DotProduct, HammingDistance64, MinHash32, SimHash64}
 import graft.plans.{TopKPerKeyExtension, TopKPerKeyRewrite, TopKPerKeyStrategy}
 
 /** Session factory for the graft engine.
@@ -35,6 +35,10 @@ object GraftSession {
         (new FunctionIdentifier("minhash32"),
           new ExpressionInfo(classOf[MinHash32].getName, "minhash32"),
           (children: Seq[Expression]) => MinHash32(children.head)))
+      ext.injectFunction(
+        (new FunctionIdentifier("cdc_chunks"),
+          new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+          (children: Seq[Expression]) => CdcChunks(children.head)))
       ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
       ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     }
@@ -112,6 +116,13 @@ object GraftSession {
         minhashId,
         new ExpressionInfo(classOf[MinHash32].getName, "minhash32"),
         (children: Seq[Expression]) => MinHash32(children.head))
+    }
+    val cdcId = new FunctionIdentifier("cdc_chunks")
+    if (!reg.functionExists(cdcId)) {
+      reg.registerFunction(
+        cdcId,
+        new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+        (children: Seq[Expression]) => CdcChunks(children.head))
     }
     TopKPerKeyExtension.install(spark)
   }

@@ -101,6 +101,7 @@ object SparkEntry {
     "q_ntile" -> (Analytics.spendQuartiles _),
     "multimodal_audio_windows" -> (Multimodal.audioWindows _),
     "jdbc_sink_roundtrip" -> (RefPipeline.jdbcPointsRoundtrip _),
+    "dedup_cdc" -> (Dedup.cdcChunkDedup _),
   )
 
   private val tokCte =

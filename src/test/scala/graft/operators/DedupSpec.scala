@@ -79,6 +79,31 @@ class DedupSpec extends SparkSpec {
     assert(df(100L) > hard && brute(0.2).nonEmpty)
   }
 
+  test("CDC chunking is deterministic, length-bounded, and shift-resistant") {
+    import graft.functions.CdcChunks
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](4096)(rnd.nextInt(256).toByte)
+    val c1 = CdcChunks.chunkBounds(base)
+    assert(c1 == CdcChunks.chunkBounds(base)) // deterministic
+    // chunks tile the input exactly; every non-tail chunk respects the clamps
+    assert(c1.map(_._2).sum == base.length)
+    assert(c1.head._1 == 0)
+    c1.init.foreach { case (_, len, _) =>
+      assert(len >= CdcChunks.MinChunk && len <= CdcChunks.MaxChunk, s"len $len")
+    }
+    // THE content-defined property: a 100-byte prefix insertion shifts
+    // every offset, but boundaries re-synchronize and most original chunk
+    // fingerprints reappear (fixed-size chunking would lose all of them)
+    val prefix = Array.fill[Byte](100)(rnd.nextInt(256).toByte)
+    val h1 = c1.map(_._3).toSet
+    val h2 = CdcChunks.chunkBounds(prefix ++ base).map(_._3).toSet
+    val surviving = h1.intersect(h2).size.toDouble / h1.size
+    assert(surviving >= 0.7, s"only ${(surviving * 100).round}% of chunks survived the shift")
+    // and the operator surfaces shared chunks on the real corpus (the
+    // testdata contains exact duplicate documents)
+    assert(Dedup.cdcChunkDedup(spark, sf).count() > 0)
+  }
+
   test("exact dedup keeps the minimum doc_id per content group and covers all docs") {
     val total = graft.Tables(spark, sf).documents.count()
     val dedup = Dedup.exact(spark, sf)
