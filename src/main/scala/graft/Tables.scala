@@ -26,10 +26,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def scattered(df: DataFrame, name: String): DataFrame = {
     val slots = spark.sparkContext.defaultParallelism
     // the split-count probe (`df.rdd.getNumPartitions`) forces a full
-    // physical-planning + RDD-conversion pass, so memoize it per (dir,
-    // table): the file layout is immutable for a given testdata dir, and
-    // several probes per query were pure planner noise
-    val splits = Tables.splitCounts.getOrElseUpdate((dir, name), df.rdd.getNumPartitions)
+    // physical-planning + RDD-conversion pass, so memoize it. The split
+    // count is a pure function of the file layout AND the session's
+    // file-split configs, so both are in the key — two sessions in one
+    // JVM with different maxPartitionBytes (or a different parallelism)
+    // must not share a count, or the gate would silently skip/apply the
+    // scatter under the wrong plan shape. A regenerated testdata dir is
+    // the remaining invalidation case: call [[Tables.clearSplitCounts]].
+    // plain .get (no custom default): these are registered confs, and Spark
+    // 4 type-validates any caller-supplied default string
+    val key = (dir, name,
+      spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"),
+      slots)
+    val splits = Tables.splitCounts.getOrElseUpdate(key, df.rdd.getNumPartitions)
     if (splits < slots) df.repartition(slots) else df
   }
 
@@ -65,5 +75,11 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   private val splitCounts =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, String, Int), Int]
+
+  /** Drops every memoized split count — for the rare case where the files
+    * under a previously-probed dir changed (regenerated testdata, a
+    * rewritten layout). Mirrors what Warehouse.dropShingleLayout does for
+    * the shingle registry. */
+  def clearSplitCounts(): Unit = splitCounts.clear()
 }

@@ -83,17 +83,17 @@ object Analytics {
   /** ANSI/ClickHouse `ntile`: every customer ranked into 4 equal-depth
     * buckets by lifetime spend (deterministic total order: spend desc,
     * custkey) and each bucket aggregated — the equal-depth sibling of
-    * [[histogram]]'s fixed-width bins. The ntile needs a global order
-    * (one single-partition window over the already-aggregated per-customer
-    * rows); at 100 TB equal-depth bucketing comes from approx-quantile
-    * boundaries instead — that path is [[approxQuantiles]]. */
+    * [[histogram]]'s fixed-width bins. The ntile needs a global order, but
+    * NOT a single-partition window: [[GlobalRank.ntiled]] range-partitions
+    * on the sort key and derives the exact ntile from slice offsets +
+    * map-side arithmetic, so the per-customer rows never collapse onto one
+    * task (the approximate equal-depth sibling for when even one range
+    * shuffle is too much is [[approxQuantiles]]). */
   def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables(spark, dir).orders
       .groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 4).as("total_spent"))
-    spend
-      .withColumn("quartile", ntile(4).over(
-        Window.orderBy(col("total_spent").desc, col("o_custkey"))).cast("long"))
+    GlobalRank.ntiled(spend, 4, "quartile", col("total_spent").desc, col("o_custkey"))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n_customers"), round(sum("total_spent"), 4).as("total"))
   }

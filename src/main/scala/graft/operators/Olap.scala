@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -90,13 +89,15 @@ object Olap {
         count(lit(1)).as("n_orders"))
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
     // top-20 via orderBy+limit first: Catalyst plans a TakeOrderedAndProject
-    // (per-partition heaps, no global sort/shuffle); the unpartitioned
-    // row_number window then only ever sees 20 rows.
-    spend
-      .orderBy(col("total_spent").desc, col("c_custkey"))
-      .limit(20)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("total_spent").desc, col("c_custkey"))).cast("long"))
+    // (per-partition heaps, no global sort/shuffle); the rank over those 20
+    // rows comes from the distributed two-pass rank — trivially cheap here,
+    // and it keeps every global ordering in the engine on the one
+    // formulation that never plans a single-partition WindowExec
+    // (constant-key windows don't help: Catalyst folds a literal partition
+    // spec to empty and the scale warning fires anyway).
+    GlobalRank.rowNumbered(
+        spend.orderBy(col("total_spent").desc, col("c_custkey")).limit(20),
+        "rnk", col("total_spent").desc, col("c_custkey"))
       .select("rnk", "c_custkey", "c_name", "total_spent", "n_orders")
   }
 

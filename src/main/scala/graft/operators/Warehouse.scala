@@ -24,9 +24,24 @@ object Warehouse {
   /** Which testdata dir each session's shingle layout was materialized
     * from. [[shingleLayout]] serves a layout back ONLY for the same dir: a
     * catalog-existence check alone would silently feed sf0.001 shingles to
-    * an sf0.01 query after a scale switch on a shared session. */
+    * an sf0.01 query after a scale switch on a shared session.
+    *
+    * Keyed by a WEAK reference to the session: a strong key would pin
+    * every session that ever materialized a layout (plus its state) for
+    * the JVM lifetime — suites and long-lived drivers create and stop
+    * many sessions. Entries vanish with their session; dropShingleLayout
+    * remains the explicit path for a live one. Access is synchronized on
+    * the map (WeakHashMap is not thread-safe; registry traffic is a few
+    * lookups per query, so contention is nil). */
   private val shingleDirs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private def dirsOf(spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    shingleDirs.synchronized {
+      var m = shingleDirs.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map.empty[String, String]; shingleDirs.put(spark, m) }
+      m
+    }
 
   /** Writes `orders` and `lineitem` bucketed + sorted by their join key
     * into the session catalog (tables `<prefix>_orders` /
@@ -65,7 +80,7 @@ object Warehouse {
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${prefix}_shingles")
-    shingleDirs((spark, s"${prefix}_shingles")) = dir
+    shingleDirs.synchronized { dirsOf(spark)(s"${prefix}_shingles") = dir }
   }
 
   /** The materialized shingle table IF this session built one from exactly
@@ -75,15 +90,15 @@ object Warehouse {
   def shingleLayout(spark: SparkSession, dir: String,
       prefix: String = "wh"): Option[DataFrame] = {
     val tbl = s"${prefix}_shingles"
-    if (shingleDirs.get((spark, tbl)).contains(dir) && spark.catalog.tableExists(tbl))
-      Some(spark.table(tbl))
+    val registered = shingleDirs.synchronized(dirsOf(spark).get(tbl)).contains(dir)
+    if (registered && spark.catalog.tableExists(tbl)) Some(spark.table(tbl))
     else None
   }
 
   /** Drops the layout table + its registry entry (spec hygiene: suites
     * running after a layout test must see the raw path again). */
   def dropShingleLayout(spark: SparkSession, prefix: String = "wh"): Unit = {
-    shingleDirs.remove((spark, s"${prefix}_shingles"))
+    shingleDirs.synchronized { dirsOf(spark).remove(s"${prefix}_shingles") }
     spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
   }
 

@@ -12,6 +12,17 @@ import org.apache.spark.sql.types._
   * DELETE+INSERT inside one transaction, so any JDBC target works; on
   * warehouses with MERGE the two statements collapse into one.
   *
+  * IMPORTANT — embedded Derby is LOCAL-MODE-ONLY: a `jdbc:derby:<path>`
+  * URL without a host opens a database file-path-local to whichever JVM
+  * runs the statement. In `local[*]` executors share the driver JVM, so
+  * writes and the driver's read-back see the same files; on a real
+  * cluster each executor would `create=true` its own empty database on
+  * its own disk and the writes would silently vanish. Cluster
+  * deployments MUST use a network JDBC URL (client/server Derby,
+  * Postgres, a warehouse endpoint, ...). [[upsertBatch]] enforces this:
+  * an embedded-Derby URL on a non-local master throws rather than
+  * losing data silently.
+  *
   * Exactly-once: Structured Streaming replays an uncommitted micro-batch
   * with the SAME deterministic content, and the keyed upsert overwrites
   * the same keys with the same values — a replay is a no-op (the spec
@@ -32,6 +43,21 @@ object JdbcUpsertSink {
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home",
         java.nio.file.Files.createTempDirectory("graft-derby-home").toString)
+
+  /** Embedded (in-JVM, file-path) Derby URL: `jdbc:derby:` NOT followed by
+    * a subprotocol with a host (`//host`, or the `net:`/ `:derby://` client
+    * forms). Such a URL only makes sense when executors share the driver
+    * JVM — see the class doc. */
+  private[streaming] def isEmbeddedDerby(url: String): Boolean =
+    url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
+
+  private def requireLocalForEmbedded(spark: SparkSession, url: String): Unit = {
+    val master = spark.sparkContext.master
+    require(!isEmbeddedDerby(url) || master.startsWith("local"),
+      s"embedded-Derby URL '$url' is local-mode-only (each executor JVM would " +
+        s"open its own empty database); master is '$master' — use a network " +
+        "JDBC URL (client/server Derby or a real warehouse) on a cluster")
+  }
 
   private def sqlType(dt: DataType): String = dt match {
     case StringType => "VARCHAR(4000)"
@@ -66,6 +92,7 @@ object JdbcUpsertSink {
   def upsertBatch(batch: DataFrame, url: String, table: String,
       keyCols: Seq[String]): Unit = {
     quietDerby()
+    requireLocalForEmbedded(batch.sparkSession, url)
     val schema = batch.schema
     val names = schema.fieldNames.toSeq
     val keyIdx = keyCols.map(schema.fieldIndex)
