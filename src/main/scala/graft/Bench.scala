@@ -28,7 +28,10 @@ object Bench {
     // bucketize+join — both do real work and both get timed)
     "streaming_points_by_type", "q_semi_join", "q_distinct_users",
     "q_moving_sum", "wh_colocated_join", "q_ntile", "multimodal_audio_windows",
-    "jdbc_sink_roundtrip")
+    "jdbc_sink_roundtrip",
+    // round-5 widening
+    "text_repetition", "q_corr", "pipeline_decontaminate",
+    "text_pii_redact", "streaming_dedup")
 
   /** Times each named query via `SparkEntry.queries`; a throwing query
     * lands in the error map (exception class + message), not the timings. */

@@ -102,6 +102,12 @@ object SparkEntry {
     "multimodal_audio_windows" -> (Multimodal.audioWindows _),
     "jdbc_sink_roundtrip" -> (RefPipeline.jdbcPointsRoundtrip _),
     "dedup_cdc" -> (Dedup.cdcChunkDedup _),
+    // Round-5 widening: corpus-hygiene + extended-stats surface
+    "text_repetition" -> (TextAnalysis.repetition _),
+    "q_corr" -> (Analytics.corrStats _),
+    "pipeline_decontaminate" -> (Pipeline.decontaminate _),
+    "text_pii_redact" -> (TextAnalysis.pii _),
+    "streaming_dedup" -> (RefPipeline.streamingDistinctUsers _),
   )
 
   private val tokCte =
@@ -572,5 +578,81 @@ object SparkEntry {
          |nonrep AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
          |SELECT doc_id, n_tokens, quality_score FROM q
          |WHERE quality_score >= 0.2 AND doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS ($tokCte),
+         |t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+         |uc AS (SELECT doc_id, u, count(*) AS f
+         |       FROM (SELECT doc_id, unnest(tk) AS u FROM t2) GROUP BY 1, 2),
+         |ua AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens, count(*) AS n_uniq_tokens,
+         |              CAST(max(f) AS BIGINT) AS top_tokens_cf
+         |       FROM uc GROUP BY doc_id),
+         |bc AS (SELECT doc_id, u, count(*) AS f
+         |       FROM (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS u
+         |             FROM t2) GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_bigrams, count(*) AS n_uniq_bigrams,
+         |              CAST(max(f) AS BIGINT) AS top_bigrams_cf
+         |       FROM bc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_uniq_tokens, top_tokens_cf,
+         |  round((n_tokens - n_uniq_tokens) / CAST(n_tokens AS DOUBLE), 4) AS dup_token_ratio,
+         |  n_bigrams, n_uniq_bigrams, top_bigrams_cf,
+         |  round((n_bigrams - n_uniq_bigrams) / CAST(n_bigrams AS DOUBLE), 4) AS dup_bigram_ratio
+         |FROM ua JOIN ba USING (doc_id)""".stripMargin,
+    "q_corr" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |             sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |             sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+        |             sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    AS corr_qty_price,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS covar_pop_cents,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+        |    AS slope_cents_per_qty,
+        |  round((CAST(sy AS DOUBLE) -
+        |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept_cents
+        |FROM g""".stripMargin,
+    "pipeline_decontaminate" ->
+      s"""WITH tkt AS ($tokCte),
+         |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+         |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
+         |b AS (SELECT doc_id, sg,
+         |        CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket
+         |      FROM sgt WHERE len(sg) > 0),
+         |bench AS (SELECT DISTINCT unnest(sg) AS sh FROM b WHERE bucket = 15),
+         |train AS (SELECT doc_id, unnest(sg) AS sh FROM b WHERE bucket <> 15),
+         |s AS (SELECT doc_id, count(*) AS n_shared
+         |      FROM train JOIN bench USING (sh) GROUP BY doc_id)
+         |SELECT b.doc_id, coalesce(n_shared, 0) AS n_shared,
+         |  CAST(coalesce(n_shared, 0) = 0 AS BIGINT) AS is_clean
+         |FROM b LEFT JOIN s ON b.doc_id = s.doc_id
+         |WHERE b.bucket <> 15""".stripMargin,
+    "text_pii_redact" -> {
+      // the regexes are written in the Java/RE2 common subset; DuckDB
+      // string literals do not process backslashes, so the Scala-level
+      // pattern interpolates verbatim
+      val (e, p, i) = (TextAnalysis.EmailRe, TextAnalysis.PhoneRe, TextAnalysis.IpRe)
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ips,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g')) AS BIGINT)
+         |    AS n_chars_redacted,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g')) AS redacted_md5
+         |FROM documents""".stripMargin
+    },
+    "streaming_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

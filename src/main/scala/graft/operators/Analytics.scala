@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -310,4 +310,40 @@ object Analytics {
             |  ELSE cast(array() as array<bigint>) END""".stripMargin)).as("patch_idx"))
       .withColumn("patch_len", least(lit(256L), col("n_bytes") - col("patch_idx") * 256L))
       .select("doc_id", "patch_idx", "patch_len")
+
+  /** Extended statistics (ClickHouse `corr` / `covarPop` /
+    * `simpleLinearRegression` surface): per return flag, the correlation
+    * and least-squares line between item quantity and price.
+    *
+    * Exactness contract: builtin `corr()` sums doubles, and double
+    * summation is order-dependent — at 100 TB the result differs run to
+    * run, and it never matches another engine bit-for-bit. Instead the
+    * five moment sums are accumulated as exact integers (quantity, price
+    * cents — one partial-aggregated shuffle, same plan as any groupBy),
+    * and the closed-form corr/slope/intercept is ONE identical chain of
+    * IEEE double ops on both engines. Every sum stays below 2^53 at these
+    * scales except Σy² (held as decimal(38) here, HUGEINT in the oracle);
+    * casts of exact integers to double round to nearest identically, so
+    * the chain is reproducible bit-for-bit. */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val g = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"),
+        expr("cast(round(l_quantity) as bigint)").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(expr("x * y")).as("sxy"))
+    val cxy = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val slope = cxy / vx
+    g.select(col("l_returnflag"), col("n"),
+      round(cxy / (sqrt(vx) * sqrt(vy)), 4).as("corr_qty_price"),
+      round(cxy / (d(col("n")) * d(col("n"))), 4).as("covar_pop_cents"),
+      round(slope, 4).as("slope_cents_per_qty"),
+      round((d(col("sy")) - slope * d(col("sx"))) / d(col("n")), 4).as("intercept_cents"))
+  }
 }

@@ -60,4 +60,40 @@ object Pipeline {
       .filter(col("bucket") < rate)
       .select("doc_id", "pred_lang", "bucket")
   }
+
+  /** Benchmark decontamination — the n-gram-overlap pass every serious
+    * training pipeline runs before tokenization: a training document that
+    * shares even one word-3-gram with the held-out benchmark set is
+    * flagged, because benchmark text leaking into training data corrupts
+    * evaluation. Here the "benchmark" is the last md5 bucket of the corpus
+    * (reproducible on any engine, the same hash-split [[trainMix]] uses);
+    * in production it is the actual eval-suite text.
+    *
+    * Output: every shingle-bearing training doc with its count of distinct
+    * shingles shared with the benchmark set and a 0/1 clean flag.
+    *
+    * Scale shape: benchmark sets are SMALL by construction (eval suites,
+    * not corpora), so their distinct-shingle set broadcasts and the train
+    * side never shuffles for the probe — at 100 TB the same plan holds
+    * with the broadcast swapped for a bloom filter pushed into the scan.
+    * The only aggregations are the broadcast-join's per-doc count and the
+    * tiny benchmark distinct. Shingles ride [[Dedup.shingled]], so a
+    * materialized shingle layout makes this pass tokenizer-free too. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Dedup.shingled(spark, dir).withColumn("bucket", expr(
+      "cast(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1 as bigint)"))
+    val benchShingles = bucketed.filter(col("bucket") === 15)
+      .select(explode(col("sg")).as("sh")).distinct()
+    val train = bucketed.filter(col("bucket") =!= 15)
+    // sg is distinct within a doc, so the post-join count IS the distinct
+    // shared-shingle count — no countDistinct shuffle needed
+    val shared = train.select(col("doc_id"), explode(col("sg")).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) === 0).cast("long").as("is_clean"))
+  }
 }

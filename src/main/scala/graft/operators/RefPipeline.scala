@@ -116,6 +116,41 @@ object RefPipeline {
     spark.table(sink)
   }
 
+  /** Streaming dedup-on-ingest as a CHECKED key: the stateful
+    * `dropDuplicates` operator — the streaming half of the dedup family,
+    * what a training-data pipeline runs while CONSUMING a firehose rather
+    * than over data at rest. Events stream from the file source (the Kafka
+    * stand-in, as in [[streamingPointsByType]]), are deduplicated on the
+    * (user_id, event_type) key by streaming state, and roll up to distinct
+    * users per type; the oracle is the batch `count(DISTINCT user_id)` —
+    * equality IS the proof that streaming state dropped exactly the
+    * re-occurrences.
+    *
+    * Scale shape: dedup state is hash-partitioned by key across the
+    * cluster (one shuffle), counts partial-aggregate above it. This
+    * bounded AvailableNow run keeps all key state; an unbounded production
+    * stream caps state with `withWatermark` +
+    * `dropDuplicatesWithinWatermark` on the event-time column — same
+    * plan, state trimmed to the lateness horizon. */
+  def streamingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sink = "graft_streaming_dedup"
+    spark.catalog.dropTempView(sink)
+    val q = spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.[p]arquet")
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** The "JDBC sink" north star as a CHECKED key: the grouped-sum MV is
     * upserted TWICE (the second apply is a replay — idempotence is what
     * the oracle equality proves) into an embedded-Derby table through

@@ -82,18 +82,58 @@ object TextAnalysis {
           .otherwise("es").as("pred_lang"))
   }
 
+  /** Adjacent word pairs from the token array (empty below 2 tokens). */
+  private val bigramsExpr =
+    """CASE WHEN size(tk) >= 2
+      |  THEN transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))
+      |  ELSE cast(array() as array<string>) END""".stripMargin
+
   /** Corpus bigram statistics (df/cf) — the 2-gram language-model pre-pass
     * next to [[Analytics.topTerms]]'s unigram inverted index. Bigrams are
     * built map-side from the token array (no shuffle of text), then one
     * partial-aggregated shuffle on the bigram key. */
   def bigrams(spark: SparkSession, dir: String): DataFrame =
     withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(tk) >= 2
-          |  THEN transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))
-          |  ELSE cast(array() as array<string>) END""".stripMargin)).as("bigram"))
+      .select(col("doc_id"), explode(expr(bigramsExpr)).as("bigram"))
       .groupBy("bigram")
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+
+  /** Repetition signals per document — the Gopher/MassiveText-style
+    * within-doc quality battery: duplicate-token and duplicate-bigram
+    * fractions plus the most-frequent-n-gram counts. LLM corpus filters
+    * drop documents whose text loops (boilerplate menus, crawler traps,
+    * degenerate generations); these are the standard cheap detectors.
+    *
+    * Scale shape: tokens/bigrams explode map-side (text itself never
+    * shuffles — only (doc_id, term) pairs), the per-(doc, term) count and
+    * the per-doc rollup are both partial-aggregated, and the two metric
+    * families join on doc_id. Ratios are single divisions of exact longs
+    * with an explicit double cast, so any engine reproduces them bit-for-
+    * bit. Documents under 2 tokens carry no repetition signal and are
+    * excluded by declared semantics. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.GraftSession.trackCache(
+      withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
+        .select(col("doc_id"), col("tk")))
+      .filter(size(col("tk")) >= 2)
+    def rollup(exploded: DataFrame, unit: String) = exploded
+      .groupBy(col("doc_id"), col("u"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy("doc_id")
+      .agg(sum("f").as(s"n_$unit"),
+        count(lit(1)).as(s"n_uniq_$unit"),
+        max("f").as(s"top_${unit}_cf"))
+    val uni = rollup(tok.select(col("doc_id"), explode(col("tk")).as("u")), "tokens")
+    val big = rollup(tok.select(col("doc_id"), explode(expr(bigramsExpr)).as("u")), "bigrams")
+    uni.join(big, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("n_tokens"), col("n_uniq_tokens"), col("top_tokens_cf"),
+        round((col("n_tokens") - col("n_uniq_tokens")) / col("n_tokens").cast("double"), 4)
+          .as("dup_token_ratio"),
+        col("n_bigrams"), col("n_uniq_bigrams"), col("top_bigrams_cf"),
+        round((col("n_bigrams") - col("n_uniq_bigrams")) / col("n_bigrams").cast("double"), 4)
+          .as("dup_bigram_ratio"))
+  }
 
   /** Per-document top keyword by tf-idf (idf = ln(N/df)) — the classic
     * keyword-extraction pass. Corpus stats (N, per-term df) are computed
@@ -122,6 +162,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("term").as("top_term"),
         col("tf"), col("df"), round(col("score"), 4).as("tfidf"))
   }
+
+  /** PII patterns, written in the regex subset Java (Spark) and RE2
+    * (DuckDB, Go tooling) interpret identically: character classes, bounded
+    * repetition, optional groups — no backreferences, no lookaround. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "(\\+[0-9]{1,2}[- ])?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+  private[graft] val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrubbing core over a (doc_id, text) frame — public so the spec
+    * can drive it with synthetic PII-laden documents (the driver corpus
+    * contains no digits or '@', so on it every count is zero and the
+    * redacted hash equals the original's; the oracle still proves the
+    * Spark and DuckDB regex engines agree on that). Counts are taken on
+    * the ORIGINAL text; redaction applies email → phone → IP in that
+    * fixed order (the oracle mirrors it, so overlapping matches resolve
+    * identically). */
+  def piiRedact(df: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")),
+        lit(IpRe), lit("<IP>"))
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+      length(redacted).cast("long").as("n_chars_redacted"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** PII redaction pass over the corpus — the compliance scrub every
+    * training pipeline runs (emails, phone numbers, IP addresses → typed
+    * placeholder tags). Pure map-side regex work in one codegen'd
+    * projection: text never shuffles, and at 100 TB the pass scales with
+    * scan splits exactly like [[tokens]]. */
+  def pii(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(Tables(spark, dir).documents.select("doc_id", "text"))
 
   /** Order-sensitive document fingerprint: position-weighted polynomial over
     * (token length, leading byte). Cheap rolling-hash-style signature whose
