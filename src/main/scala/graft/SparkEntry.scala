@@ -108,6 +108,7 @@ object SparkEntry {
     "pipeline_decontaminate" -> (Pipeline.decontaminate _),
     "text_pii_redact" -> (TextAnalysis.pii _),
     "streaming_dedup" -> (RefPipeline.streamingDistinctUsers _),
+    "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
   )
 
   private val tokCte =

@@ -149,4 +149,105 @@ object Similarity {
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"), col("cid"))
     rankTop5(c.join(broadcast(q), Seq("cid")).withColumn("cosine", cosineCol))
   }
+
+  /** Product quantization (PQ, the FAISS `IndexPQ` shape): vectors are cut
+    * into `m` subvectors, each quantized to one of `k` learned codewords,
+    * so a 64-dim float vector compresses to `m` small codes (16x here).
+    * Queries score the WHOLE corpus, but against codes via an ADC
+    * (asymmetric-distance) lookup table instead of raw floats — PQ is the
+    * COMPRESSION leg of ANN (scan bandwidth / memory), where [[ivfTopK]]
+    * is the PRUNING leg; production engines compose them (IVF-PQ).
+    *
+    * Everything is equi-joins and aggregations — the Spark-first shapes:
+    *  - codebook training: subvector layout (vec_id, m, sv) joins the tiny
+    *    broadcast codebook, argmin per (vec_id, m) is a struct-min
+    *    aggregation, Lloyd means come from the partial-aggregating
+    *    [[graft.functions.VectorMeanAgg]]; only the m x k x (dim/m)
+    *    codebook is ever collected.
+    *  - encoding: same join, kept as the columnar (vec_id, m, code) table
+    *    — at 100 TB this IS the compressed index layout (m bytes/vector).
+    *  - ADC scan: the per-query lookup table (q_id, m, code, partial-dot)
+    *    is q x m x k rows, broadcast onto the code table; one (m, code)
+    *    equi-join + one (q_id, vec_id) sum reconstructs approximate dots
+    *    with no per-pair float-vector math at all.
+    *  - exact re-rank of the top `rerank` approximate candidates restores
+    *    exactness at the top (the standard PQ refinement step).
+    * Approximation quality is asserted in SimilaritySpec (recall vs the
+    * brute-force baseline); no SQL oracle — codebooks are engine-specific
+    * sketch state, same as LSH/IVF. */
+  def pqTopK(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+      iters: Int = 3, rerank: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = GraftSession.trackCache(vecs(spark, dir))
+    val dim = 64
+    val sub = dim / m
+    // columnar subvector layout, 1-based slice
+    val subs = GraftSession.trackCache(
+      e.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |          mi -> named_struct('m', mi, 'sv', slice(v, mi * $sub + 1, $sub)))""".stripMargin))
+        .as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv")))
+
+    // init: k deterministic hash-sampled vectors seed every subspace
+    var codebook: Seq[(Int, Int, Seq[Double])] = e
+      .withColumn("h", xxhash64(col("vec_id"))).orderBy("h").limit(k)
+      .select("v").collect().zipWithIndex.toSeq
+      .flatMap { case (r, ci) =>
+        val v = r.getSeq[Double](0)
+        (0 until m).map(mi => (mi, ci, v.slice(mi * sub, (mi + 1) * sub)))
+      }
+
+    def cbDf(cb: Seq[(Int, Int, Seq[Double])]): DataFrame = cb.toDF("m", "code", "c")
+
+    /** (vec_id, m, code): nearest codeword per subvector — broadcast join
+      * against the codebook, struct-min argmin (|sv|^2 dropped: rank-
+      * invariant per (vec_id, m) group). */
+    def encoded(cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      subs.join(broadcast(cbDf(cb)), Seq("m"))
+        .withColumn("d", expr("dot_product(c, c) - 2.0d * dot_product(sv, c)"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+
+    val vmean = udaf(graft.functions.VectorMeanAgg)
+    for (_ <- 1 to iters) {
+      val means = encoded(codebook)
+        .join(subs, Seq("vec_id", "m"))
+        .groupBy("m", "code").agg(vmean(col("sv")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+        .toMap
+      codebook = codebook.map { case (mi, ci, old) =>
+        (mi, ci, means.getOrElse((mi, ci), old))
+      }
+    }
+
+    val codes = GraftSession.trackCache(encoded(codebook))
+    // ADC lookup table: partial dot of each query subvector with each
+    // codeword — q x m x k small rows, broadcast onto the code table
+    val lut = subs.filter(col("vec_id") < 10)
+      .join(broadcast(cbDf(codebook)), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("code"),
+        expr("dot_product(sv, c)").as("pdot"))
+    val norms = e.select(col("vec_id"), col("nrm"))
+    val approx = codes.filter(col("vec_id") >= 10)
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum("pdot").as("adot"))
+      .join(norms.select(col("vec_id").as("n_id"), col("nrm").as("nrmb")), Seq("n_id"))
+      .withColumn("ascore", col("adot") / col("nrmb"))
+    // top `rerank` approximate candidates per query (TopKPerKey-eligible
+    // filter-on-window), then exact cosine restores the true order on top
+    val cand = approx
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ascore").desc, col("n_id"))))
+      .filter(col("r") <= rerank)
+      .select("q_id", "n_id")
+    val exact = cand
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb")), Seq("n_id"))
+      .join(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))), Seq("q_id"))
+    rankTop5(exact.withColumn("cosine", cosineCol))
+  }
 }

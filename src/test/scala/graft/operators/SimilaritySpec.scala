@@ -34,6 +34,26 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 3, s"IVF(k=16, nprobe=3) recall@1 too low: $hits/10")
   }
 
+  test("PQ with exact re-rank recovers most true top-5 sets") {
+    val exact = topMap(Similarity.topK(spark, sf))
+    val pq = topMap(Similarity.pqTopK(spark, sf))
+    assert(pq.keySet == (0L until 10L).toSet)
+    pq.values.foreach(ns => assert(ns.size == 5))
+    // ADC over 8x16 codebooks keeps near neighbors in the top-32 shortlist
+    // and the exact re-rank restores their order: expect recall@1 >= 6/10
+    // and substantial top-5 overlap on every query
+    val hits = exact.count { case (q, ns) => pq.get(q).exists(_.headOption == ns.headOption) }
+    assert(hits >= 6, s"PQ recall@1 too low: $hits/10")
+    val overlap = exact.map { case (q, ns) => pq(q).toSet.intersect(ns.toSet).size }.sum
+    assert(overlap >= 30, s"PQ top-5 overlap too low: $overlap/50")
+  }
+
+  test("PQ knobs work: 16 subspaces, 8 codewords, tighter shortlist") {
+    val pq = topMap(Similarity.pqTopK(spark, sf, m = 16, k = 8, iters = 1, rerank = 16))
+    assert(pq.keySet == (0L until 10L).toSet)
+    pq.values.foreach(ns => assert(ns.size == 5))
+  }
+
   test("LSH results, when present, agree with exact cosine ordering") {
     val lsh = topMap(Similarity.lshTopK(spark, sf))
     lsh.foreach { case (q, ns) =>
