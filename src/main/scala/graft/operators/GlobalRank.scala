@@ -46,6 +46,16 @@ object GlobalRank {
   def rowNumbered(df: DataFrame, out: String, sortCols: Column*): DataFrame =
     ranked(df, out, sortCols) { (rn, _) => rn }
 
+  /** Row numbers for a frame a LIMIT already bounded: one slice, one local
+    * sort, `monotonically_increasing_id` arithmetic — no sampling pass, no
+    * counting job, no WindowExec. ONLY for inputs with a row-count bound
+    * that is independent of data scale (a top-N result, a collected
+    * dimension); anything unbounded belongs on [[rowNumbered]]'s
+    * range-partitioned path. */
+  def boundedRowNumbered(df: DataFrame, out: String, sortCols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(sortCols: _*)
+      .withColumn(out, monotonically_increasing_id() + 1)
+
   /** `df` + an `ntile(n)` bucket column `out` over the `sortCols` total
     * order: bucket sizes differ by at most one, the first `N mod n`
     * buckets take the extra row — exactly ANSI / ClickHouse / DuckDB
@@ -73,8 +83,15 @@ object GlobalRank {
       rank: (Column, Long) => Column): DataFrame = {
     require(sortCols.nonEmpty, "global rank needs a (total) sort order")
     val p = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    // cache the INPUT too: repartitionByRange computes its child twice (the
+    // boundary-sampling pass, then the real shuffle), and our callers feed
+    // it aggregation outputs whose recompute is a full upstream scan. The
+    // ranked domain is always the post-aggregation frame (rank raw
+    // 100 TB rows with approx-quantile bucketing instead), so caching it
+    // is cheap by construction.
+    val in = GraftSession.trackCache(df)
     val sliced = GraftSession.trackCache(
-      df.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*))
+      in.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*))
     val counts = sliced
       .groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

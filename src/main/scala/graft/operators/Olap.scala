@@ -90,12 +90,13 @@ object Olap {
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
     // top-20 via orderBy+limit first: Catalyst plans a TakeOrderedAndProject
     // (per-partition heaps, no global sort/shuffle); the rank over those 20
-    // rows comes from the distributed two-pass rank — trivially cheap here,
-    // and it keeps every global ordering in the engine on the one
-    // formulation that never plans a single-partition WindowExec
-    // (constant-key windows don't help: Catalyst folds a literal partition
-    // spec to empty and the scale warning fires anyway).
-    GlobalRank.rowNumbered(
+    // rows is the bounded-input path — one slice, local sort, arithmetic —
+    // because the limit made the rank domain scale-independent. Unbounded
+    // global ranks (q_ntile) take GlobalRank's range-partitioned path; a
+    // constant-key window is NOT an option for either (Catalyst folds a
+    // literal partition spec to empty and the single-partition WindowExec
+    // scale warning fires anyway).
+    GlobalRank.boundedRowNumbered(
         spend.orderBy(col("total_spent").desc, col("c_custkey")).limit(20),
         "rnk", col("total_spent").desc, col("c_custkey"))
       .select("rnk", "c_custkey", "c_name", "total_spent", "n_orders")

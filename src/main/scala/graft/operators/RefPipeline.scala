@@ -137,17 +137,28 @@ object RefPipeline {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val sink = "graft_streaming_dedup"
     spark.catalog.dropTempView(sink)
-    val q = spark.readStream.schema(schema).option("basePath", dir)
-      .parquet(s"$dir/events.[p]arquet")
-      .select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_users"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // streaming state partitions are sized to STATE VOLUME, not core
+    // count: this plan has two stateful operators (dedup + agg), each
+    // materializing one state store per shuffle partition with per-batch
+    // checkpoint+fsync — at 32 partitions that is 64 stores of fixed
+    // overhead for a few thousand keys. 8 keeps the same result (hash
+    // partitioning only moves keys) at a quarter of the store cost; a
+    // production deployment raises it with actual key cardinality.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events.[p]arquet")
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(sink)
   }
 

@@ -40,6 +40,16 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("boundedRowNumbered equals the window row_number on a limited frame") {
+    val df = fixture(300, dups = true)
+      .orderBy(col("v").desc, col("id")).limit(25)
+    val got = GlobalRank.boundedRowNumbered(df, "rn", col("v").desc, col("id"))
+    val want = df.withColumn("rn",
+      row_number().over(Window.partitionBy(lit(0)).orderBy(col("v").desc, col("id"))).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("the distributed rank plans with no WindowExec") {
     val df = fixture(200, dups = true)
     val plan = GlobalRank.ntiled(df, 4, "t", col("v").desc, col("id"))
