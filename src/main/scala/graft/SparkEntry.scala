@@ -109,6 +109,9 @@ object SparkEntry {
     "text_pii_redact" -> (TextAnalysis.pii _),
     "streaming_dedup" -> (RefPipeline.streamingDistinctUsers _),
     "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "pipeline_pack" -> ((s, d) => Pipeline.pack(s, d)),
+    "wh_partition_prune" -> (Warehouse.partitionPrunedDaily _),
+    "q_grouping_sets" -> (Olap.ordersGroupingSets _),
   )
 
   private val tokCte =
@@ -655,5 +658,25 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "pipeline_pack" ->
+      s"""WITH t AS ($tokCte),
+         |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM t WHERE len(tk) > 0),
+         |c AS (SELECT doc_id, n_tok,
+         |        CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM d)
+         |SELECT doc_id, n_tok, cum - n_tok AS tok_offset,
+         |  (cum - n_tok) // 512 AS start_seq,
+         |  (cum - 1) // 512 AS end_seq,
+         |  (cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS n_seqs
+         |FROM c""".stripMargin,
+    "wh_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
   )
 }

@@ -79,6 +79,32 @@ object GlobalRank {
     (tile + 1).cast("long")
   }
 
+  /** `df` + a global INCLUSIVE running sum of `value` column `out` over the
+    * `sortCols` total order — the distributed prefix sum, same two-pass
+    * shape as [[rowNumbered]]: range-partition, collect per-slice TOTALS
+    * (P longs, never rows), prefix-sum them into slice offsets, and add
+    * the within-slice running sum (a window PARTITIONED by slice — never
+    * a single-partition WindowExec). This is the scalable backbone for
+    * sequence packing / byte-offset assignment over a whole corpus. */
+  def prefixSummed(df: DataFrame, value: Column, out: String, sortCols: Column*): DataFrame = {
+    require(sortCols.nonEmpty, "prefix sum needs a (total) sort order")
+    val p = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val in = GraftSession.trackCache(df.withColumn("__v", value))
+    val sliced = GraftSession.trackCache(
+      in.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val totals = sliced.groupBy("__pid").agg(sum("__v").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offMap = map(offsets.flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
+    val local = sum(col("__v")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("__pid")
+        .orderBy(sortCols: _*).rowsBetween(Long.MinValue, 0))
+    sliced
+      .withColumn(out, element_at(offMap, col("__pid")) + local)
+      .drop("__pid", "__v")
+  }
+
   private def ranked(df: DataFrame, out: String, sortCols: Seq[Column])(
       rank: (Column, Long) => Column): DataFrame = {
     require(sortCols.nonEmpty, "global rank needs a (total) sort order")

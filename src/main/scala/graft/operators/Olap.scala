@@ -147,6 +147,22 @@ object Olap {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total"))
 
+  /** Explicit GROUPING SETS — the generalization ROLLUP and CUBE are sugar
+    * for: exactly the (status) and (priority) marginals in ONE pass (no
+    * (status, priority) cell, no grand total — the sets a dashboard
+    * actually wants). Same scale shape as rollup/cube: Spark Expands each
+    * row once per set map-side and aggregates through a single
+    * partial/final shuffle; no per-set rescan of the fact table. */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(1) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+  }
+
   /** Priority columns pivoted wide (`groupBy.pivot` with the value list
     * given EXPLICITLY — without it Spark runs an extra distinct-collect job
     * to discover the columns, a driver round-trip a 100 TB pipeline never

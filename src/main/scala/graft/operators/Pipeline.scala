@@ -61,6 +61,29 @@ object Pipeline {
       .select("doc_id", "pred_lang", "bucket")
   }
 
+  /** Sequence packing — the last step before tokenized training data hits
+    * the trainer: documents are laid out end-to-end and cut into
+    * fixed-length training sequences (GPT-style concat-and-split; 512
+    * tokens here, 2k-128k in production). Each document's global token
+    * offset is a corpus-wide PREFIX SUM over a deterministic order —
+    * [[GlobalRank.prefixSummed]]'s range-partitioned two-pass shape, so
+    * the layout is computed with P collected longs and zero
+    * single-partition stages at any corpus size. Output: every packable
+    * doc with its token offset, the training sequence its first token
+    * lands in, and how many sequences it spans. */
+  def pack(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    GlobalRank.prefixSummed(docs, col("n_tok"), "cum", col("doc_id"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("tok_offset"),
+        expr(s"(cum - n_tok) div $seqLen").as("start_seq"),
+        expr(s"(cum - 1) div $seqLen").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
+  }
+
   /** Benchmark decontamination — the n-gram-overlap pass every serious
     * training pipeline runs before tokenization: a training document that
     * shares even one word-3-gram with the held-out benchmark set is

@@ -114,6 +114,27 @@ object Warehouse {
     revenueByPriorityCoLocated(spark, prefix = "whq")
   }
 
+  /** Date-partitioned layout + static partition pruning as a CHECKED key —
+    * the Spark rendition of the reference engine's `PARTITION BY
+    * toYYYYMMDD(timestamp)` table layout (README.rst's MergeTree tables
+    * order/partition on the event timestamp). The events table is written
+    * `partitionBy(event_date)`, and the one-day query then never OPENS the
+    * other 29 days: the date predicate is a PartitionFilter resolved
+    * against directory names, not row data — at 100 TB this is the single
+    * biggest scan reducer there is, ahead of any row-group statistic.
+    * WarehouseSpec asserts the plan carries the PartitionFilter; the
+    * oracle is the same one-day aggregation over the raw table. */
+  def partitionPrunedDaily(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables(spark, dir).events
+      .withColumn("event_date", col("ts").cast("date"))
+      .write.mode("overwrite").partitionBy("event_date")
+      .saveAsTable("whp_events")
+    spark.table("whp_events")
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+  }
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */

@@ -50,6 +50,16 @@ class GlobalRankSpec extends SparkSpec {
     assert(!got.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("prefixSummed equals the single-partition running sum") {
+    val df = fixture(400, dups = true)
+    val got = GlobalRank.prefixSummed(df, col("v"), "cum", col("id"))
+    val want = df.withColumn("cum", sum(col("v")).over(
+      Window.partitionBy(lit(0)).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "distributed prefix sum diverged from the window running sum")
+  }
+
   test("the distributed rank plans with no WindowExec") {
     val df = fixture(200, dups = true)
     val plan = GlobalRank.ntiled(df, 4, "t", col("v").desc, col("id"))

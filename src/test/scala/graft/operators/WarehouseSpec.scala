@@ -79,4 +79,20 @@ class WarehouseSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, s"layout pairs diverge: extra=${got.diff(expected)} missing=${expected.diff(got)}")
   }
+
+  test("partition-pruned daily query carries a PartitionFilter, never a data filter on the date") {
+    try {
+      val df = Warehouse.partitionPrunedDaily(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+        s"expected the date predicate as a PartitionFilter:\n${plan.take(800)}")
+      // equality vs the raw one-day aggregation (what the oracle checks)
+      val raw = graft.Tables(spark, sf).events
+        .filter(col("ts").cast("date") === lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      assert(df.except(raw).isEmpty && raw.except(df).isEmpty,
+        "pruned-layout aggregation diverged from the raw scan")
+    } finally spark.sql("DROP TABLE IF EXISTS whp_events")
+  }
 }
