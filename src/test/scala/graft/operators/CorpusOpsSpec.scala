@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Cross-checks for the round-5 corpus-hygiene operators: invariants the
+  * DuckDB oracle equality cannot express (plan shapes, driver-side
+  * recomputation from raw rows, structural no-gap properties). */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def md5Bucket(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 1), 16)
+  }
+
+  test("decontaminate probes the benchmark set via broadcast and flags consistently") {
+    val df = Pipeline.decontaminate(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"benchmark shingle set should broadcast, got:\n${plan.take(600)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(md5Bucket(r.getLong(0)) != 15,
+        s"doc ${r.getLong(0)} is in the benchmark bucket but appeared as a training doc")
+      assert((r.getLong(1) == 0) == (r.getLong(2) == 1L),
+        "is_clean must be exactly n_shared == 0")
+    }
+    // the word-soup corpus shares trigrams heavily: both outcomes occur
+    assert(rows.exists(_.getLong(2) == 1L) && rows.exists(_.getLong(2) == 0L),
+      "expected a mix of clean and contaminated docs on this corpus")
+  }
+
+  test("pack lays documents end to end: no gaps, no overlaps, spans consistent") {
+    val rows = Pipeline.pack(spark, sf).orderBy("doc_id").collect()
+    var nextOffset = 0L
+    rows.foreach { r =>
+      val (nTok, off, s0, s1, n) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(off == nextOffset, s"doc ${r.getLong(0)}: offset $off, expected $nextOffset")
+      nextOffset += nTok
+      assert(s0 == off / 512 && s1 == (off + nTok - 1) / 512 && n == s1 - s0 + 1)
+    }
+  }
+
+  test("corrStats equals an independent driver-side computation from raw rows") {
+    val got = Analytics.corrStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val raw = graft.Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1)), math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1)
+    raw.foreach { case (flag, xs) =>
+      val n = xs.size.toDouble
+      val sx = xs.map(_._2).sum.toDouble
+      val sy = xs.map(_._3).sum.toDouble
+      val sxx = xs.map(t => t._2 * t._2).sum.toDouble
+      val syy = xs.map(t => BigInt(t._3) * BigInt(t._3)).sum.toDouble
+      val sxy = xs.map(t => t._2 * t._3).sum.toDouble
+      val corr = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val (gn, gcorr, gslope) = got(flag)
+      assert(gn == xs.size.toLong)
+      assert(math.abs(gcorr - corr) < 5e-4, s"$flag corr: got $gcorr, raw $corr")
+      assert(math.abs(gslope - slope) < 5e-4, s"$flag slope: got $gslope, raw $slope")
+    }
+  }
+
+  test("repetition ratios are exactly their integer numerators divided out") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, uTok, topTok) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (nBig, uBig, topBig) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(uTok <= nTok && topTok <= nTok && topTok >= 1 && uTok >= 1)
+      assert(nBig == nTok - 1, "a doc with n tokens has exactly n-1 bigrams")
+      assert(uBig <= nBig && topBig <= nBig)
+      assert(r.getDouble(4) == math.floor((nTok - uTok).toDouble / nTok * 1e4 + 0.5) / 1e4 ||
+        math.abs(r.getDouble(4) - (nTok - uTok).toDouble / nTok) < 1e-4)
+    }
+    // vocab-31 word soup: duplicate tokens are everywhere
+    assert(rows.count(_.getDouble(4) > 0) > rows.length / 2)
+  }
+}
