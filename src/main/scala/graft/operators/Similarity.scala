@@ -203,17 +203,28 @@ object Similarity {
     /** (vec_id, m, code): nearest codeword per subvector — broadcast join
       * against the codebook, struct-min argmin (|sv|^2 dropped: rank-
       * invariant per (vec_id, m) group). */
-    def encoded(cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
-      subs.join(broadcast(cbDf(cb)), Seq("m"))
+    def encoded(frame: DataFrame, cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      frame.join(broadcast(cbDf(cb)), Seq("m"))
         .withColumn("d", expr("dot_product(c, c) - 2.0d * dot_product(sv, c)"))
         .groupBy("vec_id", "m")
         .agg(min(struct(col("d"), col("code"))).as("best"))
         .select(col("vec_id"), col("m"), col("best.code").as("code"))
 
+    // Lloyd trains on a bounded deterministic hash-sample, NOT the corpus:
+    // codebook quality needs a representative sample (the standard PQ
+    // training regime), so the iterations cost O(sample) regardless of
+    // corpus size — without this, k iterations would be k full corpus
+    // scans at 100 TB. The full corpus is touched exactly once, by the
+    // final encode below. (At test SFs <= the sample size this trains on
+    // everything, so the recall spec exercises the same arithmetic.)
+    val trainIds = e.withColumn("h", xxhash64(col("vec_id"))).orderBy("h")
+      .limit(math.max(32 * k, 256)).select("vec_id")
+    val trainSubs = GraftSession.trackCache(
+      subs.join(broadcast(trainIds), Seq("vec_id")))
     val vmean = udaf(graft.functions.VectorMeanAgg)
     for (_ <- 1 to iters) {
-      val means = encoded(codebook)
-        .join(subs, Seq("vec_id", "m"))
+      val means = encoded(trainSubs, codebook)
+        .join(trainSubs, Seq("vec_id", "m"))
         .groupBy("m", "code").agg(vmean(col("sv")).as("c"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
@@ -223,7 +234,7 @@ object Similarity {
       }
     }
 
-    val codes = GraftSession.trackCache(encoded(codebook))
+    val codes = GraftSession.trackCache(encoded(subs, codebook))
     // ADC lookup table: partial dot of each query subvector with each
     // codeword — q x m x k small rows, broadcast onto the code table
     val lut = subs.filter(col("vec_id") < 10)
