@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunks, DotProduct, HammingDistance64, MinHash32, SimHash64}
+import graft.functions.{CdcChunks, DotProduct, GramStats, HammingDistance64, MinHash32, SimHash64}
 import graft.plans.{TopKPerKeyExtension, TopKPerKeyRewrite, TopKPerKeyStrategy}
 
 /** Session factory for the graft engine.
@@ -39,6 +39,11 @@ object GraftSession {
         (new FunctionIdentifier("cdc_chunks"),
           new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
           (children: Seq[Expression]) => CdcChunks(children.head)))
+      ext.injectFunction(
+        (new FunctionIdentifier("gram_stats"),
+          new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
+          (children: Seq[Expression]) => GramStats(children(0),
+            children(1).eval().asInstanceOf[Number].intValue)))
       ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
       ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     }
@@ -123,6 +128,14 @@ object GraftSession {
         cdcId,
         new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
         (children: Seq[Expression]) => CdcChunks(children.head))
+    }
+    val gramId = new FunctionIdentifier("gram_stats")
+    if (!reg.functionExists(gramId)) {
+      reg.registerFunction(
+        gramId,
+        new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
+        (children: Seq[Expression]) => GramStats(children(0),
+          children(1).eval().asInstanceOf[Number].intValue))
     }
     TopKPerKeyExtension.install(spark)
   }

@@ -104,34 +104,36 @@ object TextAnalysis {
     * drop documents whose text loops (boilerplate menus, crawler traps,
     * degenerate generations); these are the standard cheap detectors.
     *
-    * Scale shape: tokens/bigrams explode map-side (text itself never
-    * shuffles — only (doc_id, term) pairs), the per-(doc, term) count and
-    * the per-doc rollup are both partial-aggregated, and the two metric
-    * families join on doc_id. Ratios are single divisions of exact longs
-    * with an explicit double cast, so any engine reproduces them bit-for-
-    * bit. Documents under 2 tokens carry no repetition signal and are
-    * excluded by declared semantics. */
+    * Scale shape: ZERO shuffle. The statistics are per document and a
+    * document always fits in a task, so the native `gram_stats`
+    * expression ([[graft.functions.GramStats]]) computes each family in
+    * one map-side pass next to the scan — the dataflow alternative
+    * (explode every gram, count per (doc, gram), roll up per doc) ships
+    * the whole exploded gram stream through two aggregation exchanges
+    * for numbers a single scan pass produces. Ratios are single
+    * divisions of exact longs with an explicit double cast, so any
+    * engine reproduces them bit-for-bit. Documents under 2 tokens carry
+    * no repetition signal and are excluded by declared semantics (the
+    * filter sits above a cache boundary so the stats tree never enters
+    * a pushed scan predicate — the round-3 trap). */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val tok = graft.GraftSession.trackCache(
+    graft.GraftSession.registerFunctions(spark)
+    val stats = graft.GraftSession.trackCache(
       withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
-        .select(col("doc_id"), col("tk")))
-      .filter(size(col("tk")) >= 2)
-    def rollup(exploded: DataFrame, unit: String) = exploded
-      .groupBy(col("doc_id"), col("u"))
-      .agg(count(lit(1)).as("f"))
-      .groupBy("doc_id")
-      .agg(sum("f").as(s"n_$unit"),
-        count(lit(1)).as(s"n_uniq_$unit"),
-        max("f").as(s"top_${unit}_cf"))
-    val uni = rollup(tok.select(col("doc_id"), explode(col("tk")).as("u")), "tokens")
-    val big = rollup(tok.select(col("doc_id"), explode(expr(bigramsExpr)).as("u")), "bigrams")
-    uni.join(big, Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("gram_stats(tk, 1)").as("u"),
+          expr("gram_stats(tk, 2)").as("b")))
+    stats.filter(col("u.n_grams") >= 2)
       .select(col("doc_id"),
-        col("n_tokens"), col("n_uniq_tokens"), col("top_tokens_cf"),
-        round((col("n_tokens") - col("n_uniq_tokens")) / col("n_tokens").cast("double"), 4)
+        col("u.n_grams").as("n_tokens"),
+        col("u.n_uniq").as("n_uniq_tokens"),
+        col("u.top_cf").as("top_tokens_cf"),
+        round((col("u.n_grams") - col("u.n_uniq")) / col("u.n_grams").cast("double"), 4)
           .as("dup_token_ratio"),
-        col("n_bigrams"), col("n_uniq_bigrams"), col("top_bigrams_cf"),
-        round((col("n_bigrams") - col("n_uniq_bigrams")) / col("n_bigrams").cast("double"), 4)
+        col("b.n_grams").as("n_bigrams"),
+        col("b.n_uniq").as("n_uniq_bigrams"),
+        col("b.top_cf").as("top_bigrams_cf"),
+        round((col("b.n_grams") - col("b.n_uniq")) / col("b.n_grams").cast("double"), 4)
           .as("dup_bigram_ratio"))
   }
 

@@ -68,6 +68,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("gram_stats matches brute force; repetition plans with zero shuffles") {
+    import spark.implicits._
+    graft.GraftSession.registerFunctions(spark)
+    val got = Seq("a b a b a", "x", "", "a a a a").toDF("text")
+      .withColumn("tk", expr(TextAnalysis.tokensExpr))
+      .select(expr("gram_stats(tk, 1)").as("u"), expr("gram_stats(tk, 2)").as("b"))
+      .collect()
+      .map(r => (Seq(0, 1, 2).map(r.getStruct(0).getLong), Seq(0, 1, 2).map(r.getStruct(1).getLong)))
+    assert(got(0) == ((Seq(5L, 2L, 3L), Seq(4L, 2L, 2L)))) // a b a b a
+    assert(got(1) == ((Seq(1L, 1L, 1L), Seq(0L, 0L, 0L)))) // x: no bigram
+    assert(got(2) == ((Seq(0L, 0L, 0L), Seq(0L, 0L, 0L)))) // empty
+    assert(got(3) == ((Seq(4L, 1L, 4L), Seq(3L, 1L, 3L)))) // a a a a
+    // per-doc stats are map-side: no aggregation exchange anywhere (the
+    // only exchange allowed is the gated round-robin scatter of the scan)
+    val plan = TextAnalysis.repetition(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"repetition should not shuffle, got:\n${plan.take(800)}")
+  }
+
   test("repetition ratios are exactly their integer numerators divided out") {
     val rows = TextAnalysis.repetition(spark, sf).collect()
     assert(rows.nonEmpty)
