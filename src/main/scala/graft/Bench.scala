@@ -32,7 +32,7 @@ object Bench {
     // round-5 widening
     "text_repetition", "q_corr", "pipeline_decontaminate",
     "text_pii_redact", "streaming_dedup", "ann_pq",
-    "pipeline_pack", "wh_partition_prune", "q_grouping_sets")
+    "pipeline_pack", "wh_partition_prune", "q_grouping_sets", "ann_ivfpq")
 
   /** Times each named query via `SparkEntry.queries`; a throwing query
     * lands in the error map (exception class + message), not the timings. */

@@ -109,6 +109,7 @@ object SparkEntry {
     "text_pii_redact" -> (TextAnalysis.pii _),
     "streaming_dedup" -> (RefPipeline.streamingDistinctUsers _),
     "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "ann_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "pipeline_pack" -> ((s, d) => Pipeline.pack(s, d)),
     "wh_partition_prune" -> (Warehouse.partitionPrunedDaily _),
     "q_grouping_sets" -> (Olap.ordersGroupingSets _),

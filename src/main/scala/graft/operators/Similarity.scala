@@ -102,34 +102,33 @@ object Similarity {
     * (partition, cell), merged map-side) — no per-dimension row explosion.
     * Init is a deterministic hash-sample (first k vectors in xxhash64
     * order), not first-k-by-id, so seeds don't share insertion locality. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 8, nprobe: Int = 2,
-      iters: Int = 3): DataFrame = {
-    val e = GraftSession.trackCache(vecs(spark, dir))
+  /** df + per-row rank-equivalent squared-L2 distances to every centroid:
+    * |v|^2 - 2<v,c> + |c|^2 with the rank-invariant |v|^2 term dropped. */
+  private def withCentroids(df: DataFrame, cs: Array[(Int, Array[Double])]): DataFrame =
+    df.withColumn("cs", typedLit(cs.map { case (cid, v) => (cid, v.toSeq) }.toSeq))
+      .withColumn("dists", expr(
+        """transform(cs, c ->
+          |  named_struct('d', dot_product(c._2, c._2) - 2.0d * dot_product(v, c._2),
+          |               'cid', c._1))""".stripMargin))
 
+  /** Nearest-centroid assignment (adds `cid`). */
+  private def assignedTo(df: DataFrame, cs: Array[(Int, Array[Double])]): DataFrame =
+    withCentroids(df, cs)
+      .withColumn("cid", expr("array_min(dists).cid"))
+      .drop("cs", "dists")
+
+  /** Lloyd-trained coarse centroids over the full-vector frame; hash-sampled
+    * init, [[graft.functions.VectorMeanAgg]] means, only k x dim collected. */
+  private def kmeans(e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] = e
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(k)
       .select("vec_id", "v").collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-
-    def withCentroids(df: DataFrame, cs: Array[(Int, Array[Double])]): DataFrame =
-      df.withColumn("cs", typedLit(cs.map { case (cid, v) => (cid, v.toSeq) }.toSeq))
-        // squared L2 distance to each centroid: |v|^2 - 2<v,c> + |c|^2; the
-        // |v|^2 term is rank-invariant, so argmin over -2<v,c> + |c|^2
-        .withColumn("dists", expr(
-          """transform(cs, c ->
-            |  named_struct('d', dot_product(c._2, c._2) - 2.0d * dot_product(v, c._2),
-            |               'cid', c._1))""".stripMargin))
-
-    def assigned(cs: Array[(Int, Array[Double])]): DataFrame =
-      withCentroids(e, cs)
-        .withColumn("cid", expr("array_min(dists).cid"))
-        .drop("cs", "dists")
-
     val vmean = udaf(graft.functions.VectorMeanAgg)
     for (_ <- 1 to iters) {
-      val means = assigned(centroids)
+      val means = assignedTo(e, centroids)
         .groupBy("cid").agg(vmean(col("v")).as("m"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -138,13 +137,23 @@ object Similarity {
         (cid, means.getOrElse(cid, old))
       }
     }
+    centroids
+  }
 
-    val asg = GraftSession.trackCache(assigned(centroids))
-    // nprobe nearest centroids per query
-    val q = withCentroids(asg.filter(col("vec_id") < 10), centroids)
-      .withColumn("probe", expr(s"transform(slice(array_sort(dists), 1, $nprobe), s -> s.cid)"))
-      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"),
-        explode(col("probe")).as("cid"))
+  /** The nprobe nearest cells per query vector, as (q_id, cid) rows. */
+  private def probeCells(queries: DataFrame, cs: Array[(Int, Array[Double])],
+      nprobe: Int): DataFrame =
+    withCentroids(queries, cs)
+      .withColumn("cid", explode(
+        expr(s"transform(slice(array_sort(dists), 1, $nprobe), s -> s.cid)")))
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"), col("cid"))
+
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 8, nprobe: Int = 2,
+      iters: Int = 3): DataFrame = {
+    val e = GraftSession.trackCache(vecs(spark, dir))
+    val centroids = kmeans(e, k, iters)
+    val asg = GraftSession.trackCache(assignedTo(e, centroids))
+    val q = probeCells(asg.filter(col("vec_id") < 10), centroids, nprobe)
     val c = asg.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"), col("cid"))
     rankTop5(c.join(broadcast(q), Seq("cid")).withColumn("cosine", cosineCol))
@@ -177,19 +186,83 @@ object Similarity {
     * sketch state, same as LSH/IVF. */
   def pqTopK(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
       iters: Int = 3, rerank: Int = 64): DataFrame = {
-    import spark.implicits._
     val e = GraftSession.trackCache(vecs(spark, dir))
-    val dim = 64
-    val sub = dim / m
-    // columnar subvector layout, 1-based slice
-    val subs = GraftSession.trackCache(
-      e.select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, ${m - 1}),
-           |          mi -> named_struct('m', mi, 'sv', slice(v, mi * $sub + 1, $sub)))""".stripMargin))
-        .as("s"))
-        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv")))
+    val subs = GraftSession.trackCache(pqSubvectors(e, m))
+    val codebook = pqCodebook(e, subs, m, k, iters)
+    val codes = GraftSession.trackCache(pqEncoded(subs, codebook))
+    // ADC over the WHOLE code table (PQ alone = flat compressed scan)
+    val approx = pqAdcScores(e, codes.filter(col("vec_id") >= 10),
+      pqLut(subs, codebook))
+    pqRerankExact(e, approx, rerank)
+  }
 
-    // init: k deterministic hash-sampled vectors seed every subspace
+  /** IVF-PQ (the FAISS `IndexIVFPQ` shape — how production vector search
+    * actually ships): the coarse quantizer PRUNES (only the nprobe probed
+    * cells' inverted lists are touched) and the PQ codes COMPRESS (the
+    * pruned candidates are ADC-scored against m-byte codes, not raw
+    * floats), composing [[ivfTopK]]'s and [[pqTopK]]'s complementary
+    * scale levers in one operator. All the moving parts are the shared
+    * helpers: k-means cells, sampled-trained codebooks, the columnar code
+    * table, per-query LUTs — and the composition itself is two broadcast
+    * equi-joins (candidates from the probe, partial dots from the LUT)
+    * followed by the same exact re-rank. */
+  def ivfPqTopK(spark: SparkSession, dir: String, cells: Int = 8, nprobe: Int = 2,
+      m: Int = 8, k: Int = 16, iters: Int = 2, rerank: Int = 32): DataFrame = {
+    val e = GraftSession.trackCache(vecs(spark, dir))
+    val coarse = kmeans(e, cells, iters)
+    val asg = GraftSession.trackCache(
+      assignedTo(e, coarse).select(col("vec_id"), col("cid")))
+    val subs = GraftSession.trackCache(pqSubvectors(e, m))
+    val codebook = pqCodebook(e, subs, m, k, iters)
+    val codes = GraftSession.trackCache(pqEncoded(subs, codebook))
+    // IVF pruning: (q_id, vec_id) candidates from the probed cells only
+    val probe = probeCells(e.filter(col("vec_id") < 10), coarse, nprobe)
+      .select("q_id", "cid")
+    val cand = asg.filter(col("vec_id") >= 10)
+      .join(broadcast(probe), Seq("cid"))
+      .select("q_id", "vec_id")
+    // ADC restricted to the candidates: join their codes, look up the
+    // (q_id, m, code) partial dots, sum per pair
+    val approx = pqAdcScores(e,
+      cand.join(codes, Seq("vec_id")),
+      pqLut(subs, codebook), perQuery = true)
+    pqRerankExact(e, approx, rerank)
+  }
+
+  /** Columnar subvector layout (vec_id, m, sv); 1-based slice, dim 64. */
+  private def pqSubvectors(e: DataFrame, m: Int): DataFrame = {
+    val sub = 64 / m
+    e.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${m - 1}),
+         |          mi -> named_struct('m', mi, 'sv', slice(v, mi * $sub + 1, $sub)))""".stripMargin))
+      .as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+  }
+
+  private def pqCbDf(spark: SparkSession, cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    spark.createDataFrame(cb).toDF("m", "code", "c")
+
+  /** (vec_id, m, code): nearest codeword per subvector — broadcast join
+    * against the codebook, struct-min argmin (|sv|^2 dropped: rank-
+    * invariant per (vec_id, m) group). */
+  private def pqEncoded(frame: DataFrame, cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    frame.join(broadcast(pqCbDf(frame.sparkSession, cb)), Seq("m"))
+      .withColumn("d", expr("dot_product(c, c) - 2.0d * dot_product(sv, c)"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+
+  /** Per-subspace codebooks. Lloyd trains on a bounded deterministic
+    * hash-sample, NOT the corpus: codebook quality needs a representative
+    * sample (the standard PQ training regime), so the iterations cost
+    * O(sample) regardless of corpus size — without this, k iterations
+    * would be k full corpus scans at 100 TB. The full corpus is touched
+    * exactly once, by the final encode. (At test SFs <= the sample size
+    * this trains on everything, so the recall specs exercise the same
+    * arithmetic.) */
+  private def pqCodebook(e: DataFrame, subs: DataFrame, m: Int, k: Int,
+      iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    val sub = 64 / m
     var codebook: Seq[(Int, Int, Seq[Double])] = e
       .withColumn("h", xxhash64(col("vec_id"))).orderBy("h").limit(k)
       .select("v").collect().zipWithIndex.toSeq
@@ -197,33 +270,13 @@ object Similarity {
         val v = r.getSeq[Double](0)
         (0 until m).map(mi => (mi, ci, v.slice(mi * sub, (mi + 1) * sub)))
       }
-
-    def cbDf(cb: Seq[(Int, Int, Seq[Double])]): DataFrame = cb.toDF("m", "code", "c")
-
-    /** (vec_id, m, code): nearest codeword per subvector — broadcast join
-      * against the codebook, struct-min argmin (|sv|^2 dropped: rank-
-      * invariant per (vec_id, m) group). */
-    def encoded(frame: DataFrame, cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
-      frame.join(broadcast(cbDf(cb)), Seq("m"))
-        .withColumn("d", expr("dot_product(c, c) - 2.0d * dot_product(sv, c)"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("d"), col("code"))).as("best"))
-        .select(col("vec_id"), col("m"), col("best.code").as("code"))
-
-    // Lloyd trains on a bounded deterministic hash-sample, NOT the corpus:
-    // codebook quality needs a representative sample (the standard PQ
-    // training regime), so the iterations cost O(sample) regardless of
-    // corpus size — without this, k iterations would be k full corpus
-    // scans at 100 TB. The full corpus is touched exactly once, by the
-    // final encode below. (At test SFs <= the sample size this trains on
-    // everything, so the recall spec exercises the same arithmetic.)
     val trainIds = e.withColumn("h", xxhash64(col("vec_id"))).orderBy("h")
       .limit(math.max(32 * k, 256)).select("vec_id")
     val trainSubs = GraftSession.trackCache(
       subs.join(broadcast(trainIds), Seq("vec_id")))
     val vmean = udaf(graft.functions.VectorMeanAgg)
     for (_ <- 1 to iters) {
-      val means = encoded(trainSubs, codebook)
+      val means = pqEncoded(trainSubs, codebook)
         .join(trainSubs, Seq("vec_id", "m"))
         .groupBy("m", "code").agg(vmean(col("sv")).as("c"))
         .collect()
@@ -233,23 +286,36 @@ object Similarity {
         (mi, ci, means.getOrElse((mi, ci), old))
       }
     }
+    codebook
+  }
 
-    val codes = GraftSession.trackCache(encoded(subs, codebook))
-    // ADC lookup table: partial dot of each query subvector with each
-    // codeword — q x m x k small rows, broadcast onto the code table
-    val lut = subs.filter(col("vec_id") < 10)
-      .join(broadcast(cbDf(codebook)), Seq("m"))
+  /** ADC lookup table: partial dot of each query subvector with each
+    * codeword — q x m x k small rows, always broadcast. */
+  private def pqLut(subs: DataFrame, cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    subs.filter(col("vec_id") < 10)
+      .join(broadcast(pqCbDf(subs.sparkSession, cb)), Seq("m"))
       .select(col("vec_id").as("q_id"), col("m"), col("code"),
         expr("dot_product(sv, c)").as("pdot"))
-    val norms = e.select(col("vec_id"), col("nrm"))
-    val approx = codes.filter(col("vec_id") >= 10)
-      .join(broadcast(lut), Seq("m", "code"))
+
+  /** Reconstructs approximate cosines from a code frame + broadcast LUT:
+    * one equi-join, one (q_id, n_id) sum, a norm join — no per-pair
+    * float-vector math. `perQuery` joins on (q_id, m, code) when the code
+    * frame is already restricted to per-query candidates (IVF-PQ). */
+  private def pqAdcScores(e: DataFrame, codeFrame: DataFrame, lut: DataFrame,
+      perQuery: Boolean = false): DataFrame = {
+    val joined =
+      if (perQuery) codeFrame.join(broadcast(lut), Seq("q_id", "m", "code"))
+      else codeFrame.join(broadcast(lut), Seq("m", "code"))
+    joined
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum("pdot").as("adot"))
-      .join(norms.select(col("vec_id").as("n_id"), col("nrm").as("nrmb")), Seq("n_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("nrm").as("nrmb")), Seq("n_id"))
       .withColumn("ascore", col("adot") / col("nrmb"))
-    // top `rerank` approximate candidates per query (TopKPerKey-eligible
-    // filter-on-window), then exact cosine restores the true order on top
+  }
+
+  /** Top `rerank` approximate candidates per query (TopKPerKey-eligible
+    * filter-on-window), then exact cosine restores the true order. */
+  private def pqRerankExact(e: DataFrame, approx: DataFrame, rerank: Int): DataFrame = {
     val cand = approx
       .withColumn("r", row_number().over(
         Window.partitionBy("q_id").orderBy(col("ascore").desc, col("n_id"))))

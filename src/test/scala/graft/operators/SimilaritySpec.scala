@@ -54,6 +54,19 @@ class SimilaritySpec extends SparkSpec {
     pq.values.foreach(ns => assert(ns.size == 5))
   }
 
+  test("IVF-PQ composes pruning and compression, still finding true neighbors") {
+    val exact = topMap(Similarity.topK(spark, sf))
+    val ivfpq = topMap(Similarity.ivfPqTopK(spark, sf))
+    assert(ivfpq.keySet == (0L until 10L).toSet)
+    ivfpq.values.foreach(ns => assert(ns.size == 5))
+    ivfpq.values.flatten.foreach(n => assert(n >= 10))
+    // recall is bounded above by the IVF probe (2/8 cells) and below-noised
+    // by the ADC approximation; the exact re-rank restores order within the
+    // shortlist — expect at least the IVF floor minus one
+    val hits = exact.count { case (q, ns) => ivfpq.get(q).exists(_.headOption == ns.headOption) }
+    assert(hits >= 4, s"IVF-PQ recall@1 too low: $hits/10")
+  }
+
   test("LSH results, when present, agree with exact cosine ordering") {
     val lsh = topMap(Similarity.lshTopK(spark, sf))
     lsh.foreach { case (q, ns) =>
