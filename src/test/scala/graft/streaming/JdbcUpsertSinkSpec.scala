@@ -51,4 +51,14 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       assert(got == Map("click" -> ((3L, 7.0)), "buy" -> ((1L, 9.0))), s"got $got")
     } finally q.stop()
   }
+
+  test("embedded-Derby URL classification behind the local-mode guard") {
+    // file-path (in-JVM) forms: local-mode-only, the guard must fire on a
+    // cluster master for these
+    assert(JdbcUpsertSink.isEmbeddedDerby("jdbc:derby:/tmp/db;create=true"))
+    assert(JdbcUpsertSink.isEmbeddedDerby("jdbc:derby:memory:db"))
+    // network forms and other drivers: allowed anywhere
+    assert(!JdbcUpsertSink.isEmbeddedDerby("jdbc:derby://dbhost:1527/db"))
+    assert(!JdbcUpsertSink.isEmbeddedDerby("jdbc:postgresql://host/db"))
+  }
 }
