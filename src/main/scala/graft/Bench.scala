@@ -32,28 +32,71 @@ object Bench {
     // round-5 widening
     "text_repetition", "q_corr", "pipeline_decontaminate",
     "text_pii_redact", "streaming_dedup", "ann_pq",
-    "pipeline_pack", "wh_partition_prune", "q_grouping_sets", "ann_ivfpq")
+    "pipeline_pack", "wh_partition_prune", "q_grouping_sets", "ann_ivfpq",
+    // round-6 widening (stored-state merge incl. its state-table write;
+    // the MV cutover incl. its streaming run + backfill)
+    "wh_agg_state_merge", "streaming_backfill_cutover")
+
+  /** One query's noise evidence, carried in the bench artifact so a reader
+    * can tell VM contention from cross-query JVM state without re-running:
+    *
+    *   - `cpuS`/`runS`: summed on-core vs wall task time from Spark's own
+    *     task metrics. A compute-bound query has cpuS ≈ runS; wall-clock
+    *     inflation with FLAT cpuS and runS >> cpuS means the JVM sat
+    *     off-core — external contention, not a plan regression.
+    *   - `gcS`/`spillMB`: the cross-query-state signals — if 45 sequential
+    *     queries degrade the JVM, GC and spill climb over the pass.
+    *   - `stealS`/`busyS`: /proc/stat machine truth across the query's
+    *     window; steal is hypervisor time given to OTHER tenants.
+    *   - `blkFiles`/`blkMB`: the block-manager local dir (shuffle files
+    *     accumulate until ContextCleaner GC) — monotone growth here that
+    *     correlates with slowdowns indicts shuffle-file accumulation.
+    */
+  final case class QueryProbe(
+      tasks: Long, runS: Double, cpuS: Double, gcS: Double,
+      shufMB: Double, spillMB: Double,
+      busyS: Double, stealS: Double, iowaitS: Double,
+      blkFiles: Long, blkMB: Double)
 
   /** Times each named query via `SparkEntry.queries`; a throwing query
-    * lands in the error map (exception class + message), not the timings. */
+    * lands in the error map (exception class + message), not the timings.
+    * When `instrument` is set, each timing also gets a [[QueryProbe]]. */
   def run(spark: SparkSession, sfDir: String, names: Seq[String],
-      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = SparkEntry.queries)
-      : (Seq[(String, Double)], Seq[(String, String)]) = {
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = SparkEntry.queries,
+      instrument: Boolean = false)
+      : (Seq[(String, Double)], Seq[(String, String)], Seq[(String, QueryProbe)]) = {
     val timings = Seq.newBuilder[(String, Double)]
     val errors = Seq.newBuilder[(String, String)]
-    names.foreach { name =>
-      queries.get(name).foreach { fn =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          timings += name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+    val probes = Seq.newBuilder[(String, QueryProbe)]
+    val listener = if (instrument) Some(new TaskMetricsProbe) else None
+    listener.foreach(spark.sparkContext.addSparkListener)
+    try {
+      names.foreach { name =>
+        queries.get(name).foreach { fn =>
+          listener.foreach(_.snapshotAndReset()) // drop the previous query's tail
+          val cpu0 = if (instrument) ProcStat.read() else null
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            timings += name -> (System.nanoTime() - t0) / 1e9
+            listener.foreach { l =>
+              val snap = l.snapshotAndReset()
+              val cpu = ProcStat.read() - cpu0
+              val blk = DirStat.blockMgrDir(spark).map(DirStat.of).getOrElse(DirStat.Stat(0, 0))
+              probes += name -> QueryProbe(
+                snap.tasks, snap.runS, snap.cpuS, snap.gcS,
+                (snap.shuffleReadB + snap.shuffleWriteB) / 1e6, snap.spillB / 1e6,
+                cpu.busyS, cpu.stealS, cpu.iowaitS,
+                blk.files, blk.bytes / 1e6)
+            }
+          } catch {
+            case e: Throwable =>
+              errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+          }
         }
       }
-    }
-    (timings.result(), errors.result())
+    } finally listener.foreach(spark.sparkContext.removeSparkListener)
+    (timings.result(), errors.result(), probes.result())
   }
 
   private def esc(s: String): String =
@@ -65,12 +108,32 @@ object Bench {
       case c => c.toString
     }
 
-  def renderJson(timings: Seq[(String, Double)], errors: Seq[(String, String)], sfDir: String): String = {
+  private def r2(d: Double): Double = math.rint(d * 100) / 100
+
+  def renderJson(timings: Seq[(String, Double)], errors: Seq[(String, String)], sfDir: String,
+      probes: Seq[(String, QueryProbe)] = Seq.empty): String = {
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    val ps =
+      if (probes.isEmpty) ""
+      else probes.map { case (k, p) =>
+        "\"" + k + "\":{" +
+          s""""cpuS":${r2(p.cpuS)},"runS":${r2(p.runS)},"gcS":${r2(p.gcS)},""" +
+          s""""shufMB":${r2(p.shufMB)},"spillMB":${r2(p.spillMB)},""" +
+          s""""busyS":${r2(p.busyS)},"stealS":${r2(p.stealS)},"iowaitS":${r2(p.iowaitS)},""" +
+          s""""blkFiles":${p.blkFiles},"blkMB":${r2(p.blkMB)}}"""
+      }.mkString(""","probe":{""", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$ps,"sf":"$sfDir"}"""
   }
+
+  /** Whole-run machine CPU accounting, appended to stderr (not the JSON
+    * line, which some consumers parse strictly): total steal across the
+    * pass is the single number that says "the host was/wasn't contended". */
+  private def reportEnv(d: ProcStat.Cpu): Unit =
+    System.err.println(
+      f"[bench] host cpu over the run: busy=${d.busyS}%.1fs idle=${d.idleS}%.1fs " +
+        f"iowait=${d.iowaitS}%.1fs steal=${d.stealS}%.1fs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,8 +156,10 @@ object Bench {
       System.err.println(s"[bench] shingle layout skipped: ${e.getMessage}")
       Seq.empty
     }
-    val (timings, errors) = run(spark, sfDir, headline)
-    println(renderJson(layout ++ timings, errors, sfDir))
+    val cpu0 = ProcStat.read()
+    val (timings, errors, probes) = run(spark, sfDir, headline, instrument = true)
+    reportEnv(ProcStat.read() - cpu0)
+    println(renderJson(layout ++ timings, errors, sfDir, probes))
     spark.stop()
   }
 }

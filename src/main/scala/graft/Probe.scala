@@ -1,29 +1,61 @@
 package graft
 
-/** Per-operator wall-clock profiler (dev utility, NOT part of the driver
-  * contract). Times any subset of `SparkEntry.queries` on
-  * SPARK_GRAFT_SF_DIR with the same sweep-between-queries discipline the
-  * bench uses, so a regression can be localized without editing
-  * [[Bench]]'s headline list.
+/** Instrumented replay of the driver's bench pass (dev utility, NOT part
+  * of the driver contract) — the bisection tool for "why did the official
+  * bench read 2-5x the clean figure on untouched queries?".
   *
-  * Usage (sbt shell): `runMain graft.Probe dedup_simhash dedup_ngram_jaccard`
-  * — no args runs the full bench headline set.
+  * Replays [[Bench.headline]] (or a named subset) exactly the way
+  * [[Bench.main]] does — same session, same warm-up, same shingle-layout
+  * build, same sweep-at-entry discipline — but prints a per-query evidence
+  * table: driver wall vs summed task CPU/run/GC, shuffle+spill bytes,
+  * machine busy/steal/iowait over the query's window, and the
+  * block-manager dir footprint after the query. With `--passes=N` the
+  * whole sequence repeats N times in ONE JVM:
+  *
+  *   - pass 2+ systematically slower than pass 1 → cross-query JVM state
+  *     (shuffle-file accumulation, fragmentation, GC pressure) — OUR bug;
+  *   - random scatter uncorrelated with pass number, wall >> cpu while
+  *     steal/busy spikes → external VM contention — the host's problem,
+  *     and the probe columns are the committed evidence.
+  *
+  * Usage (sbt shell): `runMain graft.Probe [--passes=2] [name ...]`
   */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val (flags, names0) = args.partition(_.startsWith("--"))
+    val passes = flags.collectFirst { case f if f.startsWith("--passes=") =>
+      f.stripPrefix("--passes=").toInt }.getOrElse(1)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.get()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-probe-warehouse").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$dir/region.parquet").count() // JVM/codegen warmup
-    val names = if (args.nonEmpty) args.toSeq else Bench.headline
-    names.foreach { name =>
-      SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          val t0 = System.nanoTime()
-          val n = fn(spark, dir).count()
-          println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-        case None => println(s"PROBE $name UNKNOWN (not a SparkEntry.queries key)")
+    val t0 = System.nanoTime()
+    try operators.Warehouse.materializeShingles(spark, dir, buckets = cpus.toInt)
+    catch { case e: Throwable => System.err.println(s"[probe] shingle layout skipped: ${e.getMessage}") }
+    println(f"PROBE shingle_layout_build   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    val names = if (names0.nonEmpty) names0.toSeq else Bench.headline
+    println("pass query                      wall    cpuS    runS     gcS  shufMB spillMB   busyS  stealS iowaitS blkFiles   blkMB")
+    val runCpu0 = ProcStat.read()
+    (1 to passes).foreach { pass =>
+      val (timings, errors, probes) = Bench.run(spark, dir, names, instrument = true)
+      val probeMap = probes.toMap
+      timings.foreach { case (name, wall) =>
+        val p = probeMap(name)
+        println(f"$pass%4d $name%-24s ${wall}%7.2f ${p.cpuS}%7.2f ${p.runS}%7.2f ${p.gcS}%7.2f " +
+          f"${p.shufMB}%7.1f ${p.spillMB}%7.1f ${p.busyS}%7.1f ${p.stealS}%7.1f ${p.iowaitS}%7.1f " +
+          f"${p.blkFiles}%8d ${p.blkMB}%7.1f")
       }
+      errors.foreach { case (name, e) => println(s"$pass ERROR $name: $e") }
+      val subtotal = timings.map(_._2).sum
+      println(f"pass $pass total ${subtotal}%.2f s over ${timings.size} queries")
     }
+    val d = ProcStat.read() - runCpu0
+    println(f"host over the whole probe: busy=${d.busyS}%.1fs idle=${d.idleS}%.1fs " +
+      f"iowait=${d.iowaitS}%.1fs steal=${d.stealS}%.1fs")
     GraftSession.sweepCaches(spark)
     spark.stop()
   }

@@ -113,6 +113,9 @@ object SparkEntry {
     "pipeline_pack" -> ((s, d) => Pipeline.pack(s, d)),
     "wh_partition_prune" -> (Warehouse.partitionPrunedDaily _),
     "q_grouping_sets" -> (Olap.ordersGroupingSets _),
+    // Round-6 widening: the reference's last two uncovered storage concepts
+    "wh_agg_state_merge" -> (Warehouse.aggStateMerge _),
+    "streaming_backfill_cutover" -> (RefPipeline.mvBackfillCutover _),
   )
 
   private val tokCte =
@@ -385,6 +388,17 @@ object SparkEntry {
       s"""WITH t AS ($tokCte),
          |ex AS (SELECT doc_id, unnest(tk) AS term FROM t)
          |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM ex GROUP BY term""".stripMargin,
+    // valid because the sketch tracker capacity (4096) covers this corpus's
+    // distinct-term universe, so every sketch count is exact and the
+    // deterministic (cnt desc, term) re-rank equals the exact top-10
+    "q_heavy_hitters" ->
+      s"""WITH t AS ($tokCte),
+         |ex AS (SELECT unnest(tk) AS term FROM t),
+         |c AS (SELECT term, count(*) AS cnt FROM ex GROUP BY term),
+         |r AS (SELECT term, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+         |      FROM c)
+         |SELECT term, cnt, rnk FROM r WHERE rnk <= 10""".stripMargin,
     "multimodal_embed_join" ->
       s"""WITH d AS (SELECT doc_id,
          |             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
@@ -679,5 +693,23 @@ object SparkEntry {
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    // direct aggregation over raw events: equality proves the stored
+    // (sum, count, min, max) state merge is lossless
+    "wh_agg_state_merge" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |             round(min(value), 4) AS min_value,
+        |             round(max(value), 4) AS max_value,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        |           FROM events GROUP BY 1)
+        |SELECT day, n, min_value, max_value,
+        |       round(CAST(sc AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 4) AS avg_value
+        |FROM g""".stripMargin,
+    // whole-range batch aggregation: equality proves the streaming MV
+    // (ts >= cutover) and the backfill (ts < cutover) partition the data
+    // exactly once
+    "streaming_backfill_cutover" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       round(sum(value), 4) AS total, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -55,6 +55,13 @@ object GramStats {
     StructField("n_uniq", LongType, nullable = false),
     StructField("top_cf", LongType, nullable = false)))
 
+  /** Token hash for a null array element: `checkInputDataTypes` accepts
+    * `containsNull=true` arrays, so a null token must hash to SOMETHING
+    * deterministic rather than NPE inside the codegen'd projection. A
+    * fixed sentinel treats all nulls as one distinct token value — the
+    * same semantics a `coalesce(x, '<null>')` pre-pass would give. */
+  private val NullTokenHash = XXH64.hashLong(0x6e756c6cL /* 'null' */, 42L)
+
   /** One pass: hash each token once, slide the gram window chaining the
     * token hashes, count occurrences in an open hash map. */
   def compute(arr: ArrayData, gram: Int): InternalRow = {
@@ -64,8 +71,11 @@ object GramStats {
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      if (arr.isNullAt(i)) th(i) = NullTokenHash
+      else {
+        val s = arr.getUTF8String(i)
+        th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      }
       i += 1
     }
     val m = new java.util.HashMap[java.lang.Long, java.lang.Long](count * 2)

@@ -270,15 +270,27 @@ object Analytics {
   /** ClickHouse `topK(k)` analog: approximate heavy hitters over the term
     * stream via Spark's ApproxTopK sketch aggregate (mergeable partial
     * states — one pass, no exact groupBy over the full vocabulary first).
-    * Output is re-ranked deterministically. No SQL oracle (sketch
-    * internals are engine-specific); AnalyticsSpec asserts agreement with
-    * the exact counts, which this vocabulary size guarantees. */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    *
+    * The sketch is over-provisioned (64 items retained for a top-10
+    * answer — the standard headroom that keeps boundary items honest) and
+    * the final 10 are re-ranked deterministically by (count desc, term)
+    * on the driver-bounded result. While the tracker capacity covers the
+    * distinct-term universe (it does on this corpus: ~31 terms vs 4096
+    * tracked) every count is exact, so the output equals the exact top-10
+    * with the same tiebreak — which is what the SQL oracle checks; on a
+    * larger-than-capacity vocabulary the counts degrade gracefully to
+    * sketch estimates and AnalyticsSpec's exact-agreement invariant is
+    * the contract instead. The re-rank runs on the <= 64 sketch rows via
+    * the bounded one-slice path — never a single-partition WindowExec. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val sketched = Tables(spark, dir).documents
       .select(explode(expr(TextAnalysis.tokensExpr)).as("term"))
-      .agg(expr("approx_top_k(term, 10)").as("top"))
+      .agg(expr("approx_top_k(term, 64, 4096)").as("top"))
       .select(explode(col("top")).as("s"))
       .select(col("s.item").as("term"), col("s.count").cast("long").as("cnt"))
+    GlobalRank.boundedRowNumbered(sketched, "rnk", col("cnt").desc, col("term"))
+      .filter(col("rnk") <= 10)
+  }
 
   /** Fixed-width value histogram (ClickHouse `histogram()` surface, exact
     * flavor): bin = floor(value / 50). The bin id is computed map-side, so

@@ -88,12 +88,23 @@ object GlobalRank {
     * sequence packing / byte-offset assignment over a whole corpus. */
   def prefixSummed(df: DataFrame, value: Column, out: String, sortCols: Column*): DataFrame = {
     require(sortCols.nonEmpty, "prefix sum needs a (total) sort order")
+    require(!df.columns.contains("__v") && !df.columns.contains("__pid"),
+      "prefix sum reserves the working columns __v/__pid; rename them in the input")
     val p = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     val in = GraftSession.trackCache(df.withColumn("__v", value))
+    // the per-slice offsets are carried as exact longs; an integral value
+    // column is a hard requirement, not a cast we can paper over (a double
+    // prefix sum would also be order-sensitive and non-reproducible)
+    in.schema("__v").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case t => throw new IllegalArgumentException(
+        s"prefix sum needs an integral value column (sums read as long); got $t")
+    }
     val sliced = GraftSession.trackCache(
       in.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
-    val totals = sliced.groupBy("__pid").agg(sum("__v").as("t"))
+    val totals = sliced.groupBy("__pid").agg(sum("__v").cast("long").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
     val offMap = map(offsets.flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*)

@@ -150,6 +150,10 @@ object RefPipeline {
       val q = spark.readStream.schema(schema).option("basePath", dir)
         .parquet(s"$dir/events.[p]arquet")
         .select("user_id", "event_type")
+        // oracle parity: count(DISTINCT user_id) ignores NULL keys, but the
+        // dedup state would keep a NULL user as one key and count it —
+        // exclude it explicitly (a no-op on the generated corpus)
+        .filter(col("user_id").isNotNull)
         .dropDuplicates("user_id", "event_type")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
@@ -160,6 +164,61 @@ object RefPipeline {
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(sink)
+  }
+
+  /** README.rst Step 3's MV backfill + cutover trick as a CHECKED key —
+    * the reference's cleverest move: the materialized view is created with
+    * `WHERE timestamp >= <future cutover>`, so the MV owns every row that
+    * arrives AFTER the cutover; history is then backfilled with a one-time
+    * `INSERT ... SELECT ... WHERE timestamp < cutover`. The two writers'
+    * responsibilities are DISJOINT by the cutover predicate, so the union
+    * is exactly-once by construction — no dedup, no transaction
+    * coordination between the stream and the backfill.
+    *
+    * Spark rendition: the streaming half runs the per-(day, type) count MV
+    * over `ts >= cutover` through the replay-proven [[graft.streaming
+    * .ParquetUpsertSink]] (batch-overwrite idempotence — a crash/replay
+    * rewrites the same `batch=` directory); the batch half aggregates
+    * `ts < cutover` directly; the result is the sink read-back unioned
+    * with the backfill. The aggregation key includes the day, and the
+    * cutover is a day boundary, so no output row ever mixes the halves.
+    * Oracle = the whole-range batch aggregation — the equality IS the
+    * exactly-once backfill contract in one line.
+    *
+    * Scale shape: both halves are ordinary partial-aggregated shuffles;
+    * the sink's per-key state is bounded by (days x types). At 100 TB the
+    * backfill is a one-time batch job over the historical partition range
+    * while the stream only ever holds post-cutover state — exactly why
+    * the reference invented the trick. */
+  def mvBackfillCutover(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cutover = lit("2024-01-16").cast("date")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sink = java.nio.file.Files.createTempDirectory("graft-mv-cutover")
+      .resolve("mv").toString
+    val raw = spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.[p]arquet")
+    // same TIMESTAMP(NANOS) rebuild Tables.events does for the batch reader
+    val typed =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val mv = typed
+      .filter(to_date(col("ts")) >= cutover) // the MV's future-timestamp WHERE
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(round(sum("value"), 4).as("total"), count(lit(1)).as("n"))
+    val q = graft.streaming.ParquetUpsertSink.attach(mv, sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val mvHalf = graft.streaming.ParquetUpsertSink
+      .read(spark, sink, Seq("day", "event_type"))
+      .select("day", "event_type", "total", "n")
+    val backfill = Tables(spark, dir).events // the one-time backfill INSERT
+      .filter(to_date(col("ts")) < cutover)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(round(sum("value"), 4).as("total"), count(lit(1)).as("n"))
+    mvHalf.unionByName(backfill)
   }
 
   /** The "JDBC sink" north star as a CHECKED key: the grouped-sum MV is

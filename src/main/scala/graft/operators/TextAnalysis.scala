@@ -138,11 +138,19 @@ object TextAnalysis {
   }
 
   /** Per-document top keyword by tf-idf (idf = ln(N/df)) — the classic
-    * keyword-extraction pass. Corpus stats (N, per-term df) are computed
-    * once and broadcast onto the per-doc term frequencies; the winner is a
-    * row_number over the ROUNDED score with a term tiebreak, so the answer
-    * is deterministic under float noise. Nothing is collected to the
-    * driver — N rides a broadcast single-row frame. */
+    * keyword-extraction pass. The winner is a row_number over the ROUNDED
+    * score with a term tiebreak, so the answer is deterministic under
+    * float noise. Nothing is collected to the driver — N rides a
+    * broadcast single-row frame.
+    *
+    * The per-term df frame carries NO broadcast hint on purpose: the
+    * distinct-term universe of a web-scale corpus is billions of entries
+    * (URLs, typos, code tokens), and a forced `broadcast()` overrides
+    * Spark's size check into an OOM-at-scale plan. Unhinted, AQE
+    * broadcasts the join exactly when the runtime stats fit (it does at
+    * test SF) and falls back to a shuffle join on the shared `term` key
+    * when they don't — tf is already partitioned compatibly, so the
+    * at-scale plan is one extra exchange of the small df side only. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val tok = withTokens(docs.select("doc_id", "text"))
@@ -153,7 +161,7 @@ object TextAnalysis {
     val tf = graft.GraftSession.trackCache(
       tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * log(col("n_docs").cast("double") / col("df")))

@@ -36,11 +36,20 @@ object Warehouse {
   private val shingleDirs =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
 
+  /** Per-session registration map, CREATED on first write. Read paths use
+    * [[registeredDir]] instead — a pure lookup that never inserts (a
+    * session that merely queries should not allocate and hold a registry
+    * entry until it is collected). */
   private def dirsOf(spark: SparkSession): scala.collection.mutable.Map[String, String] =
     shingleDirs.synchronized {
       var m = shingleDirs.get(spark)
       if (m == null) { m = scala.collection.mutable.Map.empty[String, String]; shingleDirs.put(spark, m) }
       m
+    }
+
+  private def registeredDir(spark: SparkSession, table: String): Option[String] =
+    shingleDirs.synchronized {
+      Option(shingleDirs.get(spark)).flatMap(_.get(table))
     }
 
   /** Writes `orders` and `lineitem` bucketed + sorted by their join key
@@ -90,7 +99,7 @@ object Warehouse {
   def shingleLayout(spark: SparkSession, dir: String,
       prefix: String = "wh"): Option[DataFrame] = {
     val tbl = s"${prefix}_shingles"
-    val registered = shingleDirs.synchronized(dirsOf(spark).get(tbl)).contains(dir)
+    val registered = registeredDir(spark, tbl).contains(dir)
     if (registered && spark.catalog.tableExists(tbl)) Some(spark.table(tbl))
     else None
   }
@@ -98,7 +107,10 @@ object Warehouse {
   /** Drops the layout table + its registry entry (spec hygiene: suites
     * running after a layout test must see the raw path again). */
   def dropShingleLayout(spark: SparkSession, prefix: String = "wh"): Unit = {
-    shingleDirs.synchronized { dirsOf(spark).remove(s"${prefix}_shingles") }
+    shingleDirs.synchronized {
+      val m = shingleDirs.get(spark)
+      if (m != null) m.remove(s"${prefix}_shingles")
+    }
     spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
   }
 
@@ -133,6 +145,55 @@ object Warehouse {
       .filter(col("event_date") === lit("2024-01-15").cast("date"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+  }
+
+  /** Stored partial-aggregate state + query-time merge — the reference's
+    * Step 4 concept (README.rst: a `SummingMergeTree` table stores
+    * `maxState`/`minState`/`avgState` per (day, subject) and queries
+    * finish with `maxMerge`/`minMerge`/`avgMerge`) as a CHECKED key.
+    * Spark already runs the same split per query (partial/final
+    * HashAggregate); this key makes the partial state a STORED layout:
+    *
+    *   1. State build: one scan of raw events aggregates to a persisted
+    *      `(day, event_type, sum_cents, cnt, min_v, max_v)` table — the
+    *      mergeable state of every algebraic aggregate (avg's state is
+    *      the (sum, count) pair, exactly ClickHouse's `avgState`).
+    *   2. Merge query: a later query rolls the states up to the coarser
+    *      per-day key — sums and counts ADD, mins MIN, maxes MAX, and avg
+    *      finishes as merged-sum / merged-count (`avgMerge`).
+    *
+    * Oracle = the direct whole-range aggregation over raw events;
+    * equality proves the stored state is lossless. Value sums are stored
+    * as exact integer cents so state merging is associative bit-for-bit
+    * (double partial sums would make the merge order observable — SURVEY
+    * §5); the one avg division is a single identical IEEE chain on both
+    * engines.
+    *
+    * Scale: this is the pre-aggregation pattern that makes dashboards
+    * cheap at 100 TB — the raw corpus is scanned ONCE at state-build time
+    * (partial-aggregated shuffle down to days x types rows), and every
+    * later merge query touches only the tiny state table. The state key
+    * is deliberately finer than the query key so the merge step is real
+    * work, not a rename. */
+  def aggStateMerge(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"),
+        count(lit(1)).as("cnt"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+      .write.mode("overwrite").saveAsTable("wh_agg_state")
+    spark.table("wh_agg_state")
+      .groupBy("day")
+      .agg(
+        sum("cnt").as("n"),
+        round(min("min_v"), 4).as("min_value"),
+        round(max("max_v"), 4).as("max_value"),
+        sum("sum_cents").as("sc"))
+      .select(col("day"), col("n"), col("min_value"), col("max_value"),
+        round(col("sc").cast("double") / lit(100.0) / col("n").cast("double"), 4)
+          .as("avg_value"))
   }
 
   /** Revenue per order priority over the BUCKETED tables: the

@@ -45,11 +45,13 @@ object JdbcUpsertSink {
         java.nio.file.Files.createTempDirectory("graft-derby-home").toString)
 
   /** Embedded (in-JVM, file-path) Derby URL: `jdbc:derby:` NOT followed by
-    * a subprotocol with a host (`//host`, or the `net:`/ `:derby://` client
-    * forms). Such a URL only makes sense when executors share the driver
-    * JVM — see the class doc. */
+    * a subprotocol with a host (the `jdbc:derby://host` and
+    * `jdbc:derby:net:host` client/server forms). Such a URL only makes
+    * sense when executors share the driver JVM — see the class doc. */
   private[streaming] def isEmbeddedDerby(url: String): Boolean =
-    url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
+    url.startsWith("jdbc:derby:") &&
+      !url.startsWith("jdbc:derby://") &&
+      !url.startsWith("jdbc:derby:net:")
 
   private def requireLocalForEmbedded(spark: SparkSession, url: String): Unit = {
     val master = spark.sparkContext.master

@@ -8,14 +8,17 @@ class BenchSpec extends SparkSpec {
     val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
       "ok" -> ((s, dir) => s.read.parquet(s"$dir/region.parquet")),
       "boom" -> ((_, _) => throw new IllegalStateException("synthetic failure")))
-    val (timings, errors) = Bench.run(spark, sf, Seq("ok", "boom"), queries)
+    val (timings, errors, probes) = Bench.run(spark, sf, Seq("ok", "boom"), queries, instrument = true)
     assert(timings.map(_._1) == Seq("ok"))
     assert(errors.map(_._1) == Seq("boom"))
     assert(errors.head._2.contains("IllegalStateException"))
-    val json = Bench.renderJson(timings, errors, sf)
+    // only the successful query carries probe evidence
+    assert(probes.map(_._1) == Seq("ok"))
+    val json = Bench.renderJson(timings, errors, sf, probes)
     // the failed query must not appear among the timings nor inflate value
     assert(json.contains("\"errors\":{\"boom\":"))
     assert(!json.contains("\"boom\":-"))
+    assert(json.contains("\"probe\":{\"ok\":{\"cpuS\":"))
     val value = json.split("\"value\":")(1).split(",")(0).toDouble
     assert(value == timings.map(_._2).sum)
   }

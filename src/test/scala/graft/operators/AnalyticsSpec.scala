@@ -40,19 +40,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("heavy-hitters sketch agrees with the exact term counts at this vocabulary size") {
-    val sketch = Analytics.heavyHitters(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(sketch.size == 10)
+  test("heavy-hitters sketch equals the exact ranked top-10 at this vocabulary size") {
+    val sketch = Analytics.heavyHitters(spark, sf)
+      .orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("rnk")))
+    assert(sketch.length == 10)
+    assert(sketch.map(_._3).toSeq == (1L to 10L), "ranks must be 1..10")
     val exact = Analytics.topTerms(spark, sf)
-      .orderBy(col("cf").desc, col("term")).collect()
+      .orderBy(col("cf").desc, col("term")).limit(10).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("cf"))
-    // every reported item carries its exact count (the tracker never evicts
-    // at this vocabulary size), and the true top term is reported
-    sketch.foreach { case (term, cnt) =>
-      assert(exact.toMap.get(term).contains(cnt), s"$term: sketch=$cnt exact=${exact.toMap.get(term)}")
-    }
-    assert(sketch.contains(exact.head._1), s"missing true top term ${exact.head._1}")
+    // tracker capacity covers the vocabulary, so counts are exact and the
+    // deterministic re-rank makes the whole ranked list equal — the same
+    // equality the SQL oracle checks
+    assert(sketch.map(t => (t._1, t._2)).toSeq == exact.toSeq,
+      s"sketch=${sketch.toSeq} exact=${exact.toSeq}")
   }
 
   test("window funnel levels partition the signup cohort") {

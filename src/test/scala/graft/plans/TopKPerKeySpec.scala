@@ -59,6 +59,20 @@ class TopKPerKeySpec extends SparkSpec {
     assert(df.count() == 1000L)
   }
 
+  test("the engine's production rankers keep compiling to the bounded-heap operator") {
+    // the real filter-on-row_number call sites; if any regresses to
+    // WindowExec, its per-key group gets fully sorted in one task at scale
+    val rankers = Seq(
+      "topSpenders" -> graft.operators.Analytics.topSpenders(spark, sf),
+      "ann_topk" -> graft.operators.Similarity.topK(spark, sf),
+      "ann_pq rerank" -> graft.operators.Similarity.pqTopK(spark, sf))
+    rankers.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"$name: rewrite did not fire:\n$plan")
+      assert(!plan.contains("Window "), s"$name: WindowExec still present:\n$plan")
+    }
+  }
+
   test("every key yields exactly min(k, group size) ranked rows") {
     val rows = topkQuery().collect()
     val byKey = rows.groupBy(_.getLong(0))

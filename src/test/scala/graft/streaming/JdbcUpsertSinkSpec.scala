@@ -59,6 +59,7 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(JdbcUpsertSink.isEmbeddedDerby("jdbc:derby:memory:db"))
     // network forms and other drivers: allowed anywhere
     assert(!JdbcUpsertSink.isEmbeddedDerby("jdbc:derby://dbhost:1527/db"))
+    assert(!JdbcUpsertSink.isEmbeddedDerby("jdbc:derby:net:dbhost:1527/db"))
     assert(!JdbcUpsertSink.isEmbeddedDerby("jdbc:postgresql://host/db"))
   }
 }
