@@ -79,7 +79,9 @@ object Bench {
           try {
             fn(spark, sfDir).count()
             timings += name -> (System.nanoTime() - t0) / 1e9
-            listener.foreach { l =>
+            // Diagnostics in their OWN try: a probe-side failure must never
+            // reclassify a successful query as an error (it already timed).
+            try listener.foreach { l =>
               val snap = l.snapshotAndReset()
               val cpu = ProcStat.read() - cpu0
               val blk = DirStat.blockMgrDir(spark).map(DirStat.of).getOrElse(DirStat.Stat(0, 0))
@@ -88,6 +90,9 @@ object Bench {
                 (snap.shuffleReadB + snap.shuffleWriteB) / 1e6, snap.spillB / 1e6,
                 cpu.busyS, cpu.stealS, cpu.iowaitS,
                 blk.files, blk.bytes / 1e6)
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] probe collection failed for $name: ${e.getMessage}")
             }
           } catch {
             case e: Throwable =>
@@ -110,21 +115,33 @@ object Bench {
 
   private def r2(d: Double): Double = math.rint(d * 100) / 100
 
-  def renderJson(timings: Seq[(String, Double)], errors: Seq[(String, String)], sfDir: String,
-      probes: Seq[(String, QueryProbe)] = Seq.empty): String = {
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  /** The driver-facing line. KEPT COMPACT ON PURPOSE: the driver captures a
+    * bounded tail of stdout and parses the JSON line out of it — round 6
+    * embedded the per-query probe objects here, the line grew past the
+    * capture window, and the official artifact recorded `parsed: null`.
+    * Probe evidence now goes to its own file ([[renderProbeJson]]). */
+  def renderJson(timings: Seq[(String, Double)], errors: Seq[(String, String)],
+      sfDir: String): String = {
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
-    val total = timings.map(_._2).sum
-    val ps =
-      if (probes.isEmpty) ""
-      else probes.map { case (k, p) =>
-        "\"" + k + "\":{" +
-          s""""cpuS":${r2(p.cpuS)},"runS":${r2(p.runS)},"gcS":${r2(p.gcS)},""" +
-          s""""shufMB":${r2(p.shufMB)},"spillMB":${r2(p.spillMB)},""" +
-          s""""busyS":${r2(p.busyS)},"stealS":${r2(p.stealS)},"iowaitS":${r2(p.iowaitS)},""" +
-          s""""blkFiles":${p.blkFiles},"blkMB":${r2(p.blkMB)}}"""
-      }.mkString(""","probe":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$ps,"sf":"$sfDir"}"""
+    val total = r2(timings.map(_._2).sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+  }
+
+  /** Per-query noise evidence (wall + [[QueryProbe]] columns), written to a
+    * sidecar file so the stdout contract stays one short line. */
+  def renderProbeJson(timings: Seq[(String, Double)],
+      probes: Seq[(String, QueryProbe)], sfDir: String): String = {
+    val wall = timings.toMap
+    val ps = probes.map { case (k, p) =>
+      "\"" + k + "\":{" +
+        s""""wallS":${r2(wall.getOrElse(k, 0.0))},""" +
+        s""""cpuS":${r2(p.cpuS)},"runS":${r2(p.runS)},"gcS":${r2(p.gcS)},""" +
+        s""""shufMB":${r2(p.shufMB)},"spillMB":${r2(p.spillMB)},""" +
+        s""""busyS":${r2(p.busyS)},"stealS":${r2(p.stealS)},"iowaitS":${r2(p.iowaitS)},""" +
+        s""""blkFiles":${p.blkFiles},"blkMB":${r2(p.blkMB)}}"""
+    }.mkString("{", ",", "}")
+    s"""{"probe":$ps,"sf":"$sfDir"}"""
   }
 
   /** Whole-run machine CPU accounting, appended to stderr (not the JSON
@@ -159,7 +176,17 @@ object Bench {
     val cpu0 = ProcStat.read()
     val (timings, errors, probes) = run(spark, sfDir, headline, instrument = true)
     reportEnv(ProcStat.read() - cpu0)
-    println(renderJson(layout ++ timings, errors, sfDir, probes))
+    // Sidecar evidence file (committed next snapshot → readable per round);
+    // never let a diagnostics write break the stdout contract.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "bench_probe.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (renderProbeJson(timings, probes, sfDir) + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] probe evidence written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] probe evidence write failed: ${e.getMessage}")
+    }
+    println(renderJson(layout ++ timings, errors, sfDir))
     spark.stop()
   }
 }

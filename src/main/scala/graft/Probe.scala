@@ -38,16 +38,22 @@ object Probe {
     catch { case e: Throwable => System.err.println(s"[probe] shingle layout skipped: ${e.getMessage}") }
     println(f"PROBE shingle_layout_build   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     val names = if (names0.nonEmpty) names0.toSeq else Bench.headline
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    unknown.foreach(n => println(s"UNKNOWN $n (not a SparkEntry.queries key)"))
     println("pass query                      wall    cpuS    runS     gcS  shufMB spillMB   busyS  stealS iowaitS blkFiles   blkMB")
     val runCpu0 = ProcStat.read()
     (1 to passes).foreach { pass =>
       val (timings, errors, probes) = Bench.run(spark, dir, names, instrument = true)
       val probeMap = probes.toMap
       timings.foreach { case (name, wall) =>
-        val p = probeMap(name)
-        println(f"$pass%4d $name%-24s ${wall}%7.2f ${p.cpuS}%7.2f ${p.runS}%7.2f ${p.gcS}%7.2f " +
-          f"${p.shufMB}%7.1f ${p.spillMB}%7.1f ${p.busyS}%7.1f ${p.stealS}%7.1f ${p.iowaitS}%7.1f " +
-          f"${p.blkFiles}%8d ${p.blkMB}%7.1f")
+        probeMap.get(name) match {
+          case Some(p) =>
+            println(f"$pass%4d $name%-24s ${wall}%7.2f ${p.cpuS}%7.2f ${p.runS}%7.2f ${p.gcS}%7.2f " +
+              f"${p.shufMB}%7.1f ${p.spillMB}%7.1f ${p.busyS}%7.1f ${p.stealS}%7.1f ${p.iowaitS}%7.1f " +
+              f"${p.blkFiles}%8d ${p.blkMB}%7.1f")
+          case None => // timed fine but its probe collection failed — keep the wall
+            println(f"$pass%4d $name%-24s ${wall}%7.2f  (probe missing)")
+        }
       }
       errors.foreach { case (name, e) => println(s"$pass ERROR $name: $e") }
       val subtotal = timings.map(_._2).sum

@@ -118,18 +118,29 @@ object DirStat {
     Stat(files, bytes)
   }
 
-  /** This JVM's block-manager local dir (shuffle + cached blocks), found by
-    * scanning the configured local root for the newest `blockmgr-*` entry —
-    * the DiskBlockManager API is private[spark], but the directory layout
-    * is stable and this is a diagnostic, not a contract. */
-  def blockMgrDir(spark: org.apache.spark.sql.SparkSession): Option[String] = {
-    val roots = spark.sparkContext.getConf
-      .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
-      .split(",")
-    roots.flatMap { r =>
-      val d = new java.io.File(r)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
-    }.sortBy(-_.lastModified()).headOption.map(_.getAbsolutePath)
-  }
+  /** This JVM's OWN block-manager local dir (shuffle + cached blocks),
+    * resolved through SparkEnv's DiskBlockManager via reflection (the API
+    * is private[spark]; this is a diagnostic, not a contract). The old
+    * newest-`blockmgr-*`-under-/tmp scan could attribute a concurrently
+    * running Spark JVM's shuffle footprint to this bench — kept only as
+    * the fallback when reflection breaks on a future Spark. */
+  def blockMgrDir(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    try {
+      val env = org.apache.spark.SparkEnv.get
+      val bm = env.getClass.getMethod("blockManager").invoke(env)
+      val dbm = bm.getClass.getMethod("diskBlockManager").invoke(bm)
+      val dirs = dbm.getClass.getMethod("localDirs").invoke(dbm)
+        .asInstanceOf[Array[java.io.File]]
+      // each entry IS one `blockmgr-*` dir (one per configured local root)
+      dirs.headOption.map(_.getAbsolutePath)
+    } catch { case _: Throwable =>
+      val roots = spark.sparkContext.getConf
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
+        .split(",")
+      roots.flatMap { r =>
+        val d = new java.io.File(r)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+      }.sortBy(-_.lastModified()).headOption.map(_.getAbsolutePath)
+    }
 }

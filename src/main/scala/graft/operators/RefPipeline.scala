@@ -194,8 +194,9 @@ object RefPipeline {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cutover = lit("2024-01-16").cast("date")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val sink = java.nio.file.Files.createTempDirectory("graft-mv-cutover")
-      .resolve("mv").toString
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-mv-cutover")
+    registerTempCleanup(tmpRoot)
+    val sink = tmpRoot.resolve("mv").toString
     val raw = spark.readStream.schema(schema).option("basePath", dir)
       .parquet(s"$dir/events.[p]arquet")
     // same TIMESTAMP(NANOS) rebuild Tables.events does for the batch reader
@@ -207,18 +208,56 @@ object RefPipeline {
       .filter(to_date(col("ts")) >= cutover) // the MV's future-timestamp WHERE
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(round(sum("value"), 4).as("total"), count(lit(1)).as("n"))
-    val q = graft.streaming.ParquetUpsertSink.attach(mv, sink)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val mvHalf = graft.streaming.ParquetUpsertSink
-      .read(spark, sink, Seq("day", "event_type"))
-      .select("day", "event_type", "total", "n")
+    // Streaming state partitions sized to state volume (days x types ≈ 75
+    // keys), not core count — same rationale and numbers as
+    // [[streamingDistinctUsers]]: at 32 partitions the stateful agg pays 32
+    // state-store checkpoints+fsyncs per batch for a handful of keys.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.ParquetUpsertSink.attach(mv, sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // Zero batches written (possible when no row lands past the cutover):
+    // the read-back would die on schema inference — the MV half is then
+    // legitimately empty, with the MV's own schema.
+    val wroteBatches = Option(new java.io.File(sink).listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+    val mvHalf =
+      if (wroteBatches)
+        graft.streaming.ParquetUpsertSink
+          .read(spark, sink, Seq("day", "event_type"))
+          .select("day", "event_type", "total", "n")
+      else
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(
+            mv.schema.filter(f => Seq("day", "event_type", "total", "n").contains(f.name))))
     val backfill = Tables(spark, dir).events // the one-time backfill INSERT
       .filter(to_date(col("ts")) < cutover)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(round(sum("value"), 4).as("total"), count(lit(1)).as("n"))
     mvHalf.unionByName(backfill)
+  }
+
+  /** JVM-exit cleanup for per-invocation temp sink dirs (a lazy result
+    * frame still reads the files later in the session, so eager deletion
+    * is wrong; exit-time sweep stops repeat invocations leaking). */
+  private val tempCleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
+  private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private def registerTempCleanup(p: java.nio.file.Path): Unit = {
+    tempDirs.add(p)
+    if (tempCleanupRegistered.compareAndSet(false, true))
+      sys.addShutdownHook {
+        tempDirs.forEach { root =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount).foreach(f => java.nio.file.Files.deleteIfExists(f))
+          } catch { case _: Throwable => () }
+        }
+      }
   }
 
   /** The "JDBC sink" north star as a CHECKED key: the grouped-sum MV is
@@ -238,6 +277,38 @@ object RefPipeline {
       .select(col("EVENT_TYPE").as("event_type"),
         col("TOTAL_POINTS").as("total_points"), col("N").as("n"))
   }
+
+  /** Spark's BUILT-IN `session_window` aggregation over the same 30-min
+    * gap — the declarative sibling of [[sessionize]]'s hand-rolled
+    * lag+cumsum and the streaming `flatMapGroupsWithState` operator. The
+    * planner compiles this to partial session buffers merged after one
+    * user_id shuffle (UpdatingSessionsExec + MergingSessionsExec) — no
+    * window function, no sort-based running sum — and the same expression
+    * works unchanged on a stream with a watermark, where the hand-rolled
+    * variant cannot run at all. Window semantics: an event extends its
+    * session while it starts strictly inside [first_ts, last_ts + gap), so
+    * a gap of EXACTLY 30 min opens a NEW session (`>= gap` splits, where
+    * the lag formulation's `> 1800` keeps it — a legitimate semantic
+    * difference between the two operators). The event time is quantized
+    * to whole seconds BEFORE the window (as [[sessionize]] quantizes for
+    * its gap rule) so the oracle can replay the split rule on exact
+    * BIGINT arithmetic rather than racing float epoch precision.
+    *
+    * Scale shape: one shuffle on the session key, sessions merged per
+    * partition — state bounded by open sessions per user, the exact shape
+    * Structured Streaming runs with a state store. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("user_id"), col("value"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("t"))
+      .groupBy(col("user_id"),
+        session_window(col("t"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("start_s"),
+        unix_timestamp(col("w.end")).as("end_s"),
+        col("n_events"), col("total_value"))
 
   /** Gap-based sessionization (30-min inactivity): the batch twin of the
     * streaming `flatMapGroupsWithState` session operator. One shuffle on

@@ -14,13 +14,17 @@ class BenchSpec extends SparkSpec {
     assert(errors.head._2.contains("IllegalStateException"))
     // only the successful query carries probe evidence
     assert(probes.map(_._1) == Seq("ok"))
-    val json = Bench.renderJson(timings, errors, sf, probes)
+    val json = Bench.renderJson(timings, errors, sf)
     // the failed query must not appear among the timings nor inflate value
     assert(json.contains("\"errors\":{\"boom\":"))
     assert(!json.contains("\"boom\":-"))
-    assert(json.contains("\"probe\":{\"ok\":{\"cpuS\":"))
+    // probe evidence goes to the SIDECAR json, never the driver line
+    assert(!json.contains("\"probe\""))
+    val probeJson = Bench.renderProbeJson(timings, probes, sf)
+    assert(probeJson.contains("\"ok\":{\"wallS\":"))
+    assert(probeJson.contains("\"cpuS\":"))
     val value = json.split("\"value\":")(1).split(",")(0).toDouble
-    assert(value == timings.map(_._2).sum)
+    assert(math.abs(value - timings.map(_._2).sum) < 0.01)
   }
 
   test("headline JSON stays well-formed with no errors") {
