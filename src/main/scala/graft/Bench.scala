@@ -35,7 +35,9 @@ object Bench {
     "pipeline_pack", "wh_partition_prune", "q_grouping_sets", "ann_ivfpq",
     // round-6 widening (stored-state merge incl. its state-table write;
     // the MV cutover incl. its streaming run + backfill)
-    "wh_agg_state_merge", "streaming_backfill_cutover")
+    "wh_agg_state_merge", "streaming_backfill_cutover",
+    // round-7 widening
+    "q_session_window", "pipeline_decontaminate_bloom", "text_perplexity")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -116,6 +116,11 @@ object SparkEntry {
     // Round-6 widening: the reference's last two uncovered storage concepts
     "wh_agg_state_merge" -> (Warehouse.aggStateMerge _),
     "streaming_backfill_cutover" -> (RefPipeline.mvBackfillCutover _),
+    // Round-7 widening: built-in session windows, the bloom-prefiltered
+    // decontamination scale path, unigram-LM perplexity scoring
+    "q_session_window" -> (RefPipeline.sessionWindowAgg _),
+    "pipeline_decontaminate_bloom" -> (Pipeline.decontaminateBloom _),
+    "text_perplexity" -> (TextAnalysis.perplexity _),
   )
 
   private val tokCte =
@@ -129,6 +134,22 @@ object SparkEntry {
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
        |             any_value(a.n) AS na, any_value(b.n) AS nb
        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val decontaminateSql =
+    s"""WITH tkt AS ($tokCte),
+       |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+       |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
+       |b AS (SELECT doc_id, sg,
+       |        CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket
+       |      FROM sgt WHERE len(sg) > 0),
+       |bench AS (SELECT DISTINCT unnest(sg) AS sh FROM b WHERE bucket = 15),
+       |train AS (SELECT doc_id, unnest(sg) AS sh FROM b WHERE bucket <> 15),
+       |s AS (SELECT doc_id, count(*) AS n_shared
+       |      FROM train JOIN bench USING (sh) GROUP BY doc_id)
+       |SELECT b.doc_id, coalesce(n_shared, 0) AS n_shared,
+       |  CAST(coalesce(n_shared, 0) = 0 AS BIGINT) AS is_clean
+       |FROM b LEFT JOIN s ON b.doc_id = s.doc_id
+       |WHERE b.bucket <> 15""".stripMargin
 
   private def jaccardSql(threshold: String): String =
     s"""$shingleCtes
@@ -639,21 +660,11 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |         CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept_cents
         |FROM g""".stripMargin,
-    "pipeline_decontaminate" ->
-      s"""WITH tkt AS ($tokCte),
-         |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
-         |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
-         |b AS (SELECT doc_id, sg,
-         |        CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket
-         |      FROM sgt WHERE len(sg) > 0),
-         |bench AS (SELECT DISTINCT unnest(sg) AS sh FROM b WHERE bucket = 15),
-         |train AS (SELECT doc_id, unnest(sg) AS sh FROM b WHERE bucket <> 15),
-         |s AS (SELECT doc_id, count(*) AS n_shared
-         |      FROM train JOIN bench USING (sh) GROUP BY doc_id)
-         |SELECT b.doc_id, coalesce(n_shared, 0) AS n_shared,
-         |  CAST(coalesce(n_shared, 0) = 0 AS BIGINT) AS is_clean
-         |FROM b LEFT JOIN s ON b.doc_id = s.doc_id
-         |WHERE b.bucket <> 15""".stripMargin,
+    "pipeline_decontaminate" -> decontaminateSql,
+    // the bloom prefilter has no false negatives and the exact verify
+    // removes its false positives, so the output contract — and the
+    // oracle — is IDENTICAL to the plain broadcast-probe variant
+    "pipeline_decontaminate_bloom" -> decontaminateSql,
     "text_pii_redact" -> {
       // the regexes are written in the Java/RE2 common subset; DuckDB
       // string literals do not process backslashes, so the Scala-level
@@ -711,5 +722,36 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       round(sum(value), 4) AS total, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // session_window semantics on second-quantized time: a gap of EXACTLY
+    // the 30-min window SPLITS (>=), where sessionize's lag rule (>) keeps
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |m AS (SELECT user_id, event_id, value, t,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |             OR t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, value, t,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(t) AS start_s, max(t) + 1800 AS end_s,
+        |       count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // per-term surprisal quantized to 1e-4 nats BEFORE any aggregation —
+    // exact BIGINT arithmetic until one final identical double division
+    "text_perplexity" ->
+      s"""WITH t AS ($tokCte),
+         |x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY 1, 2),
+         |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t_total FROM c),
+         |q AS (SELECT f.doc_id, f.tf,
+         |        CAST(floor(ln(CAST(t_total AS DOUBLE) / CAST(cf AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS s_q
+         |      FROM f JOIN c USING (term) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+         |       CAST(sum(tf * s_q) AS BIGINT) AS sum_s_q,
+         |       floor(CAST(sum(tf * s_q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) + 0.5) / 1e4 AS avg_nll
+         |FROM q GROUP BY doc_id""".stripMargin,
   )
 }

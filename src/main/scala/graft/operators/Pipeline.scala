@@ -119,4 +119,46 @@ object Pipeline {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) === 0).cast("long").as("is_clean"))
   }
+
+  /** [[decontaminate]]'s 100 TB shape made real: the benchmark-shingle
+    * probe as a BLOOM FILTER prefilter + exact verify, with byte-identical
+    * output (same oracle).
+    *
+    * The plain variant broadcasts the benchmark's distinct-shingle SET and
+    * equi-joins every training (doc, shingle) pair against it. That is fine
+    * while the set fits a broadcast, but the join still feeds every pair
+    * into a hash probe of a full hash relation. Here the benchmark shingles
+    * are folded into a fixed-size Bloom filter (built distributed via
+    * `DataFrameStatFunctions.bloomFilter` — one aggregation, only the
+    * filter's bit array reaches the driver, ~1.2 MB at fpp=1% for 1M
+    * shingles regardless of corpus size), broadcast to every task, and
+    * applied as a MAP-SIDE filter on the exploded pairs: at 100 TB the
+    * overwhelmingly-clean corpus drops ~99% of pairs before any join
+    * machinery, and only bloom-positive pairs reach the exact
+    * (broadcast-join) verify that removes the filter's false positives.
+    * No false negatives exist by construction, so output = [[decontaminate]]
+    * exactly — which is precisely what the shared oracle asserts. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Dedup.shingled(spark, dir).withColumn("bucket", expr(
+      "cast(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1 as bigint)"))
+    // used twice (bloom build + exact verify) — cache the tiny bench set
+    val benchShingles = graft.GraftSession.trackCache(
+      bucketed.filter(col("bucket") === 15)
+        .select(explode(col("sg")).as("sh")).distinct())
+    val bloom = benchShingles.stat.bloomFilter("sh",
+      expectedNumItems = 1L << 20, fpp = 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((sh: Long) => bloomBc.value.mightContainLong(sh))
+    val train = bucketed.filter(col("bucket") =!= 15)
+    val candidates = train.select(col("doc_id"), explode(col("sg")).as("sh"))
+      .filter(mightContain(col("sh"))) // map-side: kills ~all pairs at scale
+    val shared = candidates
+      .join(broadcast(benchShingles), Seq("sh")) // exact: drops false positives
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) === 0).cast("long").as("is_clean"))
+  }
 }

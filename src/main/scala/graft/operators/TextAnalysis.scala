@@ -221,4 +221,49 @@ object TextAnalysis {
         col("doc_id"),
         expr("cast(aggregate(transform(tk, (x, i) -> cast(i + 1 as bigint) * (length(x) * 17 + ascii(x))), 0L, (a, b) -> a + b) as bigint)")
           .as("fp"))
+
+  /** Unigram-LM perplexity scoring — the KenLM-shaped quality signal
+    * (CCNet/RefinedWeb/FineWeb all gate on LM perplexity): each document's
+    * mean token surprisal `-ln p(token)` under the corpus's own unigram
+    * model. Degenerate/repetitive text scores low (its tokens are the
+    * corpus's commonest), rare-garbage scores high — documents far from
+    * either tail are the keepers.
+    *
+    * Cross-engine float contract (SURVEY §5): `ln` is NOT correctly
+    * rounded by either engine's libm, so per-term surprisal is QUANTIZED
+    * once to 1e-4 nats (`floor(ln(T/cf)*1e4 + 0.5)` — a last-ulp
+    * disagreement flips the floor only within ~2e-15 of a boundary, odds
+    * ~1e-9 over a 31-term vocabulary) and every downstream step is exact
+    * BIGINT arithmetic until one final identical double division.
+    *
+    * Scale shape: tf comes from the one tokenize pass (cached, same frame
+    * [[tfidfTop]] derives df from), cf/T are one partial-agg shuffle over
+    * (term) — vocabulary-sized, not corpus-sized — and the per-doc sum is
+    * one shuffle on doc_id. The single-row total rides a broadcast; the
+    * cf side joins unhinted so AQE broadcasts it exactly while the
+    * vocabulary fits (the tfidf lesson). */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tok = withTokens(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+    val tf = graft.GraftSession.trackCache(
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val total = cf.agg(sum("cf").as("t_total"))
+    tf.join(cf, Seq("term"))
+      .crossJoin(broadcast(total))
+      // surprisal in 1e-4-nat units, exact BIGINT from here on
+      .withColumn("s_q", expr(
+        "cast(floor(ln(cast(t_total as double) / cast(cf as double)) * 10000 + 0.5) as bigint)"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tok"),
+        sum(col("tf") * col("s_q")).cast("long").as("sum_s_q"))
+      .select(col("doc_id"), col("n_tok"), col("sum_s_q"),
+        // one double division both engines perform identically, then the
+        // HALF_UP floor trick (round() differs cross-engine on ties);
+        // sum_s_q/n_tok is already in 1e-4-nat units, so rounding it to an
+        // integer IS rounding the nat value to 4 decimals
+        expr("floor(cast(sum_s_q as double) / cast(n_tok as double) + 0.5) / 1e4")
+          .as("avg_nll"))
+  }
 }
