@@ -36,8 +36,9 @@ object Bench {
     // round-6 widening (stored-state merge incl. its state-table write;
     // the MV cutover incl. its streaming run + backfill)
     "wh_agg_state_merge", "streaming_backfill_cutover",
-    // round-7 widening
-    "q_session_window", "pipeline_decontaminate_bloom", "text_perplexity")
+    // round-7 widening (the zorder key includes its range-write)
+    "q_session_window", "pipeline_decontaminate_bloom", "text_perplexity",
+    "wh_zorder_range", "pipeline_contrastive_pairs")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -121,6 +121,8 @@ object SparkEntry {
     "q_session_window" -> (RefPipeline.sessionWindowAgg _),
     "pipeline_decontaminate_bloom" -> (Pipeline.decontaminateBloom _),
     "text_perplexity" -> (TextAnalysis.perplexity _),
+    "wh_zorder_range" -> (Warehouse.zorderRange _),
+    "pipeline_contrastive_pairs" -> ((s, d) => Similarity.contrastivePairs(s, d)),
   )
 
   private val tokCte =
@@ -753,5 +755,27 @@ object SparkEntry {
          |       CAST(sum(tf * s_q) AS BIGINT) AS sum_s_q,
          |       floor(CAST(sum(tf * s_q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) + 0.5) / 1e4 AS avg_nll
          |FROM q GROUP BY doc_id""".stripMargin,
+    // the z-ordered layout is semantically invisible: same aggregate on
+    // the raw table
+    "wh_zorder_range" ->
+      """SELECT count(*) AS n,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_partkey BETWEEN 100 AND 800""".stripMargin,
+    // deterministic negative draws: same Knuth hash mod corpus size, same
+    // sequential-fold dot product as ann_topk
+    "pipeline_contrastive_pairs" ->
+      s"""$vecCtes,
+         |nn AS (SELECT count(*) AS n_vecs FROM nv),
+         |a AS (SELECT vec_id AS q_id, v AS va, nrm AS nrma, j
+         |      FROM nv CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)),
+         |w AS (SELECT q_id, CAST(j AS BIGINT) AS j, va, nrma,
+         |             (2654435761 * q_id + 40503 * j) % n_vecs AS neg_id
+         |      FROM a CROSS JOIN nn),
+         |f AS (SELECT * FROM w WHERE neg_id <> q_id)
+         |SELECT q_id, j, neg_id,
+         |  round(list_sum(list_transform(va, (x, i) -> x * vb[i])) / (nrma * nrmb), 4) AS score
+         |FROM f JOIN (SELECT vec_id AS neg_id, v AS vb, nrm AS nrmb FROM nv) c USING (neg_id)""".stripMargin,
   )
 }

@@ -43,6 +43,40 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"),
         col("rnk_i").cast("long").as("rnk"))
 
+  /** Contrastive training-pair construction — the CLIP/DPR-style data
+    * step that turns an embedded corpus into (anchor, negative_j) rows
+    * with similarity labels. Negatives are DETERMINISTIC pseudo-random
+    * draws (Knuth multiplicative hash of (anchor, j) mod corpus size —
+    * reproducible in any engine, the same philosophy as trainMix's
+    * md5-bucket sampling), self-draws skipped, and each pair is scored so
+    * downstream filtering can separate easy negatives from hard ones
+    * (high-cosine negatives are the valuable ones for contrastive loss).
+    *
+    * Scale shape: the negative-id table is a pure projection (4 rows per
+    * anchor, no data movement), and fetching the negative vectors is ONE
+    * equi-join on vec_id — hash-partitioned, no broadcast of the corpus,
+    * no cartesian. The anchor side carries its vector through the join;
+    * scoring is the codegen'd dot product map-side. At 100 TB this is
+    * the same shape as a fact-fact key join; nothing is quadratic.
+    * The corpus-size scalar rides a broadcast single-row frame. */
+  def contrastivePairs(spark: SparkSession, dir: String, negatives: Int = 4): DataFrame = {
+    val e = vecs(spark, dir)
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val anchors = e.select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))
+      .crossJoin(broadcast(n))
+      .select(col("q_id"), col("va"), col("nrma"), col("n_vecs"),
+        explode(expr(s"sequence(1, $negatives)")).as("j"))
+      // Knuth multiplicative hash, kept in exact BIGINT range: ids and j
+      // are small, 2654435761 * q_id + 40503 * j < 2^63 at any real scale
+      .withColumn("neg_id", expr("pmod(2654435761 * q_id + 40503 * j, n_vecs)"))
+      .filter(col("neg_id") =!= col("q_id")) // no self-negatives
+    anchors
+      .join(e.select(col("vec_id").as("neg_id"), col("v").as("vb"), col("nrm").as("nrmb")),
+        Seq("neg_id"))
+      .select(col("q_id"), col("j").cast("long").as("j"), col("neg_id"),
+        round(cosineCol, 4).as("score"))
+  }
+
   /** Exact cosine top-5 for each query vector (vec_id < 10) over the rest
     * of the corpus. The tiny query set is broadcast, so the corpus never
     * shuffles; ranking is `row_number` over (rounded score, id) for a

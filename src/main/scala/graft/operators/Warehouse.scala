@@ -196,6 +196,64 @@ object Warehouse {
           .as("avg_value"))
   }
 
+  /** 32→64-bit Morton bit-spread: inserts a zero between every bit of a
+    * 32-bit value (the textbook magic-mask ladder, e.g. Hacker's Delight
+    * §7-2 / interleaved-coordinates literature), built from codegen'd
+    * builtin shifts and masks only. */
+  private def spreadBits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def step(v: Column, sh: Int, mask: Long): Column =
+      (v.bitwiseOR(shiftleft(v, sh))).bitwiseAND(lit(mask))
+    val v0 = c.bitwiseAND(lit(0xFFFFFFFFL))
+    val v1 = step(v0, 16, 0x0000FFFF0000FFFFL)
+    val v2 = step(v1, 8, 0x00FF00FF00FF00FFL)
+    val v3 = step(v2, 4, 0x0F0F0F0F0F0F0F0FL)
+    val v4 = step(v3, 2, 0x3333333333333333L)
+    step(v4, 1, 0x5555555555555555L)
+  }
+
+  /** Z-order (Morton) interleave of two 32-bit keys into one 64-bit sort
+    * key: bit i of `x` lands at position 2i, bit i of `y` at 2i+1, so
+    * z-adjacent rows are close in BOTH dimensions at every scale. */
+  private[operators] def morton2(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** Z-order-clustered layout + 2-D range query as a CHECKED key — the
+    * multi-dimension sibling of [[partitionPrunedDaily]]'s 1-D partition
+    * pruning (the Delta/Iceberg `OPTIMIZE ZORDER BY` concept on plain
+    * parquet). A layout sorted on ONE key gives row-group min/max
+    * locality on that key only; a query ranging over a second key reads
+    * everything. Interleaving the bits of both keys and range-writing on
+    * the interleave gives every file/row-group a tight rectangle in
+    * (orderkey, partkey) space, so parquet footer min/max statistics
+    * prune most row groups for ANY 2-D range query — at 100 TB this is
+    * how a second (and third) filterable dimension is bought after
+    * partitioning spent the first.
+    *
+    * The write range-partitions on z (each output file covers a disjoint
+    * z interval — WarehouseSpec asserts file disjointness and the Morton
+    * arithmetic) and sorts within partitions so row groups inherit the
+    * locality. The query is an ordinary 2-D range aggregate; its filter
+    * reaches the scan as pushed parquet predicates over both columns.
+    * Oracle = the same aggregate on the raw table (layout invisible to
+    * semantics). */
+  def zorderRange(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .withColumn("z", morton2(col("l_orderkey"), col("l_partkey")))
+    li.repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").saveAsTable("whz_lineitem")
+    spark.table("whz_lineitem")
+      .filter(col("l_orderkey").between(1000, 3000) &&
+        col("l_partkey").between(100, 800))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+  }
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */

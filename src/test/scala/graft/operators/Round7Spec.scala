@@ -38,6 +38,53 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("morton interleave matches a driver-side reference; z-ordered files are disjoint in z") {
+    import spark.implicits._
+    // reference implementation, bit by bit
+    def mortonRef(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 16L), (12345L, 6789L),
+      (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL), (98765L, 43210L))
+    val got = samples.toDF("x", "y")
+      .select(Warehouse.morton2(col("x"), col("y")).as("z")).collect().map(_.getLong(0))
+    assert(got.toSeq == samples.map { case (x, y) => mortonRef(x, y) })
+
+    // the layout write: per-file z intervals must be pairwise disjoint
+    // (range partition on z + sort within) — the precondition for 2-D
+    // row-group skipping
+    Warehouse.zorderRange(spark, sf).collect()
+    val files = spark.table("whz_lineitem").inputFiles
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("z"), max("z")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1)
+      case _ => ()
+    }
+    spark.sql("DROP TABLE IF EXISTS whz_lineitem")
+  }
+
+  test("contrastive pairs: deterministic negatives, no self-pairs, score range") {
+    val rows = Similarity.contrastivePairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("q_id"))
+      val s = r.getAs[Double]("score")
+      assert(s >= -1.0001 && s <= 1.0001)
+    }
+    // every anchor draws at most `negatives` pairs and the draw is a pure
+    // function of (q_id, j) — two runs agree row for row
+    val again = Similarity.contrastivePairs(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) => assert(g.length <= 4) }
+  }
+
   test("perplexity aggregates reproduce an independent driver-side unigram model") {
     val out = TextAnalysis.perplexity(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"),
