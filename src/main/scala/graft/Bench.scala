@@ -87,7 +87,9 @@ object Bench {
             try listener.foreach { l =>
               val snap = l.snapshotAndReset()
               val cpu = ProcStat.read() - cpu0
-              val blk = DirStat.blockMgrDir(spark).map(DirStat.of).getOrElse(DirStat.Stat(0, 0))
+              val blk = DirStat.blockMgrDirs(spark).map(DirStat.of)
+                .foldLeft(DirStat.Stat(0, 0))((a, b) =>
+                  DirStat.Stat(a.files + b.files, a.bytes + b.bytes))
               probes += name -> QueryProbe(
                 snap.tasks, snap.runS, snap.cpuS, snap.gcS,
                 (snap.shuffleReadB + snap.shuffleWriteB) / 1e6, snap.spillB / 1e6,
@@ -125,9 +127,12 @@ object Bench {
     * Probe evidence now goes to its own file ([[renderProbeJson]]). */
   def renderJson(timings: Seq[(String, Double)], errors: Seq[(String, String)],
       sfDir: String): String = {
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    // Round the per-query timings FIRST and sum the rounded values, so
+    // `value` equals sum(queries) exactly for a consumer cross-checking.
+    val rounded = timings.map { case (k, v) => k -> r2(v) }
+    val qs = rounded.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
-    val total = r2(timings.map(_._2).sum)
+    val total = r2(rounded.map(_._2).sum)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
   }
 

@@ -118,13 +118,15 @@ object DirStat {
     Stat(files, bytes)
   }
 
-  /** This JVM's OWN block-manager local dir (shuffle + cached blocks),
+  /** This JVM's OWN block-manager local dirs (shuffle + cached blocks),
     * resolved through SparkEnv's DiskBlockManager via reflection (the API
-    * is private[spark]; this is a diagnostic, not a contract). The old
-    * newest-`blockmgr-*`-under-/tmp scan could attribute a concurrently
-    * running Spark JVM's shuffle footprint to this bench — kept only as
-    * the fallback when reflection breaks on a future Spark. */
-  def blockMgrDir(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    * is private[spark]; this is a diagnostic, not a contract). ALL
+    * configured `spark.local.dir` roots are returned — summing only the
+    * first silently undercounts the footprint under multi-root configs.
+    * The old newest-`blockmgr-*`-under-/tmp scan could attribute a
+    * concurrently running Spark JVM's shuffle footprint to this bench —
+    * kept only as the fallback when reflection breaks on a future Spark. */
+  def blockMgrDirs(spark: org.apache.spark.sql.SparkSession): Seq[String] =
     try {
       val env = org.apache.spark.SparkEnv.get
       val bm = env.getClass.getMethod("blockManager").invoke(env)
@@ -132,7 +134,7 @@ object DirStat {
       val dirs = dbm.getClass.getMethod("localDirs").invoke(dbm)
         .asInstanceOf[Array[java.io.File]]
       // each entry IS one `blockmgr-*` dir (one per configured local root)
-      dirs.headOption.map(_.getAbsolutePath)
+      dirs.map(_.getAbsolutePath).toSeq
     } catch { case _: Throwable =>
       val roots = spark.sparkContext.getConf
         .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
@@ -141,6 +143,6 @@ object DirStat {
         val d = new java.io.File(r)
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
-      }.sortBy(-_.lastModified()).headOption.map(_.getAbsolutePath)
+      }.sortBy(-_.lastModified()).take(1).map(_.getAbsolutePath).toSeq
     }
 }

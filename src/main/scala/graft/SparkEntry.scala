@@ -731,7 +731,7 @@ object SparkEntry {
         |                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
         |m AS (SELECT user_id, event_id, value, t,
         |        CASE WHEN lag(t) OVER w IS NULL
-        |             OR t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+        |             OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
         |s AS (SELECT user_id, value, t,
         |        sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id

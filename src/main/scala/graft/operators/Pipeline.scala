@@ -148,10 +148,12 @@ object Pipeline {
     val bloom = benchShingles.stat.bloomFilter("sh",
       expectedNumItems = 1L << 20, fpp = 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((sh: Long) => bloomBc.value.mightContainLong(sh))
     val train = bucketed.filter(col("bucket") =!= 15)
     val candidates = train.select(col("doc_id"), explode(col("sg")).as("sh"))
-      .filter(mightContain(col("sh"))) // map-side: kills ~all pairs at scale
+      // map-side: kills ~all pairs at scale. Native codegen'd expression —
+      // a Scala UDF here would box every exploded pair AND break
+      // whole-stage codegen for the hottest stage of the operator.
+      .filter(graft.functions.BloomMightContain.mightContain(col("sh"), bloomBc))
     val shared = candidates
       .join(broadcast(benchShingles), Seq("sh")) // exact: drops false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -238,15 +238,32 @@ object Warehouse {
     * reaches the scan as pushed parquet predicates over both columns.
     * Oracle = the same aggregate on the raw table (layout invisible to
     * semantics). */
-  def zorderRange(spark: SparkSession, dir: String): DataFrame = {
-    val li = graft.Tables(spark, dir).lineitem
+  /** Writes the z-clustered layout to a fresh temp dir (registered for
+    * JVM-exit sweep — no catalog table, no spark-warehouse leak across
+    * repeated bench invocations) and returns its path.
+    *
+    * KEY-WIDTH ASSUMPTION: [[spreadBits]] masks each key to its low 32
+    * bits, so keys above 2^32 (very large scale factors) alias high bits
+    * and z-locality degrades for them — SEMANTICS stay correct (the
+    * layout is invisible to query results; the oracle runs on the raw
+    * table), only pruning quality decays. At such scales pre-rank or
+    * bucket the keys into 32 bits before interleaving. */
+  private[graft] def writeZorderLayout(spark: SparkSession, dir: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder")
+    graft.TempSweep.register(out)
+    graft.Tables(spark, dir).lineitem
       .select(col("l_orderkey"), col("l_partkey"),
         col("l_extendedprice"), col("l_discount"))
       .withColumn("z", morton2(col("l_orderkey"), col("l_partkey")))
-    li.repartitionByRange(8, col("z"))
+      .repartitionByRange(8, col("z"))
       .sortWithinPartitions("z")
-      .write.mode("overwrite").saveAsTable("whz_lineitem")
-    spark.table("whz_lineitem")
+      .write.mode("overwrite").parquet(out.toString)
+    out.toString
+  }
+
+  def zorderRange(spark: SparkSession, dir: String): DataFrame = {
+    val layout = writeZorderLayout(spark, dir)
+    spark.read.parquet(layout)
       .filter(col("l_orderkey").between(1000, 3000) &&
         col("l_partkey").between(100, 800))
       .agg(count(lit(1)).as("n"),

@@ -44,6 +44,39 @@ object JdbcUpsertSink {
       System.setProperty("derby.system.home",
         java.nio.file.Files.createTempDirectory("graft-derby-home").toString)
 
+  /** One embedded database per JVM, created lazily under a temp dir that a
+    * shutdown hook removes. Derby database CREATION (`create=true`) builds
+    * the entire system catalog — seconds of driver-side wall time — so a
+    * fresh database per invocation dominates any small upsert. Callers that
+    * need a clean slate [[dropTable]] + [[ensureTable]] their own table
+    * inside this shared database instead (milliseconds, not seconds). */
+  lazy val sharedEmbeddedUrl: String = {
+    quietDerby()
+    val root = java.nio.file.Files.createTempDirectory("graft-derby-shared")
+    sys.addShutdownHook {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }
+    }
+    s"jdbc:derby:${root.resolve("db")};create=true"
+  }
+
+  /** Drops `table` if it exists (Derby has no IF EXISTS; the missing-table
+    * SQLSTATE is swallowed). Pairs with [[ensureTable]] for a per-invocation
+    * clean slate inside [[sharedEmbeddedUrl]]. */
+  def dropTable(url: String, table: String): Unit = {
+    quietDerby()
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case e: SQLException if e.getSQLState == "42Y55" => () } // absent
+      finally st.close()
+    } finally conn.close()
+  }
+
   /** Embedded (in-JVM, file-path) Derby URL: `jdbc:derby:` NOT followed by
     * a subprotocol with a host (the `jdbc:derby://host` and
     * `jdbc:derby:net:host` client/server forms). Such a URL only makes

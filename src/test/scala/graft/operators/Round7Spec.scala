@@ -18,6 +18,15 @@ class Round7Spec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("bloom prefilter is a native codegen'd expression, not a Scala UDF") {
+    val qe = Pipeline.decontaminateBloom(spark, sf).queryExecution
+    val physical = qe.executedPlan.toString
+    assert(!physical.contains("ScalaUDF") && !qe.optimizedPlan.toString.contains("ScalaUDF"),
+      s"bloom prefilter must stay inside whole-stage codegen:\n${physical.take(800)}")
+    assert(physical.contains("bloom_might_contain"),
+      s"expected the native bloom_might_contain predicate in the plan:\n${physical.take(800)}")
+  }
+
   test("session_window sessions partition the events and respect the gap rule") {
     val sessions = RefPipeline.sessionWindowAgg(spark, sf).collect()
     val nEvents = Tables(spark, sf).events.count()
@@ -54,8 +63,8 @@ class Round7Spec extends SparkSpec {
     // the layout write: per-file z intervals must be pairwise disjoint
     // (range partition on z + sort within) — the precondition for 2-D
     // row-group skipping
-    Warehouse.zorderRange(spark, sf).collect()
-    val files = spark.table("whz_lineitem").inputFiles
+    val layout = Warehouse.writeZorderLayout(spark, sf)
+    val files = spark.read.parquet(layout).inputFiles
     assert(files.length > 1)
     val ranges = files.map { f =>
       val r = spark.read.parquet(f)
@@ -66,7 +75,6 @@ class Round7Spec extends SparkSpec {
       case Array(a, b) => assert(a._2 <= b._1)
       case _ => ()
     }
-    spark.sql("DROP TABLE IF EXISTS whz_lineitem")
   }
 
   test("contrastive pairs: deterministic negatives, no self-pairs, score range") {

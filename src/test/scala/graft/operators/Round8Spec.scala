@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+/** Round-8 invariants. Headliner: the `q_session_window` "runs unchanged
+  * on a watermarked stream" claim, executed — the SAME
+  * [[RefPipeline.sessionWindowCore]] function the batch key calls is run
+  * over a MemoryStream with a watermark, and the closed sessions must
+  * equal the batch result on the same rows. */
+// top-level: Spark encoders cannot reach a case class nested in a suite
+case class R8Ev(user_id: Long, value: Double, t: Timestamp)
+
+class Round8Spec extends SparkSpec {
+
+  private def ev(user: Long, sec: Long, value: Double): R8Ev =
+    R8Ev(user, value, new Timestamp(sec * 1000))
+
+  test("session_window aggregation runs unchanged on a watermarked stream") {
+    import spark.implicits._
+    val t0 = 1700000000L
+    // user 1: an EXACTLY-30-min gap (touching windows MERGE — the split
+    // rule is `> gap`, same as sessionize's lag formulation; this case is
+    // what caught the `>=` the oracle used to claim) then a gap+1s split;
+    // user 2: one session of three events
+    val events = Seq(
+      ev(1, t0, 1.0), ev(1, t0 + 60, 2.0),
+      ev(1, t0 + 60 + 1800, 4.0), // exactly the gap: merges
+      ev(1, t0 + 60 + 1800 + 1801, 8.0), // one past the gap: splits
+      ev(2, t0 + 10, 1.5), ev(2, t0 + 20, 2.5), ev(2, t0 + 1700, 3.0))
+
+    val batch = RefPipeline.sessionWindowCore(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[R8Ev]
+    // THE claim: the identical aggregation function, now over a stream
+    val q = RefPipeline.sessionWindowCore(
+        input.toDF().withWatermark("t", "10 seconds"))
+      .writeStream.format("memory").queryName("r8_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // advance the watermark past every session's end so they all close
+      // (append mode only emits closed sessions); the flush event's own
+      // session stays open and must NOT appear in the sink
+      input.addData(ev(99, t0 + 1000000, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("r8_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch,
+        s"closed stream sessions must equal the batch result;\nstream=$streamed\nbatch=$batch")
+      assert(batch.count(_._1 == 1L) == 2,
+        "user 1: exact-gap event must MERGE, gap+1 event must SPLIT")
+      assert(batch.exists(s => s._1 == 1L && s._4 == 3L),
+        "the exact-gap event belongs to the first session (n_events = 3)")
+      assert(batch.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+}
