@@ -38,7 +38,9 @@ object Bench {
     "wh_agg_state_merge", "streaming_backfill_cutover",
     // round-7 widening (the zorder key includes its range-write)
     "q_session_window", "pipeline_decontaminate_bloom", "text_perplexity",
-    "wh_zorder_range", "pipeline_contrastive_pairs")
+    "wh_zorder_range", "pipeline_contrastive_pairs",
+    // round-8 widening
+    "text_charstats")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

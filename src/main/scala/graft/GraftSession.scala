@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunks, DotProduct, GramStats, HammingDistance64, MinHash32, SimHash64}
+import graft.functions.{CdcChunks, CharStats, DotProduct, GramStats, HammingDistance64, MinHash32, SimHash64}
 import graft.plans.{TopKPerKeyExtension, TopKPerKeyRewrite, TopKPerKeyStrategy}
 
 /** Session factory for the graft engine.
@@ -44,6 +44,10 @@ object GraftSession {
           new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
           (children: Seq[Expression]) => GramStats(children(0),
             children(1).eval().asInstanceOf[Number].intValue)))
+      ext.injectFunction(
+        (new FunctionIdentifier("char_stats"),
+          new ExpressionInfo(classOf[CharStats].getName, "char_stats"),
+          (children: Seq[Expression]) => CharStats(children.head)))
       ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
       ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     }
@@ -136,6 +140,13 @@ object GraftSession {
         new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
         (children: Seq[Expression]) => GramStats(children(0),
           children(1).eval().asInstanceOf[Number].intValue))
+    }
+    val charId = new FunctionIdentifier("char_stats")
+    if (!reg.functionExists(charId)) {
+      reg.registerFunction(
+        charId,
+        new ExpressionInfo(classOf[CharStats].getName, "char_stats"),
+        (children: Seq[Expression]) => CharStats(children.head))
     }
     TopKPerKeyExtension.install(spark)
   }

@@ -123,6 +123,8 @@ object SparkEntry {
     "text_perplexity" -> (TextAnalysis.perplexity _),
     "wh_zorder_range" -> (Warehouse.zorderRange _),
     "pipeline_contrastive_pairs" -> ((s, d) => Similarity.contrastivePairs(s, d)),
+    // Round-8 widening: char-side quality battery (one-pass native expr)
+    "text_charstats" -> (TextAnalysis.charStats _),
   )
 
   private val tokCte =
@@ -777,5 +779,25 @@ object SparkEntry {
          |SELECT q_id, j, neg_id,
          |  round(list_sum(list_transform(va, (x, i) -> x * vb[i])) / (nrma * nrmb), 4) AS score
          |FROM f JOIN (SELECT vec_id AS neg_id, v AS vb, nrm AS nrmb FROM nv) c USING (neg_id)""".stripMargin,
+    // character stats: exact integer class counts; entropy via the same
+    // quantize-per-distinct-value-then-exact-BIGINT contract as perplexity
+    // (per-character surprisal ln(n/c) in 1e-4-nat units), one final
+    // identical double division per ratio
+    "text_charstats" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |               CAST(sum(CASE WHEN regexp_matches(c, '^[A-Za-z]$') THEN cnt ELSE 0 END) AS BIGINT) AS n_alpha,
+        |               CAST(sum(CASE WHEN c = ' ' THEN cnt ELSE 0 END) AS BIGINT) AS n_space,
+        |               CAST(count(*) AS BIGINT) AS n_uniq_chars
+        |        FROM cc GROUP BY 1),
+        |q AS (SELECT cc.doc_id,
+        |             CAST(sum(cnt * CAST(floor(ln(CAST(n_chars AS DOUBLE) / CAST(cnt AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS ent_q
+        |      FROM cc JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT t.doc_id, t.n_chars, t.n_alpha, t.n_space, t.n_uniq_chars,
+        |       CAST(t.n_alpha AS DOUBLE) / CAST(nullif(t.n_chars, 0) AS DOUBLE) AS ratio_alpha,
+        |       CAST(t.n_space AS DOUBLE) / CAST(nullif(t.n_chars, 0) AS DOUBLE) AS ratio_space,
+        |       floor(CAST(q.ent_q AS DOUBLE) / CAST(nullif(t.n_chars, 0) AS DOUBLE) + 0.5) / 1e4 AS char_entropy
+        |FROM tot t JOIN q USING (doc_id)""".stripMargin,
   )
 }

@@ -266,4 +266,34 @@ object TextAnalysis {
         expr("floor(cast(sum_s_q as double) / cast(n_tok as double) + 0.5) / 1e4")
           .as("avg_nll"))
   }
+
+  /** Character-class ratios + character entropy per document — the
+    * char-side half of the Gopher/FineWeb filter battery next to
+    * [[quality]]'s token side (alpha ratio catches markup/binary spill,
+    * char entropy catches one-character floods and base64-ish noise).
+    *
+    * Scale shape: ZERO shuffle — the native `char_stats` expression
+    * ([[graft.functions.CharStats]]) computes counts and the quantized
+    * entropy numerator in one map-side pass next to the scan, exactly
+    * like `gram_stats`. Ratios are single divisions of exact longs;
+    * entropy follows [[perplexity]]'s quantize-once-then-exact-BIGINT
+    * contract, so the DuckDB oracle replays every bit. */
+  def charStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), expr("char_stats(text)").as("cs"))
+      .select(col("doc_id"),
+        col("cs.n_chars").as("n_chars"),
+        col("cs.n_alpha").as("n_alpha"),
+        col("cs.n_space").as("n_space"),
+        col("cs.n_uniq").as("n_uniq_chars"),
+        expr("cast(cs.n_alpha as double) / cast(nullif(cs.n_chars, 0) as double)")
+          .as("ratio_alpha"),
+        expr("cast(cs.n_space as double) / cast(nullif(cs.n_chars, 0) as double)")
+          .as("ratio_space"),
+        // ent_q/n_chars is already in 1e-4-nat units; HALF_UP floor then
+        // rescale = entropy rounded to 4 decimals, identically in DuckDB
+        expr("floor(cast(cs.ent_q as double) / cast(nullif(cs.n_chars, 0) as double) + 0.5) / 1e4")
+          .as("char_entropy"))
+  }
 }

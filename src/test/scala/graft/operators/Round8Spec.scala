@@ -64,4 +64,34 @@ class Round8Spec extends SparkSpec {
       assert(batch.count(_._1 == 2L) == 1)
     } finally q.stop()
   }
+
+  test("char_stats reproduces an independent driver-side recomputation") {
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.charStats(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      val cps = text.codePoints().toArray
+      assert(r.getLong(1) == cps.length.toLong, "n_chars")
+      assert(r.getLong(2) == cps.count(cp =>
+        (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')).toLong, "n_alpha")
+      assert(r.getLong(3) == cps.count(_ == ' ').toLong, "n_space")
+      val counts = cps.groupBy(identity).map { case (_, v) => v.length.toLong }
+      assert(r.getLong(4) == counts.size.toLong, "n_uniq_chars")
+      val entQ = counts.map(c => c * math.floor(
+        StrictMath.log(cps.length.toDouble / c.toDouble) * 10000d + 0.5).toLong).sum
+      val want = math.floor(entQ.toDouble / cps.length.toDouble + 0.5) / 1e4
+      assert(r.getDouble(7) == want, s"char_entropy for doc ${r.getLong(0)}")
+      // entropy of a per-doc char distribution is bounded by ln(n_uniq)
+      assert(r.getDouble(7) >= 0.0 &&
+        r.getDouble(7) <= StrictMath.log(counts.size.toDouble) + 1e-4)
+    }
+    // per-doc stats are map-side: no aggregation exchange anywhere (the
+    // only exchange allowed is the gated round-robin scatter of the scan)
+    val plan = TextAnalysis.charStats(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"char_stats must not shuffle:\n${plan.take(600)}")
+  }
 }
