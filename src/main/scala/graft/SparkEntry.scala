@@ -124,7 +124,9 @@ object SparkEntry {
     "wh_zorder_range" -> (Warehouse.zorderRange _),
     "pipeline_contrastive_pairs" -> ((s, d) => Similarity.contrastivePairs(s, d)),
     // Round-8 widening: char-side quality battery (one-pass native expr)
+    // + the reference's literal nested-tuple query on generated wire lines
     "text_charstats" -> (TextAnalysis.charStats _),
+    "ref_points_by_house" -> (graft.sources.EventsSource.refPointsByHouse _),
   )
 
   private val tokCte =
@@ -799,5 +801,13 @@ object SparkEntry {
         |       CAST(t.n_space AS DOUBLE) / CAST(nullif(t.n_chars, 0) AS DOUBLE) AS ratio_space,
         |       floor(CAST(q.ent_q AS DOUBLE) / CAST(nullif(t.n_chars, 0) AS DOUBLE) + 0.5) / 1e4 AS char_entropy
         |FROM tot t JOIN q USING (doc_id)""".stripMargin,
+    // the reference's Step-2.4 nested-tuple query over the in-query wire
+    // generator: event i is a pure function of i, so the oracle replays
+    // the identical index arithmetic from range() — no file side channel
+    "ref_points_by_house" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i))
+        |SELECT ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
+        |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points
+        |FROM g GROUP BY 1""".stripMargin,
   )
 }

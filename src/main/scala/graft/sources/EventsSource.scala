@@ -86,6 +86,37 @@ object EventsSource {
       .groupBy(col("student.house").as("house"))
       .agg(sum(col("points").cast("long")).as("total_points"))
 
+  val referenceHouses: Seq[String] =
+    Seq("Gryffindor", "Hufflepuff", "Ravenclaw", "Slytherin")
+  val referenceSubjects: Seq[String] =
+    Seq("Potions", "Charms", "Herbology", "Transfiguration")
+
+  /** A deterministic slice of the reference corpus generated IN-QUERY:
+    * the published events_years_13_22.ndjson.zip (README.rst Step 2.2,
+    * 2,649,615 rows) ships as a ZERO-BYTE placeholder in this checkout,
+    * so the i-th event is a pure function of i (the ReferenceCorpusSpec
+    * generator, distributed over `spark.range`) formatted as the literal
+    * NDJSON wire line — the frame then exercises the SAME JSON-string →
+    * nested-tuple extraction the file/Kafka stream takes. Being a pure
+    * function of the index, a SQL oracle replays the identical
+    * arithmetic from `range()` with no file side channel. */
+  def syntheticReferenceLines(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).select(format_string(
+      """{"timestamp": %d, "subject": "%s", "teacher": "T%d", "room": "R%d", """ +
+        """"points": %d, "student": {"name": "S%d", "house": "%s"}}""",
+      lit(1378022400000L) + col("id") * 3600000L,
+      element_at(array(referenceSubjects.map(lit): _*), (col("id") % 4 + 1).cast("int")),
+      col("id") % 7, col("id") % 9, col("id") % 21 - 10, col("id") % 50,
+      element_at(array(referenceHouses.map(lit): _*), (col("id") % 4 + 1).cast("int")))
+      .as("message"))
+
+  /** The reference's literal Step-2.4 `student.house` query as a CHECKED
+    * key (`ref_points_by_house`): generated wire lines → Step-2.3 nested
+    * extraction → house aggregate. `dir` is unused by design — the input
+    * is the reference's own wire format, not a driver table. */
+  def refPointsByHouse(spark: SparkSession, dir: String): DataFrame =
+    pointsByHouse(parseReference(syntheticReferenceLines(spark, 100000L)))
+
   /** The reference topology's Kafka reader (kcat -> topic `entry-events` ->
     * engine table, README.rst Step 1-2), as a compiled code path: the
     * `format("kafka")` source resolves at RUNTIME, so this builds against

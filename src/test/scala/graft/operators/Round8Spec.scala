@@ -94,4 +94,24 @@ class Round8Spec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"),
       s"char_stats must not shuffle:\n${plan.take(600)}")
   }
+
+  test("ref_points_by_house: generated wire lines parse to the hand-computed totals") {
+    import graft.sources.EventsSource
+    val n = 100000
+    val houses = EventsSource.referenceHouses
+    val want = (0 until n).groupBy(i => houses(i % houses.length))
+      .map { case (h, is) => h -> is.map(i => ((i % 21) - 10).toLong).sum }
+    val got = EventsSource.refPointsByHouse(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // the generated line IS the reference wire format: nested student
+    // tuple present, timestamp at reference epoch + i hours
+    val first = EventsSource.parseReference(
+        EventsSource.syntheticReferenceLines(spark, 3))
+      .orderBy("timestamp").collect()
+    assert(first.head.getAs[java.sql.Timestamp]("timestamp").getTime == 1378022400000L)
+    assert(first.head.getAs[org.apache.spark.sql.Row]("student")
+      .getAs[String]("house") == "Gryffindor")
+    assert(first.map(_.getAs[Byte]("points")).toSeq == Seq[Byte](-10, -9, -8))
+  }
 }
