@@ -39,8 +39,9 @@ object Bench {
     // round-7 widening (the zorder key includes its range-write)
     "q_session_window", "pipeline_decontaminate_bloom", "text_perplexity",
     "wh_zorder_range", "pipeline_contrastive_pairs",
-    // round-8 widening (ref_points_by_house times the JSON wire parse)
-    "text_charstats", "ref_points_by_house")
+    // round-8 widening (ref_points_by_house times the JSON wire parse;
+    // emb_covariance times the one-pass moments aggregate)
+    "text_charstats", "ref_points_by_house", "emb_covariance")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -127,6 +127,7 @@ object SparkEntry {
     // + the reference's literal nested-tuple query on generated wire lines
     "text_charstats" -> (TextAnalysis.charStats _),
     "ref_points_by_house" -> (graft.sources.EventsSource.refPointsByHouse _),
+    "emb_covariance" -> ((s, d) => Similarity.embCovariance(s, d)),
   )
 
   private val tokCte =
@@ -809,5 +810,20 @@ object SparkEntry {
         |SELECT ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
         |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points
         |FROM g GROUP BY 1""".stripMargin,
+    // exact integer covariance moments over 1e-4-quantized components;
+    // cov is one identical double chain over the BIGINTs (q_corr pattern)
+    "emb_covariance" ->
+      """WITH q AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |e AS (SELECT vec_id, CAST(i AS BIGINT) AS i, qv[i] AS q
+        |      FROM (SELECT vec_id, qv, unnest(generate_series(1, len(qv))) AS i FROM q)),
+        |s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s_i FROM e GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2)
+        |SELECT p.i, p.j, n.n, si.s_i AS s_i, sj.s_i AS s_j, p.s_ij,
+        |       floor(((CAST(p.s_ij AS DOUBLE) - CAST(si.s_i AS DOUBLE) * CAST(sj.s_i AS DOUBLE) / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS cov
+        |FROM p CROSS JOIN n JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j""".stripMargin,
   )
 }

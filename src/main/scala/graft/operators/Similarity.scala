@@ -361,4 +361,47 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))), Seq("q_id"))
     rankTop5(exact.withColumn("cosine", cosineCol))
   }
+
+  /** EXACT covariance moments of the embedding corpus — the PCA /
+    * whitening / OPQ-rotation preprocessing statistic of an embedding
+    * pipeline, as a checked key: one row per (i ≤ j) dimension pair with
+    * the integer moment sums and the covariance they determine.
+    *
+    * Cross-engine float contract (SURVEY §5): components are quantized
+    * ONCE to 1e-4 units (`floor(x*1e4 + 0.5)` on the exactly-widened
+    * float), so `n`, `Σq_i`, `Σq_iq_j` are EXACT BIGINTs; the covariance
+    * is one identical double chain over those integers (the q_corr
+    * pattern), HALF-UP-floored to 4 decimals in q² units.
+    *
+    * Scale shape: ONE pass, no shuffle of vectors —
+    * [[graft.functions.VectorMomentsAgg]] holds a single packed-triangle
+    * `long[d(d+1)/2]` accumulator per partition and merges those (the
+    * posexplode alternative inflates every row d²/2× before the partial
+    * aggregate can shrink anything). The single aggregated row — d(d+3)/2
+    * longs — is what reaches the driver; the (i, j) fan-out afterwards
+    * explodes ONE row to d² entries. */
+  def embCovariance(spark: SparkSession, dir: String): DataFrame = {
+    GraftSession.registerFunctions(spark)
+    val vmoments = udaf(graft.functions.VectorMomentsAgg)
+    val q = Tables(spark, dir).embeddings
+      .select(expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))")
+        .as("qv"))
+    q.agg(vmoments(col("qv")).as("m"))
+      .select(col("m.n").as("n"), col("m.s").as("s"),
+        posexplode(col("m.ss")).as(Seq("p", "s_ij")))
+      .select(col("n"), col("s"), col("s_ij"),
+        (expr("p div size(s)") + 1).cast("long").as("i"),
+        (expr("p % size(s)") + 1).cast("long").as("j"))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"), col("n"),
+        expr("element_at(s, cast(i as int))").as("s_i"),
+        expr("element_at(s, cast(j as int))").as("s_j"),
+        col("s_ij"),
+        expr("""floor(((cast(s_ij as double)
+                - cast(element_at(s, cast(i as int)) as double)
+                  * cast(element_at(s, cast(j as int)) as double)
+                  / cast(n as double))
+                / cast(n as double)) * 1e4 + 0.5) / 1e4""").as("cov"))
+  }
 }

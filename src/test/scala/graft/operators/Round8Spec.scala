@@ -114,4 +114,29 @@ class Round8Spec extends SparkSpec {
       .getAs[String]("house") == "Gryffindor")
     assert(first.map(_.getAs[Byte]("points")).toSeq == Seq[Byte](-10, -9, -8))
   }
+
+  test("emb_covariance reproduces a driver-side integer-moment recomputation") {
+    val vecs = graft.Tables(spark, sf).embeddings
+      .selectExpr("transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length.toLong
+    val d = vecs.head.length
+    val got = Similarity.embCovariance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.size == d * (d + 1) / 2)
+    // spot-check a spread of pairs (full d^2/2 loop is slow in a test)
+    for ((i, j) <- Seq((1, 1), (1, 2), (5, 40), (64, 64), (17, 17), (30, 64))) {
+      val sI = vecs.map(_(i - 1)).sum
+      val sJ = vecs.map(_(j - 1)).sum
+      val sIJ = vecs.map(v => v(i - 1) * v(j - 1)).sum
+      val r = got((i.toLong, j.toLong))
+      assert(r.getLong(2) == n && r.getLong(3) == sI && r.getLong(4) == sJ &&
+        r.getLong(5) == sIJ, s"moments mismatch at ($i,$j)")
+      val cov = math.floor(((sIJ.toDouble - sI.toDouble * sJ.toDouble / n.toDouble)
+        / n.toDouble) * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(6) == cov, s"cov mismatch at ($i,$j)")
+    }
+    // variance diagonal must be non-negative
+    (1 to d).foreach(i => assert(got((i.toLong, i.toLong)).getDouble(6) >= 0.0))
+  }
 }
