@@ -128,6 +128,10 @@ object SparkEntry {
     "text_charstats" -> (TextAnalysis.charStats _),
     "ref_points_by_house" -> (graft.sources.EventsSource.refPointsByHouse _),
     "emb_covariance" -> ((s, d) => Similarity.embCovariance(s, d)),
+    // rows-only by design (eigen decomposition is not DuckDB-expressible);
+    // Round8Spec asserts orthonormality, variance ordering, and that the
+    // per-component empirical variances match the eigenvalues
+    "emb_pca" -> ((s, d) => Similarity.pcaProject(s, d)),
   )
 
   private val tokCte =

@@ -380,6 +380,128 @@ object Similarity {
     * aggregate can shrink anything). The single aggregated row — d(d+3)/2
     * longs — is what reaches the driver; the (i, j) fan-out afterwards
     * explodes ONE row to d² entries. */
+  /** Driver-side symmetric eigensolver: cyclic Jacobi rotations (the
+    * textbook algorithm, e.g. Golub & Van Loan §8.5) — adequate because
+    * the input is the d×d covariance of [[embCovariance]]'s moments
+    * (d = embedding dim, tiny), never data-sized. Deterministic: fixed
+    * sweep order, fixed convergence threshold, and a sign convention
+    * (largest-|component| positive) so downstream projections are stable.
+    * Returns (eigenvalues descending, eigenvectors as rows, matching
+    * order). */
+  private[operators] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // columns of v are eigenvectors; emit as rows, eigenvalues descending,
+    // sign fixed by the largest-magnitude component
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      val m = col.indices.maxBy(k => math.abs(col(k)))
+      if (col(m) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** PCA projection of the embedding corpus — mean-centered top-`k`
+    * principal components per vector, the dimensionality-reduction /
+    * whitening step that precedes OPQ rotation, visualization, or a
+    * cheaper ANN index.
+    *
+    * Scale shape (textbook distributed PCA): the corpus is touched by
+    * exactly TWO map-side passes — the [[graft.functions.VectorMomentsAgg]]
+    * moments pass (d(d+3)/2 longs to the driver) and the projection pass
+    * with the d×k rotation broadcast; the eigensolve happens driver-side
+    * on the d×d matrix, which is dimension-sized, not data-sized. Nothing
+    * shuffles by key at any scale.
+    *
+    * Determinism (rows-only key, but reproducibility still matters): the
+    * covariance comes from EXACT quantized BIGINT moments, the Jacobi
+    * solver is deterministic with a fixed sign convention, and each
+    * projected component is a sequential fold in dimension order, so two
+    * runs (or two engines following this spec) agree bit-for-bit. */
+  def pcaProject(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    GraftSession.registerFunctions(spark)
+    val vmoments = udaf(graft.functions.VectorMomentsAgg)
+    val m = Tables(spark, dir).embeddings
+      .select(expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))")
+        .as("qv"))
+      .agg(vmoments(col("qv")).as("m"))
+      .select(col("m.n"), col("m.s"), col("m.ss"))
+      .head()
+    val n = m.getLong(0).toDouble
+    val s = m.getSeq[Long](1).toArray
+    val ss = m.getSeq[Long](2).toArray
+    val d = s.length
+    // covariance in (1e-4 quantized)^2 units — exact ints in, one double
+    // chain per cell; uniform scaling does not change the eigenvectors
+    val cov = Array.tabulate(d, d)((i, j) =>
+      (ss(i * d + j).toDouble - s(i).toDouble * s(j).toDouble / n) / n)
+    val (_, vecs) = jacobiEigen(cov)
+    val mean = s.map(_ / n) // quantized units
+    // the d×k rotation and the mean ride the plan as SMALL literals
+    // (k·d + d doubles); the projection itself is builtin HOFs — the
+    // sequential `aggregate` fold keeps the component sums deterministic,
+    // and no UDF enters the hot path
+    val vkLit = typedLit(vecs.take(k).map(_.toSeq).toSeq)
+    val muLit = typedLit(mean.toSeq)
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))")
+        .as("qv"))
+      .select(col("vec_id"),
+        zip_with(col("qv"), muLit, (q, mu) => q.cast("double") - mu).as("ctr"))
+      .select(col("vec_id"),
+        transform(vkLit, r =>
+          // component in quantized units; HALF-UP to 4 decimals of the
+          // ORIGINAL embedding units (the 1e4 scale divides back out)
+          floor(aggregate(zip_with(r, col("ctr"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) + lit(0.5)) / lit(10000.0))
+          .as("pc"))
+  }
+
   def embCovariance(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.registerFunctions(spark)
     val vmoments = udaf(graft.functions.VectorMomentsAgg)

@@ -139,4 +139,46 @@ class Round8Spec extends SparkSpec {
     // variance diagonal must be non-negative
     (1 to d).foreach(i => assert(got((i.toLong, i.toLong)).getDouble(6) >= 0.0))
   }
+
+  test("emb_pca: orthonormal rotation, descending variance, components match eigenvalues") {
+    // driver-side ground truth from the same exact quantized moments
+    val vecs = graft.Tables(spark, sf).embeddings
+      .selectExpr("transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length.toDouble
+    val d = vecs.head.length
+    val s = Array.tabulate(d)(i => vecs.map(_(i)).sum)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      (vecs.map(v => v(i) * v(j)).sum.toDouble - s(i).toDouble * s(j).toDouble / n) / n)
+    val (vals, rot) = Similarity.jacobiEigen(cov)
+    // eigenvalues descending and non-negative (covariance is PSD)
+    vals.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-6); case _ => () }
+    assert(vals.forall(_ >= -1e-6))
+    // eigenvectors orthonormal: V V^T = I
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(i => rot(a)(i) * rot(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8, s"V not orthonormal at ($a,$b)")
+    }
+    // eigen-decomposition really diagonalizes cov: V cov V^T diag == eigenvalues
+    for (a <- 0 until 8) {
+      val q = (0 until d).map(i => (0 until d).map(j => rot(a)(j) * cov(j)(i)).sum)
+      val lam = (0 until d).map(i => q(i) * rot(a)(i)).sum
+      assert(math.abs(lam - vals(a)) <= 1e-6 * math.max(1.0, math.abs(vals(a))))
+    }
+    // the distributed projection: per-component empirical variance equals
+    // the eigenvalue (in original units: eigenvalue / 1e8), descending
+    val pcs = Similarity.pcaProject(spark, sf).collect().map(_.getSeq[Double](1).toArray)
+    assert(pcs.length == vecs.length && pcs.head.length == 8)
+    val vars = (0 until 8).map { c =>
+      val xs = pcs.map(_(c))
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    vars.sliding(2).foreach { case Seq(a, b) => assert(a >= b - 1e-6); case _ => () }
+    (0 until 8).foreach { c =>
+      val want = vals(c) / 1e8
+      assert(math.abs(vars(c) - want) <= 0.02 * math.max(want, 1e-9),
+        s"component $c variance ${vars(c)} != eigenvalue-implied $want")
+    }
+  }
 }
