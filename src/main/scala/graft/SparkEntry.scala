@@ -791,7 +791,8 @@ object SparkEntry {
     // (per-character surprisal ln(n/c) in 1e-4-nat units), one final
     // identical double division per ratio
     "text_charstats" ->
-      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents WHERE text IS NOT NULL AND length(text) > 0),
         |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2),
         |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
         |               CAST(sum(CASE WHEN regexp_matches(c, '^[A-Za-z]$') THEN cnt ELSE 0 END) AS BIGINT) AS n_alpha,

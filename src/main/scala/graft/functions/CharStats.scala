@@ -56,11 +56,17 @@ object CharStats {
     StructField("n_uniq", LongType, nullable = false),
     StructField("ent_q", LongType, nullable = false)))
 
-  /** One pass over the code points: class counts + an open-addressed count
-    * per distinct code point, then the quantized-surprisal sum. */
+  /** One pass over the code points: class counts + per-distinct-character
+    * counts, then the quantized-surprisal sum. ASCII rides an
+    * allocation-free `long[128]` table (the whole driver corpus, and the
+    * overwhelming bulk of real text); only supplementary code points fall
+    * back to a boxed map — this sits in the hottest map-side loop of the
+    * expression, so per-character allocation is what the fast path buys
+    * off. */
   def compute(input: UTF8String): InternalRow = {
     val s = input.toString
-    val counts = new java.util.HashMap[Integer, Long]()
+    val ascii = new Array[Long](128)
+    var wide: java.util.HashMap[Integer, Long] = null
     var nChars = 0L
     var nAlpha = 0L
     var nSpace = 0L
@@ -71,18 +77,28 @@ object CharStats {
       nChars += 1
       if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) nAlpha += 1
       else if (cp == ' ') nSpace += 1
-      counts.merge(cp, 1L, (x, y) => x + y)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (wide == null) wide = new java.util.HashMap[Integer, Long]()
+        wide.merge(cp, 1L, (x, y) => x + y)
+      }
     }
     if (nChars == 0L) return InternalRow(0L, 0L, 0L, 0L, 0L)
     var entQ = 0L
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val c = it.next()
-      // surprisal of this character in 1e-4-nat units — quantized ONCE,
-      // exact integer arithmetic from here on (the perplexity contract)
+    var nUniq = 0L
+    // surprisal of each distinct character in 1e-4-nat units — quantized
+    // ONCE, exact integer arithmetic from here on (the perplexity contract)
+    @inline def add(c: Long): Unit = if (c > 0L) {
+      nUniq += 1L
       val q = math.floor(StrictMath.log(nChars.toDouble / c.toDouble) * 10000d + 0.5).toLong
       entQ += c * q
     }
-    InternalRow(nChars, nAlpha, nSpace, counts.size.toLong, entQ)
+    i = 0
+    while (i < 128) { add(ascii(i)); i += 1 }
+    if (wide != null) {
+      val it = wide.values().iterator()
+      while (it.hasNext) add(it.next())
+    }
+    InternalRow(nChars, nAlpha, nSpace, nUniq, entQ)
   }
 }

@@ -244,21 +244,8 @@ object RefPipeline {
   /** JVM-exit cleanup for per-invocation temp sink dirs (a lazy result
     * frame still reads the files later in the session, so eager deletion
     * is wrong; exit-time sweep stops repeat invocations leaking). */
-  private val tempCleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
-  private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-  private def registerTempCleanup(p: java.nio.file.Path): Unit = {
-    tempDirs.add(p)
-    if (tempCleanupRegistered.compareAndSet(false, true))
-      sys.addShutdownHook {
-        tempDirs.forEach { root =>
-          try {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount).foreach(f => java.nio.file.Files.deleteIfExists(f))
-          } catch { case _: Throwable => () }
-        }
-      }
-  }
+  private def registerTempCleanup(p: java.nio.file.Path): Unit =
+    graft.TempSweep.register(p)
 
   /** The "JDBC sink" north star as a CHECKED key: the grouped-sum MV is
     * upserted TWICE (the second apply is a replay — idempotence is what
@@ -266,6 +253,8 @@ object RefPipeline {
     * [[graft.streaming.JdbcUpsertSink]], then read back through Spark's
     * JDBC source. Oracle = the batch aggregation: a keyed MERGE replayed
     * over the same batch must land exactly the batch result. */
+  private val jdbcInvocation = new java.util.concurrent.atomic.AtomicLong
+
   def jdbcPointsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.JdbcUpsertSink
     // Phase timers to stderr: the r7 probe showed ~8.5 s of NON-task driver
@@ -278,15 +267,18 @@ object RefPipeline {
       sb.append(s" $name=${(System.nanoTime() - t0) / 1000000}ms"); r
     }
     val url = JdbcUpsertSink.sharedEmbeddedUrl
+    // UNIQUE table per invocation: a previous call's lazily-evaluated
+    // result frame may still read ITS table later in the session, so a
+    // shared name with DROP/CREATE would be the eager deletion the
+    // TempSweep doc forbids. Tables die with the temp-dir database at
+    // JVM exit; each holds a handful of rows.
+    val table = s"points_${jdbcInvocation.incrementAndGet()}"
     val agg = pointsByType(spark, dir)
     phase("boot")(java.sql.DriverManager.getConnection(url).close())
-    phase("ddl") {
-      JdbcUpsertSink.dropTable(url, "points")
-      JdbcUpsertSink.ensureTable(url, "points", agg.schema)
-    }
-    phase("upsert1")(JdbcUpsertSink.upsertBatch(agg, url, "points", Seq("event_type")))
-    phase("upsert2")(JdbcUpsertSink.upsertBatch(agg, url, "points", Seq("event_type")))
-    val out = phase("read_plan")(JdbcUpsertSink.read(spark, url, "points"))
+    phase("ddl")(JdbcUpsertSink.ensureTable(url, table, agg.schema))
+    phase("upsert1")(JdbcUpsertSink.upsertBatch(agg, url, table, Seq("event_type")))
+    phase("upsert2")(JdbcUpsertSink.upsertBatch(agg, url, table, Seq("event_type")))
+    val out = phase("read_plan")(JdbcUpsertSink.read(spark, url, table))
     System.err.println(sb)
     out.select(col("EVENT_TYPE").as("event_type"),
       col("TOTAL_POINTS").as("total_points"), col("N").as("n"))

@@ -362,24 +362,6 @@ object Similarity {
     rankTop5(exact.withColumn("cosine", cosineCol))
   }
 
-  /** EXACT covariance moments of the embedding corpus — the PCA /
-    * whitening / OPQ-rotation preprocessing statistic of an embedding
-    * pipeline, as a checked key: one row per (i ≤ j) dimension pair with
-    * the integer moment sums and the covariance they determine.
-    *
-    * Cross-engine float contract (SURVEY §5): components are quantized
-    * ONCE to 1e-4 units (`floor(x*1e4 + 0.5)` on the exactly-widened
-    * float), so `n`, `Σq_i`, `Σq_iq_j` are EXACT BIGINTs; the covariance
-    * is one identical double chain over those integers (the q_corr
-    * pattern), HALF-UP-floored to 4 decimals in q² units.
-    *
-    * Scale shape: ONE pass, no shuffle of vectors —
-    * [[graft.functions.VectorMomentsAgg]] holds a single packed-triangle
-    * `long[d(d+1)/2]` accumulator per partition and merges those (the
-    * posexplode alternative inflates every row d²/2× before the partial
-    * aggregate can shrink anything). The single aggregated row — d(d+3)/2
-    * longs — is what reaches the driver; the (i, j) fan-out afterwards
-    * explodes ONE row to d² entries. */
   /** Driver-side symmetric eigensolver: cyclic Jacobi rotations (the
     * textbook algorithm, e.g. Golub & Van Loan §8.5) — adequate because
     * the input is the d×d covariance of [[embCovariance]]'s moments
@@ -393,9 +375,14 @@ object Similarity {
     val d = a0.length
     val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // RELATIVE convergence: covariances of 1e-4-quantized inputs carry
+    // O(1e6+) entries, so an absolute epsilon would never trip and every
+    // call would burn all 64 O(d^3) sweeps after converging in ~10
+    val frob2 = a0.map(_.map(x => x * x).sum).sum
+    val eps = 1e-24 * math.max(frob2, Double.MinPositiveValue)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 64 && off > 1e-12) {
+    while (sweep < 64 && off > eps) {
       off = 0.0
       var p = 0
       while (p < d - 1) {
@@ -502,6 +489,24 @@ object Similarity {
           .as("pc"))
   }
 
+  /** EXACT covariance moments of the embedding corpus — the PCA /
+    * whitening / OPQ-rotation preprocessing statistic of an embedding
+    * pipeline, as a checked key: one row per (i ≤ j) dimension pair with
+    * the integer moment sums and the covariance they determine.
+    *
+    * Cross-engine float contract (SURVEY §5): components are quantized
+    * ONCE to 1e-4 units (`floor(x*1e4 + 0.5)` on the exactly-widened
+    * float), so `n`, `Σq_i`, `Σq_iq_j` are EXACT BIGINTs; the covariance
+    * is one identical double chain over those integers (the q_corr
+    * pattern), HALF-UP-floored to 4 decimals in q² units.
+    *
+    * Scale shape: ONE pass, no shuffle of vectors —
+    * [[graft.functions.VectorMomentsAgg]] holds a single packed-triangle
+    * `long[d(d+1)/2]` accumulator per partition and merges those (the
+    * posexplode alternative inflates every row d²/2× before the partial
+    * aggregate can shrink anything). The single aggregated row — d(d+3)/2
+    * longs — is what reaches the driver; the (i, j) fan-out afterwards
+    * explodes ONE row to d² entries. */
   def embCovariance(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.registerFunctions(spark)
     val vmoments = udaf(graft.functions.VectorMomentsAgg)

@@ -281,6 +281,11 @@ object TextAnalysis {
   def charStats(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
     Tables(spark, dir).documents
+      // empty/NULL docs carry no character signal and are excluded by
+      // declared semantics BOTH sides (the oracle's per-char unnest drops
+      // them implicitly; this filter makes the Spark frame agree instead
+      // of emitting a zero row). Raw-column predicate — pushes to the scan.
+      .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), expr("char_stats(text)").as("cs"))
       .select(col("doc_id"),
         col("cs.n_chars").as("n_chars"),

@@ -248,9 +248,20 @@ object Warehouse {
     * layout is invisible to query results; the oracle runs on the raw
     * table), only pruning quality decays. At such scales pre-rank or
     * bucket the keys into 32 bits before interleaving. */
+  /** ONE layout dir per JVM, overwritten in place by each invocation —
+    * the same reclaim semantics the earlier saveAsTable("whz_lineitem")
+    * rendition had (a NEW invocation invalidates a previous invocation's
+    * still-lazy result frame, exactly as mode("overwrite") always did),
+    * without the unbounded one-copy-per-call growth that per-invocation
+    * temp dirs would accumulate between exit sweeps. */
+  private lazy val zorderDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-zorder")
+    graft.TempSweep.register(p)
+    p
+  }
+
   private[graft] def writeZorderLayout(spark: SparkSession, dir: String): String = {
-    val out = java.nio.file.Files.createTempDirectory("graft-zorder")
-    graft.TempSweep.register(out)
+    val out = zorderDir
     graft.Tables(spark, dir).lineitem
       .select(col("l_orderkey"), col("l_partkey"),
         col("l_extendedprice"), col("l_discount"))

@@ -53,12 +53,15 @@ object JdbcUpsertSink {
   lazy val sharedEmbeddedUrl: String = {
     quietDerby()
     val root = java.nio.file.Files.createTempDirectory("graft-derby-shared")
+    // ONE hook doing quiesce-then-delete: JVM shutdown hooks run
+    // concurrently with no ordering, so the engine shutdown (Derby's
+    // checkpoint-on-exit could otherwise recreate log files mid-sweep)
+    // and the delete walk must share a hook. A successful engine shutdown
+    // SIGNALS by throwing SQLState XJ015 — swallowed here.
     sys.addShutdownHook {
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } catch { case _: Throwable => () }
+      try DriverManager.getConnection("jdbc:derby:;shutdown=true")
+      catch { case _: Throwable => () }
+      graft.TempSweep.deleteRecursively(root)
     }
     s"jdbc:derby:${root.resolve("db")};create=true"
   }
