@@ -41,7 +41,8 @@ object Bench {
     "wh_zorder_range", "pipeline_contrastive_pairs",
     // round-8 widening (ref_points_by_house times the JSON wire parse;
     // emb_covariance times the one-pass moments aggregate)
-    "text_charstats", "ref_points_by_house", "emb_covariance", "emb_pca")
+    "text_charstats", "ref_points_by_house", "emb_covariance", "emb_pca",
+    "q_decayed_sum")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -132,6 +132,7 @@ object SparkEntry {
     // Round8Spec asserts orthonormality, variance ordering, and that the
     // per-component empirical variances match the eigenvalues
     "emb_pca" -> ((s, d) => Similarity.pcaProject(s, d)),
+    "q_decayed_sum" -> (Analytics.decayedSum _),
   )
 
   private val tokCte =
@@ -830,5 +831,18 @@ object SparkEntry {
         |SELECT p.i, p.j, n.n, si.s_i AS s_i, sj.s_i AS s_j, p.s_ij,
         |       floor(((CAST(p.s_ij AS DOUBLE) - CAST(si.s_i AS DOUBLE) * CAST(sj.s_i AS DOUBLE) / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS cov
         |FROM p CROSS JOIN n JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j""".stripMargin,
+    // per-row decayed contribution quantized ONCE to 1e-4 units (exp fed
+    // the identical double both engines: exact BIGINT seconds / 86400.0),
+    // exact BIGINT per-user sum, one final division
+    "q_decayed_sum" ->
+      """WITH e AS (SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |m AS (SELECT CAST(max(t) AS BIGINT) AS t_max FROM e),
+        |q AS (SELECT user_id,
+        |        CAST(floor(value * exp(-CAST(t_max - t AS DOUBLE) / 86400.0) * 10000 + 0.5) AS BIGINT) AS c_q
+        |      FROM e CROSS JOIN m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(c_q) AS BIGINT) AS sum_c_q,
+        |       CAST(sum(c_q) AS DOUBLE) / 10000.0 AS decayed_value
+        |FROM q GROUP BY user_id""".stripMargin,
   )
 }

@@ -358,4 +358,33 @@ object Analytics {
       round(slope, 4).as("slope_cents_per_qty"),
       round((d(col("sy")) - slope * d(col("sx"))) / d(col("n")), 4).as("intercept_cents"))
   }
+
+  /** Exponentially time-decayed engagement per user (ClickHouse
+    * `exponentialMovingAverage` / feature-store "recency-weighted sum"):
+    * each event contributes `value · e^(-Δt/τ)` with Δt = seconds before
+    * the corpus's latest event and τ = 1 day — yesterday's click counts
+    * ~37% of one now.
+    *
+    * Cross-engine float contract (SURVEY §5): `exp` is not correctly
+    * rounded by either engine's libm, so each ROW's contribution
+    * `value · e^(-Δt/τ)` is quantized ONCE to 1e-4 units (the
+    * `text_perplexity` drill, with exp in place of ln — Δt is exact
+    * BIGINT seconds, so both engines feed exp the identical double);
+    * the per-user sum is exact BIGINT and ONE final division scales back.
+    *
+    * Scale shape: the single latest-timestamp scalar rides a broadcast
+    * single-row frame; the weight is a map-side projection; the only
+    * shuffle is the final per-user partial-aggregated groupBy. */
+  def decayedSum(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("t"))
+    val tmax = e.agg(max("t").as("t_max"))
+    e.crossJoin(broadcast(tmax))
+      .withColumn("c_q", expr(
+        "cast(floor(value * exp(-cast(t_max - t as double) / 86400.0d) * 10000 + 0.5) as bigint)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("c_q").cast("long").as("sum_c_q"))
+      .select(col("user_id"), col("n_events"), col("sum_c_q"),
+        (col("sum_c_q").cast("double") / lit(10000.0)).as("decayed_value"))
+  }
 }

@@ -140,6 +140,31 @@ class Round8Spec extends SparkSpec {
     (1 to d).foreach(i => assert(got((i.toLong, i.toLong)).getDouble(6) >= 0.0))
   }
 
+  test("q_decayed_sum reproduces a driver-side quantized-decay recomputation") {
+    val rows = graft.Tables(spark, sf).events
+      .selectExpr("user_id", "value", "unix_timestamp(ts) as t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val tMax = rows.map(_._3).max
+    val want = rows.groupBy(_._1).map { case (u, es) =>
+      u -> (es.length.toLong, es.map { case (_, v, t) =>
+        math.floor(v * StrictMath.exp(-(tMax - t).toDouble / 86400.0) * 10000 + 0.5).toLong
+      }.sum)
+    }
+    val got = Analytics.decayedSum(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (u, (n, sq)) =>
+      val (gn, gsq, gval) = got(u)
+      assert(gn == n && gsq == sq, s"user $u: ($gn,$gsq) != ($n,$sq)")
+      assert(gval == sq.toDouble / 10000.0)
+    }
+    // decay sanity: the decayed value can never exceed the raw sum, and
+    // an event at t_max contributes its full value
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      assert(got(u)._3 <= es.map(_._2).sum + 1e-6)
+    }
+  }
+
   test("emb_pca: orthonormal rotation, descending variance, components match eigenvalues") {
     // driver-side ground truth from the same exact quantized moments
     val vecs = graft.Tables(spark, sf).embeddings
