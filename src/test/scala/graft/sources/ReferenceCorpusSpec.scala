@@ -110,6 +110,14 @@ class ReferenceCorpusSpec extends SparkSpec {
       s"streamed cascade totals $byHouse != batch ground truth $expectedByHouse")
   }
 
+  test("the in-query generator emits byte-identical lines to this spec's file generator") {
+    // ref_points_by_house's distributed generator and this spec's
+    // driver-side one must never drift: both claim to be THE wire format
+    val inQuery = EventsSource.syntheticReferenceLines(spark, n.toLong)
+      .collect().map(_.getString(0)).sorted
+    assert(inQuery.toSeq == lines(n).sorted.toSeq)
+  }
+
   test("kafka reader path is wired; executing it without the connector names the missing source") {
     val e = intercept[Exception](EventsSource.kafkaStream(spark))
     assert(Option(e.getMessage).exists(_.toLowerCase.contains("kafka")),
