@@ -133,6 +133,7 @@ object SparkEntry {
     // per-component empirical variances match the eigenvalues
     "emb_pca" -> ((s, d) => Similarity.pcaProject(s, d)),
     "q_decayed_sum" -> (Analytics.decayedSum _),
+    "q_audience_overlap" -> (Analytics.audienceOverlap _),
   )
 
   private val tokCte =
@@ -844,5 +845,18 @@ object SparkEntry {
         |       CAST(sum(c_q) AS BIGINT) AS sum_c_q,
         |       CAST(sum(c_q) AS DOUBLE) / 10000.0 AS decayed_value
         |FROM q GROUP BY user_id""".stripMargin,
+    // exact pairwise audience intersection over the distinct-reduced
+    // membership; Jaccard by inclusion-exclusion on exact BIGINTs
+    "q_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS aud FROM m GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             CAST(count(*) AS BIGINT) AS n_both
+        |      FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both, sa.aud AS aud_a, sb.aud AS aud_b,
+        |       floor(CAST(p.n_both AS DOUBLE) / CAST(sa.aud + sb.aud - p.n_both AS DOUBLE) * 10000 + 0.5) / 1e4 AS jaccard
+        |FROM p JOIN s sa ON sa.event_type = p.type_a
+        |       JOIN s sb ON sb.event_type = p.type_b""".stripMargin,
   )
 }

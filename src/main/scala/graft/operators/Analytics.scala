@@ -375,6 +375,42 @@ object Analytics {
     * Scale shape: the single latest-timestamp scalar rides a broadcast
     * single-row frame; the weight is a map-side projection; the only
     * shuffle is the final per-user partial-aggregated groupBy. */
+  /** Pairwise audience overlap between event types (the "segment
+    * overlap" warehouse staple; ClickHouse would reach for
+    * `uniqCombined`/theta sketches at extreme cardinality — here the
+    * exact rendition, which stays tractable because the heavy step is
+    * distinct-reduced BEFORE any pairing): for each unordered type pair,
+    * |users(A) ∩ users(B)|, the per-type audience sizes, and Jaccard.
+    *
+    * Scale shape: ONE distinct over (event_type, user_id) collapses the
+    * event stream to audience membership (partial-aggregated — the
+    * corpus-sized step); the self-join pairs only the DISTINCT rows on
+    * user_id (each user contributes |their types|² pairs, bounded by the
+    * tiny type vocabulary, never by event count); audience sizes ride a
+    * broadcast |types|-row frame, twice. Jaccard = one double chain over
+    * exact BIGINTs (|A∪B| = |A|+|B|−|A∩B|, inclusion–exclusion — no
+    * second pass). */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val membership = graft.GraftSession.trackCache(
+      Tables(spark, dir).events.select("event_type", "user_id").distinct())
+    val sizes = membership.groupBy("event_type")
+      .agg(count(lit(1)).as("aud"))
+    val pairs = membership.select(col("event_type").as("type_a"), col("user_id"))
+      .join(membership.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("aud").as("aud_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("aud").as("aud_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("aud_a"), col("aud_b"),
+        // HALF-UP floor, not round(): round() tie behavior differs
+        // cross-engine, the floor chain does not (SURVEY §5)
+        expr("""floor(cast(n_both as double)
+               / cast(aud_a + aud_b - n_both as double) * 10000 + 0.5) / 1e4""")
+          .as("jaccard"))
+  }
+
   def decayedSum(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
       .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("t"))

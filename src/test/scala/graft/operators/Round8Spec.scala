@@ -140,6 +140,30 @@ class Round8Spec extends SparkSpec {
     (1 to d).foreach(i => assert(got((i.toLong, i.toLong)).getDouble(6) >= 0.0))
   }
 
+  test("q_audience_overlap reproduces a driver-side set-intersection recomputation") {
+    val membership = graft.Tables(spark, sf).events
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val byType = membership.groupBy(_._1).map { case (t, s) => t -> s.map(_._2) }
+    val got = Analytics.audienceOverlap(spark, sf).collect()
+    val types = byType.keys.toSeq.sorted
+    // every unordered pair with a non-empty intersection appears exactly once
+    val expectPairs = (for {
+      a <- types; b <- types if a < b
+      inter = (byType(a) intersect byType(b)).size if inter > 0
+    } yield (a, b) -> inter).toMap
+    assert(got.length == expectPairs.size)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val inter = expectPairs((a, b))
+      assert(r.getLong(2) == inter.toLong)
+      assert(r.getLong(3) == byType(a).size.toLong && r.getLong(4) == byType(b).size.toLong)
+      val uni = (byType(a) union byType(b)).size
+      assert(r.getDouble(5) ==
+        math.floor(inter.toDouble / uni.toDouble * 10000 + 0.5) / 1e4)
+    }
+  }
+
   test("q_decayed_sum reproduces a driver-side quantized-decay recomputation") {
     val rows = graft.Tables(spark, sf).events
       .selectExpr("user_id", "value", "unix_timestamp(ts) as t").collect()
