@@ -134,6 +134,8 @@ object SparkEntry {
     "emb_pca" -> ((s, d) => Similarity.pcaProject(s, d)),
     "q_decayed_sum" -> (Analytics.decayedSum _),
     "q_audience_overlap" -> (Analytics.audienceOverlap _),
+    // same oracle as q_session_window: stream == batch IS the check
+    "streaming_session_window" -> (RefPipeline.streamingSessionWindow _),
   )
 
   private val tokCte =
@@ -196,6 +198,21 @@ object SparkEntry {
   private val vecCtes =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  private val sessionWindowSql: String =
+    """WITH e AS (SELECT user_id, event_id, value,
+      |                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+      |m AS (SELECT user_id, event_id, value, t,
+      |        CASE WHEN lag(t) OVER w IS NULL
+      |             OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |s AS (SELECT user_id, value, t,
+      |        sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m)
+      |SELECT user_id, min(t) AS start_s, max(t) + 1800 AS end_s,
+      |       count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ingest_events_typed" ->
@@ -735,22 +752,13 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       round(sum(value), 4) AS total, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
-    // session_window semantics on second-quantized time: a gap of EXACTLY
-    // the 30-min window SPLITS (>=), where sessionize's lag rule (>) keeps
-    "q_session_window" ->
-      """WITH e AS (SELECT user_id, event_id, value,
-        |                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
-        |m AS (SELECT user_id, event_id, value, t,
-        |        CASE WHEN lag(t) OVER w IS NULL
-        |             OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-        |s AS (SELECT user_id, value, t,
-        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |                          ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM m)
-        |SELECT user_id, min(t) AS start_s, max(t) + 1800 AS end_s,
-        |       count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // session_window semantics on second-quantized time: TOUCHING windows
+    // MERGE — the split rule is > gap, same as sessionize's lag rule
+    // (Round8Spec verified this empirically; the oracle once claimed >=)
+    "q_session_window" -> sessionWindowSql,
+    // the streaming rendition runs the IDENTICAL aggregation function
+    // over a watermarked file stream — same oracle, equality IS the proof
+    "streaming_session_window" -> sessionWindowSql,
     // per-term surprisal quantized to 1e-4 nats BEFORE any aggregation —
     // exact BIGINT arithmetic until one final identical double division
     "text_perplexity" ->

@@ -326,6 +326,79 @@ object RefPipeline {
         unix_timestamp(col("w.end")).as("end_s"),
         col("n_events"), col("total_value"))
 
+  /** The "runs unchanged on a stream" claim as a CHECKED key: the SAME
+    * [[sessionWindowCore]] aggregation the batch key compiles, executed
+    * over a watermarked FILE STREAM (the Kafka stand-in, as in
+    * [[streamingPointsByType]]), against the SAME batch oracle — equality
+    * proves streaming session state merged/closed exactly the batch
+    * sessions.
+    *
+    * Append mode only emits a session once the watermark passes its end,
+    * and a bounded AvailableNow run ends with the watermark at the last
+    * REAL event — so the input is staged into a temp dir as two files:
+    * the corpus, then one far-future SENTINEL event (user_id −1, year
+    * 2030, explicitly later mtime). `maxFilesPerTrigger=1` + oldest-first
+    * file order makes the corpus set the session state in batch 1, the
+    * sentinel advance the watermark in batch 2, and the trailing no-data
+    * batch flush every real session; the sentinel's own still-open
+    * session is the only row filtered out.
+    *
+    * Scale shape: identical to the batch key — one shuffle on the session
+    * key, state bounded by open sessions per user (the watermark is what
+    * BOUNDS it on an unbounded stream, where the batch rendition would
+    * hold all sessions). */
+  def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sink = "graft_streaming_sessions"
+    spark.catalog.dropTempView(sink)
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-sessions")
+    registerTempCleanup(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+    // one sentinel row in the raw footer schema (ts is TIMESTAMP(NANOS)
+    // read as long): 2030-01-01 in nanos, a user id no corpus uses
+    val sentinel = spark.range(1).select(schema.fields.toIndexedSeq.map { f =>
+      (f.name, f.dataType) match {
+        case ("ts", org.apache.spark.sql.types.LongType) =>
+          lit(1893456000000000000L).as("ts")
+        case ("user_id", org.apache.spark.sql.types.LongType) => lit(-1L).as("user_id")
+        case ("value", org.apache.spark.sql.types.DoubleType) => lit(0.0d).as("value")
+        case (n, dt) => lit(null).cast(dt).as(n)
+      }
+    }: _*)
+    val build = stage.resolve("flush_build")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(build.toString)
+    val part = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(build)
+      try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+    }
+    val flush = stage.resolve("zz_flush.parquet")
+    java.nio.file.Files.move(part, flush)
+    // file order is BY MODIFICATION TIME (oldest first): make the sentinel
+    // strictly later so it can never be read before the corpus (which
+    // would advance the watermark first and drop every event as late)
+    java.nio.file.Files.setLastModifiedTime(flush,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", stage.toString)
+      .parquet(s"$stage/*.[p]arquet") // top-level data files only
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // Tables.events conversion
+      .select(col("user_id"), col("value"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("t"))
+      .withWatermark("t", "1 second")
+    val q = sessionWindowCore(events) // THE claim: the identical function
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).filter(col("user_id") >= 0)
+  }
+
   /** Gap-based sessionization (30-min inactivity): the batch twin of the
     * streaming `flatMapGroupsWithState` session operator. One shuffle on
     * user_id (both windows share the partitioning), then a single
