@@ -390,12 +390,19 @@ object RefPipeline {
       .select(col("user_id"), col("value"),
         timestamp_seconds(unix_timestamp(col("ts"))).as("t"))
       .withWatermark("t", "1 second")
-    val q = sessionWindowCore(events) // THE claim: the identical function
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // streaming state partitions = shuffle partitions at checkpoint
+    // creation, and EACH partition materializes a state store per batch
+    // (the round-5 sizing lesson): size to state volume, not core count
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessionWindowCore(events) // THE claim: the identical function
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(sink).filter(col("user_id") >= 0)
   }
 
