@@ -359,22 +359,6 @@ object Analytics {
       round((d(col("sy")) - slope * d(col("sx"))) / d(col("n")), 4).as("intercept_cents"))
   }
 
-  /** Exponentially time-decayed engagement per user (ClickHouse
-    * `exponentialMovingAverage` / feature-store "recency-weighted sum"):
-    * each event contributes `value · e^(-Δt/τ)` with Δt = seconds before
-    * the corpus's latest event and τ = 1 day — yesterday's click counts
-    * ~37% of one now.
-    *
-    * Cross-engine float contract (SURVEY §5): `exp` is not correctly
-    * rounded by either engine's libm, so each ROW's contribution
-    * `value · e^(-Δt/τ)` is quantized ONCE to 1e-4 units (the
-    * `text_perplexity` drill, with exp in place of ln — Δt is exact
-    * BIGINT seconds, so both engines feed exp the identical double);
-    * the per-user sum is exact BIGINT and ONE final division scales back.
-    *
-    * Scale shape: the single latest-timestamp scalar rides a broadcast
-    * single-row frame; the weight is a map-side projection; the only
-    * shuffle is the final per-user partial-aggregated groupBy. */
   /** Pairwise audience overlap between event types (the "segment
     * overlap" warehouse staple; ClickHouse would reach for
     * `uniqCombined`/theta sketches at extreme cardinality — here the
@@ -411,6 +395,22 @@ object Analytics {
           .as("jaccard"))
   }
 
+  /** Exponentially time-decayed engagement per user (ClickHouse
+    * `exponentialMovingAverage` / feature-store "recency-weighted sum"):
+    * each event contributes `value · e^(-Δt/τ)` with Δt = seconds before
+    * the corpus's latest event and τ = 1 day — yesterday's click counts
+    * ~37% of one now.
+    *
+    * Cross-engine float contract (SURVEY §5): `exp` is not correctly
+    * rounded by either engine's libm, so each ROW's contribution
+    * `value · e^(-Δt/τ)` is quantized ONCE to 1e-4 units (the
+    * `text_perplexity` drill, with exp in place of ln — Δt is exact
+    * BIGINT seconds, so both engines feed exp the identical double);
+    * the per-user sum is exact BIGINT and ONE final division scales back.
+    *
+    * Scale shape: the single latest-timestamp scalar rides a broadcast
+    * single-row frame; the weight is a map-side projection; the only
+    * shuffle is the final per-user partial-aggregated groupBy. */
   def decayedSum(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
       .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("t"))

@@ -356,13 +356,18 @@ object RefPipeline {
     registerTempCleanup(stage)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
-    // one sentinel row in the raw footer schema (ts is TIMESTAMP(NANOS)
-    // read as long): 2030-01-01 in nanos, a user id no corpus uses
+    // one sentinel row in the raw footer schema: 2030-01-01, under a user
+    // id unambiguous at any corpus (Long.MinValue — a real corpus could
+    // legitimately use -1 or NULL, which must flow through like batch).
+    // ts mirrors Tables.events' schema guard: nanos long in this layout,
+    // a native timestamp if the corpus is ever rewritten with one.
     val sentinel = spark.range(1).select(schema.fields.toIndexedSeq.map { f =>
       (f.name, f.dataType) match {
         case ("ts", org.apache.spark.sql.types.LongType) =>
-          lit(1893456000000000000L).as("ts")
-        case ("user_id", org.apache.spark.sql.types.LongType) => lit(-1L).as("user_id")
+          lit(1893456000000000000L).as("ts") // nanos
+        case ("ts", _) => lit("2030-01-01 00:00:00").cast("timestamp").as("ts")
+        case ("user_id", org.apache.spark.sql.types.LongType) =>
+          lit(Long.MinValue).as("user_id")
         case ("value", org.apache.spark.sql.types.DoubleType) => lit(0.0d).as("value")
         case (n, dt) => lit(null).cast(dt).as(n)
       }
@@ -382,11 +387,18 @@ object RefPipeline {
     // would advance the watermark first and drop every event as late)
     java.nio.file.Files.setLastModifiedTime(flush,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
-    val events = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("basePath", stage.toString)
       .parquet(s"$stage/*.[p]arquet") // top-level data files only
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // Tables.events conversion
+    // the Tables.events nanos conversion, behind the same schema-type
+    // guard (a native-timestamp rewrite of the corpus must keep working)
+    val typed = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val events = typed
       .select(col("user_id"), col("value"),
         timestamp_seconds(unix_timestamp(col("ts"))).as("t"))
       .withWatermark("t", "1 second")
@@ -403,7 +415,9 @@ object RefPipeline {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(sink).filter(col("user_id") >= 0)
+    // drop EXACTLY the sentinel's (never-closed, but defensive) session —
+    // null-safe so NULL-user sessions flow through like the batch key
+    spark.table(sink).filter(!(col("user_id") <=> lit(Long.MinValue)))
   }
 
   /** Gap-based sessionization (30-min inactivity): the batch twin of the

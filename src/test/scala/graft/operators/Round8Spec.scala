@@ -182,10 +182,10 @@ class Round8Spec extends SparkSpec {
       assert(gn == n && gsq == sq, s"user $u: ($gn,$gsq) != ($n,$sq)")
       assert(gval == sq.toDouble / 10000.0)
     }
-    // decay sanity: the decayed value can never exceed the raw sum, and
-    // an event at t_max contributes its full value
+    // decay sanity: the decayed value can exceed the raw sum only by the
+    // half-up quantization slack (≤ 5e-5 per event), never materially
     rows.groupBy(_._1).foreach { case (u, es) =>
-      assert(got(u)._3 <= es.map(_._2).sum + 1e-6)
+      assert(got(u)._3 <= es.map(_._2).sum + 5e-5 * es.length + 1e-6)
     }
   }
 
