@@ -42,7 +42,9 @@ object Bench {
     // round-8 widening (ref_points_by_house times the JSON wire parse;
     // emb_covariance times the one-pass moments aggregate)
     "text_charstats", "ref_points_by_house", "emb_covariance", "emb_pca",
-    "q_decayed_sum", "q_audience_overlap", "streaming_session_window")
+    "q_decayed_sum", "q_audience_overlap", "streaming_session_window",
+    // format legs (orc key includes its write; csv times the wire parse)
+    "wh_orc_roundtrip", "ref_ingest_csv")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

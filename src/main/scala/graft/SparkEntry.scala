@@ -136,6 +136,9 @@ object SparkEntry {
     "q_audience_overlap" -> (Analytics.audienceOverlap _),
     // same oracle as q_session_window: stream == batch IS the check
     "streaming_session_window" -> (RefPipeline.streamingSessionWindow _),
+    // format legs: ORC storage round-trip; CSV wire ingestion
+    "wh_orc_roundtrip" -> (Warehouse.orcRoundtrip _),
+    "ref_ingest_csv" -> (graft.sources.EventsSource.refIngestCsv _),
   )
 
   private val tokCte =
@@ -866,5 +869,20 @@ object SparkEntry {
         |       floor(CAST(p.n_both AS DOUBLE) / CAST(sa.aud + sb.aud - p.n_both AS DOUBLE) * 10000 + 0.5) / 1e4 AS jaccard
         |FROM p JOIN s sa ON sa.event_type = p.type_a
         |       JOIN s sb ON sb.event_type = p.type_b""".stripMargin,
+    // the ORC layout is semantically invisible: same aggregate on the raw
+    // parquet table — equality proves the format leg is lossless
+    "wh_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+        |GROUP BY 1""".stripMargin,
+    // CSV wire leg: same index arithmetic replayed from range()
+    "ref_ingest_csv" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i))
+        |SELECT ['Potions','Charms','Herbology','Transfiguration'][CAST(i % 4 AS INT) + 1] AS subject,
+        |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY 1""".stripMargin,
   )
 }

@@ -282,6 +282,31 @@ object Warehouse {
           .as("revenue"))
   }
 
+  /** ORC storage round-trip as a CHECKED key (`wh_orc_roundtrip`): the
+    * reference engine ingests/exports ORC as a first-class format
+    * (ClickHouse `FORMAT ORC`), and Spark carries a native vectorized ORC
+    * reader/writer — a user switching engines keeps their ORC lake. The
+    * projected lineitem columns are written as zlib ORC to an exit-swept
+    * temp dir and read back through the vectorized scan into the same
+    * revenue aggregate the parquet table answers; the oracle runs on the
+    * raw parquet table, so equality proves the ORC leg is lossless for
+    * these types (DECIMAL/DATE/STRING/BIGINT). Predicate pushdown and
+    * column pruning work on the ORC scan exactly as on parquet —
+    * Round8Spec asserts the pushed filter. One file-format boundary, no
+    * extra shuffles: the aggregate is the familiar partial/final pair. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc")
+    graft.TempSweep.register(out)
+    graft.Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "l_returnflag")
+      .write.mode("overwrite").option("compression", "zlib").orc(out.toString)
+    spark.read.orc(out.toString)
+      .filter(col("l_shipdate") >= lit("1996-01-01"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+  }
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */

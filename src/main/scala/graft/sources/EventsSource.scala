@@ -117,6 +117,29 @@ object EventsSource {
   def refPointsByHouse(spark: SparkSession, dir: String): DataFrame =
     pointsByHouse(parseReference(syntheticReferenceLines(spark, 100000L)))
 
+  /** CSV ingestion as a CHECKED key (`ref_ingest_csv`): the reference
+    * engine ingests `FORMAT CSV` streams as readily as JSONEachRow, so the
+    * wire surface carries a CSV leg next to [[parseReference]]'s NDJSON
+    * one. Same philosophy: the i-th line is a pure function of i (CSV is
+    * flat, so this covers the reference corpus minus the nested tuple),
+    * parsed with the codegen'd `from_csv` against an explicit schema —
+    * never schema inference, which would add a driver pre-pass at 100 TB —
+    * and aggregated per subject; the oracle replays the index arithmetic
+    * from `range()`. */
+  def refIngestCsv(spark: SparkSession, dir: String): DataFrame = {
+    val lines = spark.range(0, 100000L).select(format_string(
+      "%d,%s,T%d,R%d,%d",
+      lit(1378022400000L) + col("id") * 3600000L,
+      element_at(array(referenceSubjects.map(lit): _*), (col("id") % 4 + 1).cast("int")),
+      col("id") % 7, col("id") % 9, col("id") % 21 - 10).as("line"))
+    lines
+      .select(expr("from_csv(line, 'timestamp BIGINT, subject STRING, " +
+        "teacher STRING, room STRING, points INT')").as("e"))
+      .groupBy(col("e.subject").as("subject"))
+      .agg(sum(col("e.points").cast("long")).as("total_points"),
+        count(lit(1)).as("n"))
+  }
+
   /** The reference topology's Kafka reader (kcat -> topic `entry-events` ->
     * engine table, README.rst Step 1-2), as a compiled code path: the
     * `format("kafka")` source resolves at RUNTIME, so this builds against

@@ -164,6 +164,65 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("wh_orc_roundtrip: the ORC scan carries the pushed filter and pruned schema") {
+    val qe = Warehouse.orcRoundtrip(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Format: ORC") || plan.contains("orc"),
+      s"expected an ORC scan:\n${plan.take(600)}")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the ORC scan:\n${plan.take(900)}")
+    // pruning: the written file has 5 columns; the scan must not read l_orderkey
+    assert(plan.contains("ReadSchema") && !plan.contains("l_orderkey"),
+      s"unused column must be pruned from the ORC read:\n${plan.take(900)}")
+  }
+
+  test("char_stats agrees with a driver recomputation on arbitrary unicode strings") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.GraftSession.registerFunctions(spark)
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaChar.map(_.toString), 3 -> Gen.const(" "),
+      2 -> Gen.choose('0', '9').map(_.toString),
+      // incl. a supplementary code point (surrogate pair) and a tab
+      1 -> Gen.oneOf("é", "ß", "中", "🙂", "\t"))).map(_.mkString)
+    val samples = (1 to 40).flatMap(i => gen.sample) :+ "" :+ " " :+
+      "🙂🙂🙂"
+    import spark.implicits._
+    val got = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+      .select(col("id"), expr("char_stats(text)").as("cs"))
+      .select(col("id"), col("cs.n_chars"), col("cs.n_alpha"), col("cs.n_space"),
+        col("cs.n_uniq"), col("cs.ent_q"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val cps = s.codePoints().toArray
+      val counts = cps.groupBy(identity).map { case (_, v) => v.length.toLong }
+      val entQ = if (cps.isEmpty) 0L else counts.map(c => c * math.floor(
+        StrictMath.log(cps.length.toDouble / c.toDouble) * 10000d + 0.5).toLong).sum
+      val want = (cps.length.toLong,
+        cps.count(cp => (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')).toLong,
+        cps.count(_ == ' ').toLong, counts.size.toLong, entQ)
+      assert(got(i.toLong) == want, s"mismatch for ${s.take(30).mkString}")
+    }
+  }
+
+  test("morton2 equals the bit-by-bit reference on arbitrary 32-bit keys") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.functions.col
+    def mortonRef(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val g = Gen.choose(0L, 0xFFFFFFFFL)
+    val pairs = (1 to 100).flatMap(_ => (for { x <- g; y <- g } yield (x, y)).sample)
+    import spark.implicits._
+    val got = pairs.toDF("x", "y")
+      .select(Warehouse.morton2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (x, y) => mortonRef(x, y) })
+  }
+
   test("q_decayed_sum reproduces a driver-side quantized-decay recomputation") {
     val rows = graft.Tables(spark, sf).events
       .selectExpr("user_id", "value", "unix_timestamp(ts) as t").collect()
