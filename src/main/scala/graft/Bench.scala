@@ -44,7 +44,11 @@ object Bench {
     "text_charstats", "ref_points_by_house", "emb_covariance", "emb_pca",
     "q_decayed_sum", "q_audience_overlap", "streaming_session_window",
     // format legs (orc key includes its write; csv times the wire parse)
-    "wh_orc_roundtrip", "ref_ingest_csv")
+    "wh_orc_roundtrip", "ref_ingest_csv",
+    // round-8 continuation (the compaction key includes both the
+    // fragmented write and the compacting rewrite; the merge key times
+    // the union+collapse)
+    "wh_replacing_merge", "wh_compaction", "q_fill_gaps", "q_event_gaps")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

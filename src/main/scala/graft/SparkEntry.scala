@@ -139,6 +139,13 @@ object SparkEntry {
     // format legs: ORC storage round-trip; CSV wire ingestion
     "wh_orc_roundtrip" -> (Warehouse.orcRoundtrip _),
     "ref_ingest_csv" -> (graft.sources.EventsSource.refIngestCsv _),
+    // Round-8 continuation: the ReplacingMergeTree version-wins merge,
+    // small-file compaction, WITH-FILL gap filling, and the LAG/
+    // runningDifference window surface
+    "wh_replacing_merge" -> (Warehouse.replacingMerge _),
+    "wh_compaction" -> (Warehouse.compaction _),
+    "q_fill_gaps" -> (Analytics.fillGaps _),
+    "q_event_gaps" -> (Analytics.eventGaps _),
   )
 
   private val tokCte =
@@ -884,5 +891,53 @@ object SparkEntry {
         |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM g GROUP BY 1""".stripMargin,
+    // the update stream is a pure function of the base table (every 10th
+    // order: status 'F', +500 exact cents, version 2), so the oracle
+    // replays it and resolves version-wins with arg_max — no side channel
+    "wh_replacing_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |                CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |                CAST(1 AS BIGINT) AS version
+        |              FROM orders),
+        |upd AS (SELECT o_orderkey, 'F' AS o_orderstatus, total_cents + 500 AS total_cents,
+        |               CAST(2 AS BIGINT) AS version
+        |        FROM base WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey, CAST(max(version) AS BIGINT) AS version,
+        |       arg_max(o_orderstatus, version) AS o_orderstatus,
+        |       CAST(arg_max(total_cents, version) AS BIGINT) AS total_cents
+        |FROM u GROUP BY o_orderkey""".stripMargin,
+    // the compacted layout is semantically invisible: the same aggregate
+    // on the raw events table — equality proves compaction lossless
+    "wh_compaction" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    // dense calendar replayed with generate_series over the same bounds;
+    // filled zeros and summed buckets share the exact integer-cents domain
+    "q_fill_gaps" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |           FROM events GROUP BY 1, 2),
+        |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |cal AS (SELECT t.event_type,
+        |               CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN span s)
+        |SELECT c.event_type, c.day,
+        |       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+        |       CAST(coalesce(d.sum_cents, 0) AS BIGINT) AS sum_cents
+        |FROM cal c LEFT JOIN d ON d.event_type = c.event_type AND d.day = c.day""".stripMargin,
+    // lag over (micros, event_id) — the unique event_id tie-break makes
+    // the difference deterministic; gaps stay exact BIGINT microseconds
+    "q_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT user_id,
+        |        tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap_us
+        |      FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
   )
 }

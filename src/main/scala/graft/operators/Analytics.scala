@@ -423,4 +423,63 @@ object Analytics {
       .select(col("user_id"), col("n_events"), col("sum_c_q"),
         (col("sum_c_q").cast("double") / lit(10000.0)).as("decayed_value"))
   }
+
+  /** Time-series gap filling (ClickHouse `ORDER BY ... WITH FILL` /
+    * `WITH FILL STEP 1 DAY`): the daily per-type revenue series with every
+    * missing (type, day) bucket materialized as an explicit zero row —
+    * dashboards and window functions downstream need dense series, and at
+    * 100 TB the dense calendar must NOT be built by scanning the data
+    * twice per bucket.
+    *
+    * Shape: the fact scan aggregates ONCE to (type, day) — the only
+    * data-sized shuffle. The dense calendar is |types| x days rows, built
+    * from two scalar bounds and a distinct type list via builtin
+    * `sequence`+`explode` (no generator UDF, no driver loop), and the
+    * left join that stitches facts onto it joins two ALREADY-AGGREGATED
+    * frames whose sizes depend on the vocabulary and the time span, never
+    * on the event count — AQE broadcasts the small side at any scale.
+    * Money is exact integer cents so the filled zeros and the summed
+    * buckets live in the same exact domain. */
+  def fillGaps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+    val span = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val calendar = e.select("event_type").distinct()
+      .crossJoin(span) // 1-row bounds frame: broadcast-nested-loop, |types| rows out
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    calendar.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+  }
+
+  /** Per-user inter-event gap statistics (ClickHouse `runningDifference` /
+    * `neighbor` surface — the LAG half of the window family next to
+    * [[runningTotal]]'s cumulative fold and [[movingSum]]'s bounded
+    * frame): each user's event timeline differenced once, then collapsed
+    * to (count, max, sum) of the gaps.
+    *
+    * The window is PARTITIONED BY user_id — a keyed window, so the work is
+    * one user_id shuffle and a per-user in-memory sort of that user's own
+    * rows, never a global sort (SURVEY §4's WindowExec rule: partition-less
+    * windows are forbidden, keyed ones scale like any aggregation). The
+    * order key is (timestamp-micros, event_id) — event_id is unique, so
+    * `lag` is deterministic under ties. Gaps are exact BIGINT microseconds
+    * end-to-end: difference, max, and sum all stay in integer space, so
+    * any engine reproduces the result bit-for-bit (SURVEY §5). */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev_tus", lag("tus", 1).over(w))
+      .filter(col("prev_tus").isNotNull)
+      .select(col("user_id"), (col("tus") - col("prev_tus")).as("gap_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        max("gap_us").as("max_gap_us"),
+        sum("gap_us").as("sum_gap_us"))
+  }
 }

@@ -307,6 +307,104 @@ object Warehouse {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
   }
 
+  /** Version-wins upsert merge as a CHECKED key (`wh_replacing_merge`) —
+    * the reference engine's ReplacingMergeTree concept: a table keyed on
+    * `o_orderkey` receives later VERSIONS of some rows, and a read must see
+    * only the newest version of each key (ClickHouse resolves this lazily
+    * at merge/SELECT-FINAL time; the Spark rendition resolves it in one
+    * aggregation). The update stream is synthesized deterministically from
+    * the base table (every 10th order gets a version-2 row: status forced
+    * to 'F', an exact +500-cent adjustment), so the oracle replays the
+    * identical arithmetic with no side channel.
+    *
+    * The merge itself is the scale story: `max_by(struct(...), version)`
+    * is an ALGEBRAIC aggregate, so Spark plans it as the familiar
+    * partial/final HashAggregate pair — each map task first collapses its
+    * local rows per key, and only one already-collapsed row per (task,
+    * key) crosses the wire. The naive rendition (`row_number() OVER
+    * (PARTITION BY key ORDER BY version DESC)`) moves EVERY version
+    * through a sort-based WindowExec; the aggregate form shuffles less
+    * and never sorts. Money is exact integer cents throughout (SURVEY §5
+    * — no double summing, so the merge is bit-reproducible in any engine).
+    *
+    * At 100 TB this is the CDC-compaction pattern: base ∪ updates is one
+    * union (no join), the only shuffle is the per-key collapse, and AQE
+    * handles key skew like any single-shuffle aggregate. */
+  def replacingMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("total_cents"),
+        lit(1L).as("version"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+        (col("total_cents") + lit(500L)).as("total_cents"),
+        lit(2L).as("version"))
+    base.unionByName(updates)
+      .groupBy("o_orderkey")
+      .agg(max_by(
+        struct(col("version"), col("o_orderstatus"), col("total_cents")),
+        col("version")).as("w"))
+      .select(col("o_orderkey"), col("w.version").as("version"),
+        col("w.o_orderstatus").as("o_orderstatus"),
+        col("w.total_cents").as("total_cents"))
+  }
+
+  /** ONE fragmented-layout dir + ONE compacted dir per JVM, overwritten in
+    * place per invocation (same reclaim semantics as [[zorderDir]]). */
+  private lazy val compactionDirs: (java.nio.file.Path, java.nio.file.Path) = {
+    val frag = java.nio.file.Files.createTempDirectory("graft-frag")
+    val comp = java.nio.file.Files.createTempDirectory("graft-compact")
+    graft.TempSweep.register(frag); graft.TempSweep.register(comp)
+    (frag, comp)
+  }
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** How many parquet data files each side of the last compaction holds —
+    * WarehouseSpec asserts fragmented >> compacted. */
+  private[graft] def compactionFileCounts(): (Int, Int) = {
+    val (frag, comp) = compactionDirs
+    (parquetFiles(frag.toString).length, parquetFiles(comp.toString).length)
+  }
+
+  /** Small-file compaction as a CHECKED key (`wh_compaction`) — the
+    * operational staple every 100 TB lake needs: streaming/ingest jobs
+    * land MANY small files (here: a deliberate 64-way fragmented write of
+    * the events projection), and every later scan pays per-file open cost,
+    * tiny row groups, and footer overhead. Compaction rewrites the layout
+    * into files sized from the ACTUAL input bytes (ceil(total/128 MB),
+    * floor 1 — the driver lists one directory, bounded work) via
+    * `coalesce(n)`, which merges partitions WITHOUT a shuffle: each output
+    * task reads a handful of small files sequentially and writes one big
+    * one — the whole compaction moves every byte exactly once and never
+    * crosses the wire. (`repartition(n)` would shuffle the full table to
+    * get balanced output; for uniformly-sized ingest files coalesce gives
+    * the same sizing for free — that trade is the point of the key.)
+    *
+    * The query then answers the per-type revenue aggregate FROM the
+    * compacted layout; the oracle runs on the raw events table, so
+    * equality proves compaction is semantically invisible. WarehouseSpec
+    * asserts the file counts (64 fragmented → ceil-sized compacted). */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val (frag, comp) = compactionDirs
+    graft.Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .repartition(64) // simulate a small-files ingest layout
+      .write.mode("overwrite").parquet(frag.toString)
+    val totalBytes = parquetFiles(frag.toString).map(_.length).sum
+    val targetBytes = 128L * 1024 * 1024
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(frag.toString)
+      .coalesce(n)
+      .write.mode("overwrite").parquet(comp.toString)
+    spark.read.parquet(comp.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+  }
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */

@@ -87,4 +87,49 @@ class AnalyticsSpec extends SparkSpec {
       assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
     } finally q.stop()
   }
+
+  test("gap filling yields the dense type x day grid with zeros exactly where no events fall") {
+    val e = graft.Tables(spark, sf).events
+    val filled = Analytics.fillGaps(spark, sf)
+    val rows = filled.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    val nTypes = e.select("event_type").distinct().count()
+    val bounds = e.agg(org.apache.spark.sql.functions.min(col("ts").cast("date")),
+      org.apache.spark.sql.functions.max(col("ts").cast("date"))).collect()(0)
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(
+      bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate) + 1
+    assert(rows.size == nTypes * nDays,
+      s"grid must be dense: ${rows.size} rows vs $nTypes types x $nDays days")
+
+    // the non-zero cells equal the plain daily aggregate; every other cell is (0, 0)
+    val daily = e.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> ((r.getLong(2), r.getLong(3)))).toMap
+    daily.foreach { case (k, v) => assert(rows(k) == v, s"filled cell $k diverged") }
+    (rows.keySet -- daily.keySet).foreach { k =>
+      assert(rows(k) == ((0L, 0L)), s"gap cell $k must be an explicit zero row")
+    }
+  }
+
+  test("event gaps telescope: n_gaps = n-1 and sum of gaps = last - first per user") {
+    val gaps = Analytics.eventGaps(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val spans = graft.Tables(spark, sf).events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(unix_micros(col("ts"))).as("t0"),
+        org.apache.spark.sql.functions.max(unix_micros(col("ts"))).as("t1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // users with a single event have no gap row at all
+    assert(gaps.keySet == spans.filter(_._2._1 > 1).keySet)
+    gaps.foreach { case (u, (nGaps, maxGap, sumGap)) =>
+      val (n, t0, t1) = spans(u)
+      assert(nGaps == n - 1, s"user $u: $nGaps gaps for $n events")
+      assert(sumGap == t1 - t0, s"user $u: gaps must telescope to the span")
+      assert(maxGap <= sumGap && maxGap >= (sumGap + nGaps - 1) / nGaps,
+        s"user $u: max gap $maxGap outside [avg, sum] of $sumGap over $nGaps")
+    }
+  }
 }

@@ -95,4 +95,47 @@ class WarehouseSpec extends SparkSpec {
         "pruned-layout aggregation diverged from the raw scan")
     } finally spark.sql("DROP TABLE IF EXISTS whp_events")
   }
+
+  test("replacing merge resolves version-wins per key with NO window operator") {
+    val merged = Warehouse.replacingMerge(spark, sf)
+    // the merge must plan as a partial/final aggregate, never a sorted
+    // WindowExec moving every version through a per-key sort
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"version-wins collapsed via a window:\n${plan.take(800)}")
+
+    val t = graft.Tables(spark, sf).orders
+    val base = t.select(col("o_orderkey"), col("o_orderstatus"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val got = merged.collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        ((r.getAs[Long]("version"), r.getAs[String]("o_orderstatus"), r.getAs[Long]("total_cents"))))
+      .toMap
+    assert(got.size == base.size, "merge must yield exactly one row per key")
+    got.foreach { case (k, (version, status, cents)) =>
+      val (baseStatus, baseCents) = base(k)
+      if (k % 10 == 0) {
+        assert(version == 2L && status == "F" && cents == baseCents + 500L,
+          s"key $k: update row must win ($version, $status, $cents vs base $baseCents)")
+      } else {
+        assert(version == 1L && status == baseStatus && cents == baseCents,
+          s"key $k: base row must survive untouched")
+      }
+    }
+  }
+
+  test("compaction collapses the fragmented layout and preserves the aggregate exactly") {
+    val df = Warehouse.compaction(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val (fragFiles, compFiles) = Warehouse.compactionFileCounts()
+    assert(fragFiles == 64, s"the simulated ingest layout must hold 64 files, got $fragFiles")
+    // tiny test input: everything fits one 128 MB target file
+    assert(compFiles == 1, s"compaction must produce ceil(bytes/128MB)=1 file, got $compFiles")
+    val raw = graft.Tables(spark, sf).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == raw, "compacted layout diverged from the raw table")
+  }
 }
