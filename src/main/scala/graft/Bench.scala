@@ -48,7 +48,16 @@ object Bench {
     // round-8 continuation (the compaction key includes both the
     // fragmented write and the compacting rewrite; the merge key times
     // the union+collapse)
-    "wh_replacing_merge", "wh_compaction", "q_fill_gaps", "q_event_gaps")
+    "wh_replacing_merge", "wh_compaction", "q_fill_gaps", "q_event_gaps",
+    // asymmetric containment runs the prefix⋈full shingle join; the
+    // evolution key includes both generation writes + the merged read
+    "dedup_containment", "wh_schema_evolution",
+    // the sketch-state key includes the state write + the merge read;
+    // percent_rank runs the two-pass range-partitioned global rank
+    "wh_sketch_state_merge", "q_percent_rank",
+    // the salted shuffle join IS the timed work (hot 5-value key spread
+    // over 8 salts; hinted away from broadcast)
+    "q_skew_join")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -146,6 +146,16 @@ object SparkEntry {
     "wh_compaction" -> (Warehouse.compaction _),
     "q_fill_gaps" -> (Analytics.fillGaps _),
     "q_event_gaps" -> (Analytics.eventGaps _),
+    // the asymmetric Broder measure next to ngram_jaccard's resemblance,
+    // and the mergeSchema read across layout generations
+    "dedup_containment" -> (Dedup.containment _),
+    "wh_schema_evolution" -> (Warehouse.schemaEvolution _),
+    "q_percent_rank" -> (Analytics.percentRank _),
+    "q_skew_join" -> (Analytics.skewJoin _),
+    // rows-only by design (HLL register contents are engine-specific);
+    // WarehouseSpec asserts merged-state == direct-sketch bit equality
+    // and a 5% accuracy band vs the exact distinct count
+    "wh_sketch_state_merge" -> (Warehouse.sketchStateMerge _),
   )
 
   private val tokCte =
@@ -203,6 +213,29 @@ object SparkEntry {
        |  round(CAST(c AS DOUBLE) / (x.n_eff + y.n_eff - c), 4) AS jaccard
        |FROM p JOIN meta x ON doc_a = x.doc_id JOIN meta y ON doc_b = y.doc_id
        |WHERE round(CAST(c AS DOUBLE) / (x.n_eff + y.n_eff - c), 4) >= 0.9""".stripMargin
+  }
+
+  /** Containment oracle: the direct asymmetric definition over the same
+    * df <= hard universe — every DIRECTED pair with |Sa ∩ Sb| / |Sa| >=
+    * 0.9. Dedup.containmentPairs reaches it via the contained-side prefix
+    * filter (zero-miss), so the oracle is again the plain self-join. */
+  private def containmentCappedSql: String = {
+    val hard = operators.Dedup.ShingleDfHardCap
+    s"""WITH tkt AS ($tokCte),
+       |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+       |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
+       |sgn AS (SELECT doc_id, sg FROM sgt WHERE len(sg) > 0),
+       |ex AS (SELECT doc_id, unnest(sg) AS sh FROM sgn),
+       |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+       |exe AS (SELECT ex.doc_id, ex.sh FROM ex JOIN df ON ex.sh = df.sh
+       |        WHERE df.df <= $hard),
+       |meta AS (SELECT doc_id, count(*) AS n_eff FROM exe GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS c
+       |      FROM exe a JOIN exe b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT contained, container, CAST(x.n_eff AS BIGINT) AS na,
+       |  round(CAST(c AS DOUBLE) / x.n_eff, 4) AS containment
+       |FROM p JOIN meta x ON contained = x.doc_id
+       |WHERE round(CAST(c AS DOUBLE) / x.n_eff, 4) >= 0.9""".stripMargin
   }
 
   private val vecCtes =
@@ -939,5 +972,38 @@ object SparkEntry {
         |       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
         |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
+    "dedup_containment" -> containmentCappedSql,
+    // old-generation rows (even event_id, written before the column
+    // existed) must surface as the declared 'unknown' default; equality
+    // proves the evolved read loses nothing
+    "wh_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    // the (spend desc, custkey) sort key is UNIQUE, so percent_rank is
+    // exactly (row_number - 1) / (N - 1): one IEEE division of the same
+    // two integers in either engine — bit-reproducible, no rounding
+    "q_percent_rank" ->
+      """WITH s AS (SELECT o_custkey,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |           FROM orders GROUP BY 1)
+        |SELECT o_custkey, spend_cents,
+        |       percent_rank() OVER (ORDER BY spend_cents DESC, o_custkey) AS pct_rank
+        |FROM s""".stripMargin,
+    // the UNSALTED join: salt only routes rows, so the oracle never sees
+    // it; per-row deviations stay in exact scaled BIGINTs, one division
+    // chain at the end
+    "q_skew_join" ->
+      """WITH d AS (SELECT event_type,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(e.ts AS DATE) AS day,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(abs(CAST(round(e.value * 100) AS BIGINT) * d.n - d.s)) AS BIGINT) AS dev_scaled,
+        |       CAST(sum(abs(CAST(round(e.value * 100) AS BIGINT) * d.n - d.s)) AS DOUBLE)
+        |         / CAST(count(*) * any_value(d.n) AS DOUBLE) / 100.0 AS mad_value
+        |FROM events e JOIN d USING (event_type) GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -456,6 +456,80 @@ object Analytics {
         coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
   }
 
+  /** ANSI `percent_rank` over every customer's lifetime spend — the
+    * continuous sibling of [[spendQuartiles]]'s ntile, completing the
+    * global-rank family (row_number / ntile / prefix-sum / percent_rank)
+    * on the same WindowExec-free backbone: [[GlobalRank.rowNumbered]]
+    * range-partitions on the sort key and derives the global row number
+    * from slice offsets, so no single task ever holds the whole frame.
+    *
+    * Determinism contract: the sort key (spend desc, custkey) is UNIQUE,
+    * so row_number == rank and percent_rank is exactly
+    * (rn - 1) / (N - 1) — one IEEE division of the same two integers in
+    * any engine, bit-reproducible with no quantization step needed (the
+    * same trick [[spendQuartiles]] uses for tie-free ntile). Spend is
+    * summed as exact integer cents first. The N comes from a count() of
+    * the ALREADY-AGGREGATED per-customer frame — customer-vocabulary
+    * work, and GlobalRank's two-pass shape pays an equivalent counting
+    * pass anyway. */
+  def percentRank(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir).orders
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"))
+    val total = spend.count()
+    GlobalRank.rowNumbered(spend, "rn", col("spend_cents").desc, col("o_custkey"))
+      .select(col("o_custkey"), col("spend_cents"),
+        ((col("rn") - 1).cast("double") / lit(math.max(total - 1, 1L).toDouble))
+          .as("pct_rank"))
+  }
+
+  /** Salted skew join as a CHECKED key — SURVEY §4's skew technique made
+    * checkable instead of prose. `event_type` is the textbook hot key: a
+    * 5-value vocabulary means a plain shuffle join lands EVERY row of a
+    * type on one task — at 100 TB that task runs for hours while 999
+    * executors idle. The cure when the dim side is too big to broadcast:
+    * replicate each dim row S ways (salt 0..S-1), give every fact row ONE
+    * deterministic salt, and join on (key, salt) — each hot key now
+    * spreads over S tasks, and every fact row still matches exactly one
+    * replica, so semantics are untouched (the spec proves equality with
+    * the plain join; the oracle is the unsalted SQL).
+    *
+    * The salt is `xxhash64(event_id) mod S` — engine-SPECIFIC, and
+    * deliberately so: salt only routes rows and never reaches the output,
+    * the one legitimate place for a non-portable hash (SURVEY §5). The
+    * SHUFFLE_HASH hint keeps the demonstration honest at test scale —
+    * without it AQE rightly broadcasts the tiny dim and the salt would be
+    * dead code; at the scale this key models, the dim doesn't fit a
+    * broadcast and the salted shuffle IS the plan.
+    *
+    * The query itself is the deviation-from-segment-mean enrichment:
+    * per-row |value·N_t − S_t| stays in exact scaled BIGINTs (the mean
+    * S_t/N_t is never materialized as a double), and the final mean
+    * absolute deviation divides once at the end — the same exact-integer
+    * contract as every money path in this repo. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val e = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"),
+        pmod(xxhash64(col("event_id")), lit(S.toLong)).as("salt"))
+    val dim = Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("type_sum_cents"),
+        count(lit(1)).as("type_n"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(S.toLong - 1))))
+    e.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(abs(col("v_cents") * col("type_n") - col("type_sum_cents")))
+          .as("dev_scaled"),
+        max("type_n").as("type_n"))
+      .select(col("event_type"), col("day"), col("n_events"), col("dev_scaled"),
+        (col("dev_scaled").cast("double") /
+          (col("n_events") * col("type_n")).cast("double") / lit(100.0))
+          .as("mad_value"))
+  }
+
   /** Per-user inter-event gap statistics (ClickHouse `runningDifference` /
     * `neighbor` surface — the LAG half of the window family next to
     * [[runningTotal]]'s cumulative fold and [[movingSum]]'s bounded

@@ -405,6 +405,88 @@ object Warehouse {
         sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
   }
 
+  private lazy val sketchStateDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-hll-state")
+    graft.TempSweep.register(p)
+    p
+  }
+
+  /** Stored HLL sketch state + query-time merge as a CHECKED key
+    * (`wh_sketch_state_merge`) — the APPROXIMATE sibling of
+    * [[aggStateMerge]], i.e. the reference engine's `uniqState` /
+    * `uniqMerge` pair: distinct-user sketches are built per fine key
+    * (day, event_type), persisted as binary columns, and a later query
+    * merges them up to the coarser per-day key WITHOUT touching raw data.
+    * An exact distinct cannot do this — `countDistinct` state is the full
+    * value set, which is why pre-aggregated dashboards at 100 TB run on
+    * sketches: HLL register arrays merge by pointwise max, so the stored
+    * state is a few KB per key and the merge is associative — the merged
+    * estimate is BIT-IDENTICAL to sketching the raw union directly
+    * (WarehouseSpec asserts exactly that, plus a 5% accuracy band vs the
+    * exact count; the estimate is engine-specific, so the driver check is
+    * rows-only by design like the other sketch keys).
+    *
+    * Scale: the raw corpus is scanned once at state-build time
+    * (partial-aggregated to days x types sketch rows); every later merge
+    * query reads KBs. lgConfigK = 12 (the Spark/DataSketches default) is
+    * declared at BOTH build and merge — merging sketches of different
+    * precision silently degrades to the coarsest, so the knob is part of
+    * the stored contract, not a query-time choice. */
+  def sketchStateMerge(spark: SparkSession, dir: String): DataFrame = {
+    val state = sketchStateDir.toString
+    graft.Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("user_sketch"),
+        count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(state)
+    spark.read.parquet(state)
+      .groupBy("day")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("user_sketch"), lit(false)))
+          .as("approx_users"),
+        sum("cnt").as("n_events"))
+  }
+
+  private lazy val evolutionDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-evolve")
+    graft.TempSweep.register(p)
+    p
+  }
+
+  /** Schema evolution across layout generations as a CHECKED key
+    * (`wh_schema_evolution`) — the lake reality ClickHouse handles with
+    * `ALTER TABLE ADD COLUMN` defaults and Spark handles with
+    * `mergeSchema`: a table accumulates files written under an OLD schema
+    * (generation 1: event_id, user_id, value) and a WIDENED one
+    * (generation 2 adds event_type), and a read must span both without
+    * rewriting history — at 100 TB rewriting every historical file to
+    * backfill one column is exactly the job nobody can afford.
+    *
+    * `mergeSchema` unions the parquet footers at planning time (a
+    * file-listing-sized driver cost, not a data scan); old files simply
+    * yield nulls for the new column, and the query's `coalesce(...,
+    * 'unknown')` is the declared backfill default. The generation split
+    * here is deterministic (even/odd event_id), so the oracle replays it
+    * as a CASE over the raw table — equality proves old-generation rows
+    * take the default and new-generation rows keep their real values,
+    * i.e. the evolved read loses nothing. Per-file pruning/pushdown still
+    * work on the shared columns; the aggregate is the ordinary
+    * partial/final pair. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = evolutionDir.toString
+    val e = graft.Tables(spark, dir).events
+    e.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    e.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("event_type"), lit("unknown")).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+  }
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */

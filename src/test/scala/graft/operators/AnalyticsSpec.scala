@@ -132,4 +132,52 @@ class AnalyticsSpec extends SparkSpec {
         s"user $u: max gap $maxGap outside [avg, sum] of $sumGap over $nGaps")
     }
   }
+
+  test("salted skew join plans as a salted shuffle join and equals the plain join exactly") {
+    val df = Analytics.skewJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the hint must hold a shuffle join (the salt is dead code under broadcast):\n${plan.take(600)}")
+    assert(!plan.contains("BroadcastHashJoin"), "dim side must not broadcast in this demonstration")
+    assert(plan.contains("salt"), "join keys must carry the salt")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // the unsalted reference join (broadcast allowed — semantics only)
+    val e = graft.Tables(spark, sf).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+    val dim = graft.Tables(spark, sf).events
+      .groupBy("event_type")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("s"), count(lit(1)).as("n"))
+    val plain = e.join(dim, Seq("event_type"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(abs(col("v_cents") * col("n") - col("s"))).as("dev_scaled"),
+        max("n").as("type_n"))
+      .select(col("event_type"), col("day"), col("n_events"), col("dev_scaled"),
+        (col("dev_scaled").cast("double") /
+          (col("n_events") * col("type_n")).cast("double") / lit(100.0)).as("mad_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == plain, "salting changed the join result")
+  }
+
+  test("percent rank is exactly (i-1)/(N-1) over the unique spend order, descending in spend") {
+    val rows = Analytics.percentRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = rows.length
+    assert(n > 1)
+    // under the unique (spend desc, custkey) order the ranks are a
+    // permutation of 0/(N-1) .. (N-1)/(N-1), bit-exact
+    val expected = (0 until n).map(i => i.toDouble / (n - 1).toDouble).toSet
+    assert(rows.map(_._3).toSet == expected)
+    // and the order is the declared one
+    val sorted = rows.sortBy(_._3)
+    sorted.sliding(2).foreach { case Array((ka, sa, _), (kb, sb, _)) =>
+      assert(sa > sb || (sa == sb && ka < kb),
+        s"rank order violated between customers $ka and $kb")
+    }
+  }
 }

@@ -79,6 +79,55 @@ class DedupSpec extends SparkSpec {
     assert(df(100L) > hard && brute(0.2).nonEmpty)
   }
 
+  test("containmentPairs matches brute force and catches subset docs Jaccard misses") {
+    import org.apache.spark.sql.functions.{col, size}
+    val spark2 = spark; import spark2.implicits._
+    val hard = 100 // nothing excluded: this test is about the asymmetry
+    val sets: Map[Long, Seq[Long]] = Map(
+      1L -> (1L to 10L),             // fully inside doc 2: C(1→2)=1, J≈0.1
+      2L -> (1L to 100L),
+      3L -> (200L to 220L),          // disjoint filler
+      4L -> ((1L to 9L) :+ 300L))    // C(4→1)=0.9, C(4→2)=0.9, C(1→4)=0.9
+    val sgd = sets.toSeq.map { case (d, s) => (d, s) }.toDF("doc_id", "sg")
+      .withColumn("n", size(col("sg")).cast("long"))
+    def brute(thr: Double): Set[(Long, Long, Double)] = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = sets(a).toSet.intersect(sets(b).toSet).size if c > 0
+      cm = math.floor(c.toDouble / sets(a).size * 1e4 + 0.5) / 1e4
+      if cm >= thr
+    } yield (a, b, cm)).toSet
+    for (thr <- Seq(0.5, 0.9)) {
+      val got = Dedup.containmentPairs(sgd, hard, thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(got == brute(thr), s"thr=$thr: got $got want ${brute(thr)}")
+    }
+    // the case the key exists for: subset doc found by containment,
+    // invisible to Jaccard at the same threshold
+    val cm = Dedup.containmentPairs(sgd, hard, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val j = Dedup.jaccardPairs(sgd, hard, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cm.contains((1L, 2L)), "subset doc must be contained in its superset")
+    assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)),
+      "fixture broken: the subset pair must NOT be a Jaccard near-dup")
+  }
+
+  test("containment dominates Jaccard: every corpus Jaccard pair appears in both directions") {
+    // J(a,b) = c/(na+nb-c) <= c/na = C(a→b) pointwise (nb >= c always),
+    // and round is monotone — so every round-4 Jaccard >= 0.9 pair must
+    // show round-4 containment >= 0.9 BOTH ways.
+    val j = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val c = Dedup.containment(spark, sf)
+      .select("contained", "container").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(j.nonEmpty, "fixture: the corpus has Jaccard near-dups")
+    j.foreach { case (a, b) =>
+      assert(c.contains((a, b)) && c.contains((b, a)),
+        s"Jaccard pair ($a,$b) missing from directed containment")
+    }
+  }
+
   test("CDC chunking is deterministic, length-bounded, and shift-resistant") {
     import graft.functions.CdcChunks
     val rnd = new scala.util.Random(7)

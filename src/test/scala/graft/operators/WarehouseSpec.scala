@@ -138,4 +138,43 @@ class WarehouseSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == raw, "compacted layout diverged from the raw table")
   }
+
+  test("schema-evolved read spans both generations with the declared default for pre-column files") {
+    val df = Warehouse.schemaEvolution(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val raw = graft.Tables(spark, sf).events
+      .select(when(col("event_id") % 2 === 0, lit("unknown"))
+        .otherwise(col("event_type")).as("event_type"), col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == raw, "evolved read diverged from the CASE replay on the raw table")
+    // both generations really contribute: the default bucket exists AND
+    // the new column's real values survive for gen-2 rows
+    assert(got.exists(_._1 == "unknown") && got.size > 1)
+  }
+
+  test("merged HLL sketch state equals sketching the raw union directly, within 5% of exact") {
+    val merged = Warehouse.sketchStateMerge(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = graft.Tables(spark, sf).events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("approx"),
+        countDistinct("user_id").as("exact"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(merged.keySet == direct.keySet)
+    direct.foreach { case (day, (approx, exact, n)) =>
+      val (mergedApprox, mergedN) = merged(day)
+      // register-max merge is associative: merging per-(day,type) states
+      // must reproduce the direct per-day sketch BIT-FOR-BIT
+      assert(mergedApprox == approx,
+        s"$day: merged-state estimate $mergedApprox != direct-sketch estimate $approx")
+      assert(mergedN == n, s"$day: event counts must ride along exactly")
+      assert(math.abs(mergedApprox - exact) <= math.max(0.05 * exact, 1.0),
+        s"$day: estimate $mergedApprox outside 5% of exact $exact")
+    }
+  }
 }
