@@ -57,7 +57,9 @@ object Bench {
     "wh_sketch_state_merge", "q_percent_rank",
     // the salted shuffle join IS the timed work (hot 5-value key spread
     // over 8 salts; hinted away from broadcast)
-    "q_skew_join")
+    "q_skew_join",
+    // interval-bucketed range join (equi-join + residual, never BNLJ)
+    "q_range_join")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -152,6 +152,7 @@ object SparkEntry {
     "wh_schema_evolution" -> (Warehouse.schemaEvolution _),
     "q_percent_rank" -> (Analytics.percentRank _),
     "q_skew_join" -> (Analytics.skewJoin _),
+    "q_range_join" -> (Analytics.rangeJoin _),
     // rows-only by design (HLL register contents are engine-specific);
     // WarehouseSpec asserts merged-state == direct-sketch bit equality
     // and a 5% accuracy band vs the exact distinct count
@@ -994,6 +995,26 @@ object SparkEntry {
     // the UNSALTED join: salt only routes rows, so the oracle never sees
     // it; per-row deviations stay in exact scaled BIGINTs, one division
     // chain at the end
+    // the plain BETWEEN range join over the same deterministic interval
+    // arithmetic — equality proves the bucketed equi-join rewrite IS the
+    // range join (intervals are disjoint; bounds on exact hour marks)
+    "q_range_join" ->
+      """WITH span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |iv0 AS (SELECT t.event_type,
+        |               unnest(generate_series(0, CAST(floor((s.d1 - s.d0) / 7.0) AS BIGINT))) AS promo_id,
+        |               s.d0
+        |        FROM t CROSS JOIN span s),
+        |iv AS (SELECT event_type, CAST(promo_id AS BIGINT) AS promo_id,
+        |              CAST(d0 AS TIMESTAMP) + INTERVAL 6 HOUR + promo_id * (INTERVAL 7 DAY) AS t_start
+        |       FROM iv0),
+        |j AS (SELECT e.event_type, iv.promo_id,
+        |             CAST(round(e.value * 100) AS BIGINT) AS v_cents
+        |      FROM events e JOIN iv ON e.event_type = iv.event_type
+        |        AND e.ts >= iv.t_start AND e.ts < iv.t_start + INTERVAL 36 HOUR)
+        |SELECT event_type, promo_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(v_cents) AS BIGINT) AS sum_cents
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "q_skew_join" ->
       """WITH d AS (SELECT event_type,
         |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,

@@ -506,7 +506,14 @@ object Analytics {
     * per-row |value·N_t − S_t| stays in exact scaled BIGINTs (the mean
     * S_t/N_t is never materialized as a double), and the final mean
     * absolute deviation divides once at the end — the same exact-integer
-    * contract as every money path in this repo. */
+    * contract as every money path in this repo.
+    *
+    * HEADROOM CONTRACT: scaling by N_t means each term is
+    * O(v_cents · N_t) and the per-group sum is O(n_group · v_cents · N_t)
+    * — exact while that product stays under 2^63 (comfortable through
+    * ~1e12-row segments at these value magnitudes). Beyond that, quantize
+    * the mean ONCE to integer units (the decayedSum drill) instead of
+    * scaling every row by N_t. */
   def skewJoin(spark: SparkSession, dir: String): DataFrame = {
     val S = 8
     val e = Tables(spark, dir).events
@@ -528,6 +535,57 @@ object Analytics {
         (col("dev_scaled").cast("double") /
           (col("n_events") * col("type_n")).cast("double") / lit(100.0))
           .as("mad_value"))
+  }
+
+  /** Point-in-interval range join WITHOUT a nested-loop join — the time
+    * analog of [[asofJoin]]'s union trick. Spark plans a raw
+    * `ts BETWEEN t_start AND t_end` join as BroadcastNestedLoopJoin:
+    * fine while the interval side broadcasts, catastrophic when it
+    * doesn't (every task re-scans every interval — the one join shape
+    * with NO shuffle-based fallback). The scalable rewrite BUCKETS the
+    * intervals: each interval explodes into the calendar days it covers
+    * (bounded fan-out: ceil(length/1 day) + 1 rows per interval), facts
+    * carry their day, and the join is an ordinary (type, day) EQUI-join
+    * with the exact `[t_start, t_end)` comparison left as a residual
+    * filter — hash-joinable, AQE-skew-handled, scaling with data instead
+    * of data × intervals.
+    *
+    * The interval dim is synthesized deterministically from the corpus
+    * bounds (per type: a 36-hour window opening 6 h into every 7th day —
+    * deliberately NOT day-aligned, so the residual filter does real work
+    * and the day bucketing alone would be WRONG; windows are disjoint so
+    * no post-join dedup is needed). The oracle replays the same interval
+    * arithmetic and joins with the plain BETWEEN — equality proves the
+    * bucketed rewrite IS the range join. Money stays exact integer
+    * cents; interval bounds sit on exact hour boundaries so timestamp
+    * comparisons never meet float arithmetic. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_type"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+    // the corpus bounds are TWO dates — collected (bounded by definition)
+    // so the interval frame is built from plan literals and the whole
+    // query plans without a single nested-loop join (the spec asserts
+    // plan-wide BNLJ absence; a 1-row cross join would show up as one)
+    val b = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1")).collect()(0)
+    val (d0, d1) = (b.getDate(0), b.getDate(1))
+    val weeks = java.time.temporal.ChronoUnit.DAYS
+      .between(d0.toLocalDate, d1.toLocalDate) / 7
+    val intervals = e.select("event_type").distinct()
+      .select(col("event_type"), explode(expr(s"sequence(0L, ${weeks}L)")).as("promo_id"))
+      .withColumn("t_start",
+        expr(s"cast(date_add(date'$d0', cast(promo_id * 7 as int)) as timestamp)")
+          + expr("interval 6 hours"))
+      .withColumn("t_end", col("t_start") + expr("interval 36 hours"))
+    val expanded = intervals
+      .select(col("event_type"), col("promo_id"), col("t_start"), col("t_end"),
+        explode(expr("sequence(to_date(t_start), to_date(t_end - interval 1 microsecond))"))
+          .as("day"))
+    e.withColumn("day", to_date(col("ts")))
+      .join(expanded, Seq("event_type", "day"))
+      .filter(col("ts") >= col("t_start") && col("ts") < col("t_end"))
+      .groupBy("event_type", "promo_id")
+      .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
   }
 
   /** Per-user inter-event gap statistics (ClickHouse `runningDifference` /

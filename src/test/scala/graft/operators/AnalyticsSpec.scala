@@ -164,6 +164,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == plain, "salting changed the join result")
   }
 
+  test("bucketed range join avoids nested-loop and equals the plain BETWEEN join") {
+    val df = Analytics.rangeJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the bucketed rewrite must never plan a nested loop:\n${plan.take(600)}")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // the direct BETWEEN formulation over the same intervals (Spark plans
+    // this as the nested loop the operator exists to avoid — fine at spec
+    // scale, and the ground truth by definition)
+    val e = graft.Tables(spark, sf).events
+      .select(col("event_type"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+    val bounds = e.agg(to_date(org.apache.spark.sql.functions.min("ts")).as("d0"),
+      to_date(org.apache.spark.sql.functions.max("ts")).as("d1"))
+    val intervals = e.select("event_type").distinct()
+      .crossJoin(bounds)
+      .select(col("event_type").as("i_type"),
+        explode(expr("sequence(0L, cast(floor(datediff(d1, d0) / 7) as long))")).as("promo_id"),
+        col("d0"))
+      .select(col("i_type"), col("promo_id"),
+        (expr("cast(date_add(d0, cast(promo_id * 7 as int)) as timestamp)")
+          + expr("interval 6 hours")).as("t_start"))
+      .withColumn("t_end", col("t_start") + expr("interval 36 hours"))
+    val plain = e.join(intervals,
+        col("event_type") === col("i_type") &&
+          col("ts") >= col("t_start") && col("ts") < col("t_end"))
+      .groupBy("event_type", "promo_id")
+      .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == plain, "bucketed rewrite diverged from the BETWEEN join")
+    assert(got.nonEmpty)
+  }
+
   test("percent rank is exactly (i-1)/(N-1) over the unique spend order, descending in spend") {
     val rows = Analytics.percentRank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
