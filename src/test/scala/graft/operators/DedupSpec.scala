@@ -110,6 +110,34 @@ class DedupSpec extends SparkSpec {
     assert(cm.contains((1L, 2L)), "subset doc must be contained in its superset")
     assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)),
       "fixture broken: the subset pair must NOT be a Jaccard near-dup")
+
+    // the df hard cap shapes the MEASURE for containment exactly as for
+    // Jaccard — and in the direction only containment can show: a
+    // non-shared ultra shingle leaves the CONTAINED doc's denominator,
+    // RAISING its containment (raw C(1→2) = 3/4 < 0.9; capped = 3/3)
+    val capped: Map[Long, Seq[Long]] = Map(
+      1L -> Seq(999L, 1L, 2L, 3L),        // 999 is ultra (df 5 > 4)
+      2L -> Seq(1L, 2L, 3L, 4L, 5L),      // no 999: the cap changes the verdict
+      3L -> Seq(999L, 50L), 4L -> Seq(999L, 51L),
+      5L -> Seq(999L, 52L), 6L -> Seq(999L, 53L))
+    val sgdCap = capped.toSeq.map { case (d, s) => (d, s) }.toDF("doc_id", "sg")
+      .withColumn("n", size(col("sg")).cast("long"))
+    val capHard = 4
+    val dfc = capped.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    def bruteCap(thr: Double): Set[(Long, Long, Double)] = (for {
+      a <- capped.keys; b <- capped.keys if a != b
+      effA = capped(a).filter(sh => dfc(sh) <= capHard).toSet
+      effB = capped(b).filter(sh => dfc(sh) <= capHard).toSet
+      c = effA.intersect(effB).size if c > 0
+      cmv = math.floor(c.toDouble / effA.size * 1e4 + 0.5) / 1e4
+      if cmv >= thr
+    } yield (a, b, cmv)).toSet
+    val gotCap = Dedup.containmentPairs(sgdCap, capHard, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(gotCap == bruteCap(0.9), s"capped: got $gotCap want ${bruteCap(0.9)}")
+    // fixture sanity: raw containment of (1→2) is 3/4 — BELOW threshold —
+    // so the pair's presence proves the ultra-exclusion applied
+    assert(dfc(999L) > capHard && gotCap.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
   test("containment dominates Jaccard: every corpus Jaccard pair appears in both directions") {
