@@ -59,7 +59,11 @@ object Bench {
     // over 8 salts; hinted away from broadcast)
     "q_skew_join",
     // interval-bucketed range join (equi-join + residual, never BNLJ)
-    "q_range_join")
+    "q_range_join",
+    // perceptual-hash image near-dup: decode-stage hashing + band join
+    "multimodal_phash",
+    // curriculum assignment: quality scan + the two-pass prefix sum
+    "pipeline_curriculum")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

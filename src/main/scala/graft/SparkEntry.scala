@@ -153,6 +153,11 @@ object SparkEntry {
     "q_percent_rank" -> (Analytics.percentRank _),
     "q_skew_join" -> (Analytics.skewJoin _),
     "q_range_join" -> (Analytics.rangeJoin _),
+    // rows-only by design (the hash depends on the decode stub, which SQL
+    // cannot replay); MultimodalSpec proves the band join misses nothing
+    // vs brute-force Hamming <= 3 over all pairs
+    "multimodal_phash" -> (Multimodal.imageNearDup _),
+    "pipeline_curriculum" -> (Pipeline.curriculum _),
     // rows-only by design (HLL register contents are engine-specific);
     // WarehouseSpec asserts merged-state == direct-sketch bit equality
     // and a 5% accuracy band vs the exact distinct count
@@ -974,6 +979,26 @@ object SparkEntry {
         |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
     "dedup_containment" -> containmentCappedSql,
+    // the same quality formula text_quality already hash-matches, the
+    // same unique (score desc, doc_id) order, the identical cumulative
+    // window — phase is exact BIGINT arithmetic in both engines
+    "pipeline_curriculum" ->
+      s"""WITH t AS ($tokCte),
+         |m AS (SELECT doc_id, len(tk) AS n_tok,
+         |        len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is'))) AS n_stop
+         |      FROM t),
+         |q AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |        CASE WHEN n_tok > 0 THEN round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+         |               (1.0 - n_stop / CAST(n_tok AS DOUBLE)), 4) ELSE 0.0 END AS quality_score
+         |      FROM m),
+         |c AS (SELECT doc_id, n_tokens, quality_score,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM q),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM q)
+         |SELECT c.doc_id, c.n_tokens, c.quality_score, c.cum_tokens,
+         |       CAST(least(3, (greatest(c.cum_tokens - 1, 0) * 4) // tot.total) AS BIGINT) AS phase
+         |FROM c CROSS JOIN tot""".stripMargin,
     // old-generation rows (even event_id, written before the column
     // existed) must surface as the declared 'unknown' default; equality
     // proves the evolved read loses nothing

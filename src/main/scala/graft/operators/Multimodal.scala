@@ -105,4 +105,77 @@ object Multimodal {
       .select(col("doc_id"), col("n_samples"),
         explode(expr("transform(sequence(0L, n_windows - 1), w -> w * 40L)"))
           .as("start_sample"))
+
+  private[graft] final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** dHash over the decoded 9x8 luma grid: bit i = "pixel brighter than
+    * its left neighbor" — the difference hash of the perceptual-hash
+    * family (aHash/dHash/pHash), robust to uniform brightness shifts
+    * because only the SIGN of adjacent differences survives. The luma
+    * grid here samples the blob deterministically (the stand-in for a
+    * real downscale-to-9x8 of decoded pixels — same stub contract as
+    * [[FakeDecoder]]); the hash arithmetic is the real dHash. */
+  private[graft] def dHash(blob: Array[Byte]): Long = {
+    val n = math.max(blob.length, 1)
+    @inline def luma(x: Int, y: Int): Int = blob(((y * 9 + x) * 31) % n) & 0xFF
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) h |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash image near-dup pairs (`multimodal_phash`) — the
+    * CLIP-era image dedup staple: every image to a 64-bit [[dHash]] in the
+    * same partition-batched decode pass as [[mediaMeta]] (bytes never
+    * shuffle; only (doc_id, hash) rows leave the scan stage), then pairs
+    * at Hamming distance <= 3 via the pigeonhole band join: 4 bands x 16
+    * bits — a pair within distance 3 differs in at most 3 bands, so at
+    * least one band matches EXACTLY and the equi-join on (band, key) is
+    * zero-miss. Verification is the native codegen'd `hamming64` over the
+    * candidate pairs only.
+    *
+    * Why bands work HERE and were rejected for [[Dedup.simhash]]: SimHash
+    * bits over a homogeneous text corpus are strongly correlated across
+    * documents (shared vocabulary drags every sketch the same way), so
+    * its 16-bit bands collide en masse. dHash bits are signs of local
+    * pixel differences — near-independent across unrelated images — so
+    * band buckets stay near-uniform (~n/65536 per band) and the join's
+    * quadratic term is negligible at any corpus size. MultimodalSpec
+    * proves the band generator misses nothing: brute-force Hamming <= 3
+    * over all pairs equals the banded result exactly. Rows-only by
+    * design: the hash depends on the decode stub, which SQL cannot
+    * replay. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftSession.registerFunctions(spark) // hamming64
+    val raw: Dataset[RawMedia] = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .as[RawMedia]
+    val hashed = graft.GraftSession.trackCache(
+      raw.mapPartitions(it => it.map(r => MediaHash(r.doc_id, dHash(r.blob)))).toDF())
+    val banded = hashed.select(col("doc_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey",
+        expr("shiftrightunsigned(phash, cast(band * 16 as int)) & 65535"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("phash").as("pa")), Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("phash").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("hamming64(pa, pb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
 }

@@ -163,4 +163,32 @@ object Pipeline {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) === 0).cast("long").as("is_clean"))
   }
+
+  /** Curriculum phase assignment (`pipeline_curriculum`) — quality-ordered
+    * training schedule: documents sorted best-first (quality_score desc,
+    * doc_id as the unique tie-break) and split into 4 phases of equal
+    * TOKEN mass, so a curriculum loader streams phase 0 first and the
+    * highest-quality quarter of the token budget leads training (the
+    * curriculum-learning data-ordering staple next to [[trainMix]]'s
+    * composition control).
+    *
+    * The cumulative token count comes from [[GlobalRank.prefixSummed]] —
+    * the range-partitioned distributed prefix sum (P collected longs,
+    * never rows, no single-task window) — and the phase is pure map-side
+    * integer arithmetic on it: `least(3, 4·(cum−1) div total)`, exact
+    * BIGINTs end to end. The corpus total rides out of the SAME cached
+    * slice frame (one max over the prefix-summed column), so the whole
+    * operator is the quality scan + the prefix sum's two passes. The
+    * oracle replays the identical window arithmetic in SQL; ordering is
+    * engine-identical because quality_score is the already-oracle-matched
+    * 4-decimal value from `text_quality` and the tie-break is unique. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, dir)
+      .select("doc_id", "n_tokens", "quality_score")
+    val summed = GlobalRank.prefixSummed(q, col("n_tokens"), "cum_tokens",
+      col("quality_score").desc, col("doc_id"))
+    val total = summed.agg(max("cum_tokens")).collect()(0).getLong(0)
+    summed.withColumn("phase",
+      expr(s"least(3L, (greatest(cum_tokens - 1L, 0L) * 4L) div ${total}L)"))
+  }
 }

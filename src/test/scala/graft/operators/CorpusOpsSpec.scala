@@ -102,4 +102,30 @@ class CorpusOpsSpec extends SparkSpec {
     // vocab-31 word soup: duplicate tokens are everywhere
     assert(rows.count(_.getDouble(4) > 0) > rows.length / 2)
   }
+
+  test("curriculum phases are best-first, monotone, and balanced in token mass") {
+    val rows = Pipeline.curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy { case (docId, _, score, _, _) => (-score, docId) }
+    val total = rows.map(_._2).sum
+    // the prefix sum telescopes along the declared order...
+    var cum = 0L
+    rows.foreach { case (docId, nTok, _, cumTok, phase) =>
+      cum += nTok
+      assert(cumTok == cum, s"doc $docId: cum_tokens $cumTok != running $cum")
+      // ...and the phase is exactly the declared arithmetic
+      val expected = math.min(3L, math.max(cumTok - 1, 0L) * 4L / total)
+      assert(phase == expected, s"doc $docId: phase $phase != $expected")
+    }
+    // phases are monotone non-decreasing along the order and all present
+    assert(rows.map(_._5).sliding(2).forall(p => p.head <= p.last))
+    assert(rows.map(_._5).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // equal token mass per phase, within one document of total/4
+    val mass = rows.groupBy(_._5).view.mapValues(_.map(_._2).sum)
+    val maxDoc = rows.map(_._2).max
+    mass.foreach { case (ph, m) =>
+      assert(math.abs(m - total / 4) <= maxDoc,
+        s"phase $ph mass $m deviates from ${total / 4} by more than one doc ($maxDoc)")
+    }
+  }
 }

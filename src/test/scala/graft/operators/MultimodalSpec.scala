@@ -35,4 +35,23 @@ class MultimodalSpec extends SparkSpec {
       .select(col("n_bytes"), length(encode(col("text"), "utf-8")).cast("long").as("expected"))
     assert(joined.filter(col("n_bytes") =!= col("expected")).count() == 0)
   }
+
+  test("phash band join finds exactly the brute-force Hamming<=3 pairs, incl. exact dups at 0") {
+    val got = Multimodal.imageNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: dHash every doc driver-side (500 docs at spec scale)
+    // and brute-force all pairs — the band generator must miss NOTHING
+    val hashes = graft.Tables(spark, sf).documents
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .collect().map(r => r.getLong(0) -> Multimodal.dHash(r.getAs[Array[Byte]]("blob")))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute, s"extra=${got.diff(brute).take(5)} missing=${brute.diff(got).take(5)}")
+    // the corpus contains exact duplicate texts: identical blobs must
+    // surface as distance-0 pairs (the image-dedup base case)
+    val zero = got.filter(_._3 == 0L)
+    assert(zero.nonEmpty, "expected distance-0 pairs from the corpus's exact duplicates")
+  }
 }
