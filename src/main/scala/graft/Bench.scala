@@ -63,7 +63,9 @@ object Bench {
     // perceptual-hash image near-dup: decode-stage hashing + band join
     "multimodal_phash",
     // curriculum assignment: quality scan + the two-pass prefix sum
-    "pipeline_curriculum")
+    "pipeline_curriculum",
+    // exact sliding uniques via the membership-explode inversion
+    "q_sliding_distinct")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

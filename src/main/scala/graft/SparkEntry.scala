@@ -158,6 +158,7 @@ object SparkEntry {
     // vs brute-force Hamming <= 3 over all pairs
     "multimodal_phash" -> (Multimodal.imageNearDup _),
     "pipeline_curriculum" -> (Pipeline.curriculum _),
+    "q_sliding_distinct" -> (Analytics.slidingDistinct _),
     // rows-only by design (HLL register contents are engine-specific);
     // WarehouseSpec asserts merged-state == direct-sketch bit equality
     // and a 5% accuracy band vs the exact distinct count
@@ -967,6 +968,19 @@ object SparkEntry {
         |       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
         |       CAST(coalesce(d.sum_cents, 0) AS BIGINT) AS sum_cents
         |FROM cal c LEFT JOIN d ON d.event_type = c.event_type AND d.day = c.day""".stripMargin,
+    // the same membership-explode inversion: each distinct (type, day,
+    // user) row contributes to its <=7 window-end days; pure date/int
+    // arithmetic, engine-identical
+    "q_sliding_distinct" ->
+      """WITH m AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+        |b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |c AS (SELECT event_type, user_id,
+        |        CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS win_day
+        |      FROM m),
+        |d AS (SELECT DISTINCT event_type, win_day, user_id FROM c)
+        |SELECT d.event_type, d.win_day, CAST(count(*) AS BIGINT) AS uniques_7d
+        |FROM d CROSS JOIN b WHERE d.win_day BETWEEN b.d0 AND b.d1
+        |GROUP BY 1, 2""".stripMargin,
     // lag over (micros, event_id) — the unique event_id tie-break makes
     // the difference deterministic; gaps stay exact BIGINT microseconds
     "q_event_gaps" ->

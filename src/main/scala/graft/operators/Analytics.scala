@@ -588,6 +588,41 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
   }
 
+  /** EXACT trailing-7-day distinct users per (type, day) — the sliding
+    * uniques every dashboard wants and most engines approximate, because
+    * the naive formulation re-scans 7 days of raw events per output day
+    * and `COUNT(DISTINCT) OVER (RANGE ...)` isn't supported anywhere.
+    * The scalable exact shape inverts it: collapse the stream ONCE to
+    * distinct (type, day, user) membership (the same first move as
+    * [[audienceOverlap]]), emit each membership row to the ≤7 window-end
+    * days it can influence (bounded fan-out, map-side `sequence`+
+    * `explode`), de-dup per window, count. Two key shuffles total, both
+    * on already-collapsed frames that scale with membership (users ×
+    * days), never with raw event count. The approximate sibling at
+    * larger windows is daily HLL state + window merges
+    * ([[Warehouse.sketchStateMerge]]'s machinery).
+    *
+    * Window-end days outside the corpus span are cut by two collected
+    * bound dates (driver data bounded by definition); the first 6 days
+    * report their partial (shorter) windows, the standard trailing-window
+    * convention. Everything is integer/date arithmetic — bit-identical in
+    * any engine. */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val b = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1")).collect()(0)
+    val (d0, d1) = (b.getDate(0), b.getDate(1))
+    val membership = e
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    membership
+      .select(col("event_type"), col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("win_day"))
+      .filter(col("win_day").between(lit(d0), lit(d1)))
+      .distinct()
+      .groupBy("event_type", "win_day")
+      .agg(count(lit(1)).as("uniques_7d"))
+  }
+
   /** Per-user inter-event gap statistics (ClickHouse `runningDifference` /
     * `neighbor` surface — the LAG half of the window family next to
     * [[runningTotal]]'s cumulative fold and [[movingSum]]'s bounded

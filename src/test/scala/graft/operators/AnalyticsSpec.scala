@@ -200,6 +200,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sliding 7-day distinct equals the brute-force per-day window recount") {
+    val got = Analytics.slidingDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSet
+    // brute force: for every (type, day) in span, re-count distinct users
+    // across the trailing 7 days from the collected membership
+    val m = graft.Tables(spark, sf).events
+      .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val days = m.map(_._2)
+    val (d0, d1) = (days.min, days.max)
+    val brute = (for {
+      t <- m.map(_._1).distinct
+      d <- Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      users = m.collect { case (`t`, md, u)
+        if !md.isAfter(d) && md.isAfter(d.minusDays(7)) => u }.toSet
+      if users.nonEmpty
+    } yield (t, d.toString, users.size.toLong)).toSet
+    assert(got == brute,
+      s"extra=${got.diff(brute).take(5)} missing=${brute.diff(got).take(5)}")
+  }
+
   test("percent rank is exactly (i-1)/(N-1) over the unique spend order, descending in spend") {
     val rows = Analytics.percentRank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
