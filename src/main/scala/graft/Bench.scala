@@ -65,7 +65,9 @@ object Bench {
     // curriculum assignment: quality scan + the two-pass prefix sum
     "pipeline_curriculum",
     // exact sliding uniques via the membership-explode inversion
-    "q_sliding_distinct")
+    "q_sliding_distinct",
+    // the streamed CDC fold: staging writes + two micro-batches + state
+    "streaming_replacing_merge")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

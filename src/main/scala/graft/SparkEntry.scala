@@ -159,6 +159,9 @@ object SparkEntry {
     "multimodal_phash" -> (Multimodal.imageNearDup _),
     "pipeline_curriculum" -> (Pipeline.curriculum _),
     "q_sliding_distinct" -> (Analytics.slidingDistinct _),
+    // same oracle as wh_replacing_merge: the stream-fed CDC compaction
+    // must land the identical version-wins table (shared collapse code)
+    "streaming_replacing_merge" -> (RefPipeline.streamingReplacingMerge _),
     // rows-only by design (HLL register contents are engine-specific);
     // WarehouseSpec asserts merged-state == direct-sketch bit equality
     // and a 5% accuracy band vs the exact distinct count
@@ -244,6 +247,20 @@ object SparkEntry {
        |FROM p JOIN meta x ON contained = x.doc_id
        |WHERE round(CAST(c AS DOUBLE) / x.n_eff, 4) >= 0.9""".stripMargin
   }
+
+  private val replacingMergeSql =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus,
+      |                CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+      |                CAST(1 AS BIGINT) AS version
+      |              FROM orders),
+      |upd AS (SELECT o_orderkey, 'F' AS o_orderstatus, total_cents + 500 AS total_cents,
+      |               CAST(2 AS BIGINT) AS version
+      |        FROM base WHERE o_orderkey % 10 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+      |SELECT o_orderkey, CAST(max(version) AS BIGINT) AS version,
+      |       arg_max(o_orderstatus, version) AS o_orderstatus,
+      |       CAST(arg_max(total_cents, version) AS BIGINT) AS total_cents
+      |FROM u GROUP BY o_orderkey""".stripMargin
 
   private val vecCtes =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -934,19 +951,10 @@ object SparkEntry {
     // the update stream is a pure function of the base table (every 10th
     // order: status 'F', +500 exact cents, version 2), so the oracle
     // replays it and resolves version-wins with arg_max — no side channel
-    "wh_replacing_merge" ->
-      """WITH base AS (SELECT o_orderkey, o_orderstatus,
-        |                CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
-        |                CAST(1 AS BIGINT) AS version
-        |              FROM orders),
-        |upd AS (SELECT o_orderkey, 'F' AS o_orderstatus, total_cents + 500 AS total_cents,
-        |               CAST(2 AS BIGINT) AS version
-        |        FROM base WHERE o_orderkey % 10 = 0),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
-        |SELECT o_orderkey, CAST(max(version) AS BIGINT) AS version,
-        |       arg_max(o_orderstatus, version) AS o_orderstatus,
-        |       CAST(arg_max(total_cents, version) AS BIGINT) AS total_cents
-        |FROM u GROUP BY o_orderkey""".stripMargin,
+    "wh_replacing_merge" -> replacingMergeSql,
+    // the IDENTICAL oracle: the micro-batched CDC fold must converge to
+    // the batch collapse's exact table — stream == batch IS the check
+    "streaming_replacing_merge" -> replacingMergeSql,
     // the compacted layout is semantically invisible: the same aggregate
     // on the raw events table — equality proves compaction lossless
     "wh_compaction" ->

@@ -420,6 +420,79 @@ object RefPipeline {
     spark.table(sink).filter(!(col("user_id") <=> lit(Long.MinValue)))
   }
 
+  /** Streaming CDC upsert compaction as a CHECKED key
+    * (`streaming_replacing_merge`) — the reference's core production
+    * pattern, Kafka → ReplacingMergeTree, end to end: a version stream
+    * arrives in micro-batches (base rows first, version-2 updates in a
+    * later batch — staged as two parquet files with ordered mtimes,
+    * `maxFilesPerTrigger=1`, AvailableNow), and `foreachBatch` folds each
+    * batch into a persisted state table with the IDENTICAL
+    * [[Warehouse.versionWinsCollapse]] the batch key runs — shared code,
+    * shared oracle, so stream == batch is checked, not claimed. The merge
+    * is associative and commutative (distinct versions per key), so ANY
+    * batch split of the stream converges to the same table; the replayed
+    * batch id makes the fold idempotent the same way the JDBC sink's
+    * keyed MERGE is.
+    *
+    * State generations: each batch reads generation N and writes N+1,
+    * then the pointer advances — never overwriting a path mid-read (the
+    * self-overwrite trap). SIMPLIFICATION, declared: each generation
+    * rewrites the full (collapsed) state, fine at checked scale; at
+    * 100 TB the state table is partitioned by a key bucket and a batch
+    * rewrites ONLY the buckets its keys touch, carrying untouched
+    * partitions forward by manifest reference (Delta/Iceberg's MERGE
+    * shape; plain directories can't express the carry-forward). The
+    * COLLAPSE ITSELF is scale-true either way: one algebraic max_by per
+    * touched key, batch-sized not state-sized work on the update side. */
+  def streamingReplacingMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (base, updates) = Warehouse.replacingFrames(spark, dir)
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
+    registerTempCleanup(stage)
+    def stageFile(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
+      val build = stage.resolve(s"build_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(build.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(build)
+        try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      }
+      val dst = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetMs))
+    }
+    stageFile(base, "a_base", 0L)
+    stageFile(updates, "b_updates", 60000L) // strictly later: its own batch
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft-cdc-state")
+    registerTempCleanup(stateRoot)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val raw = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/*.[p]arquet")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val s = batch.sparkSession
+          val n = gen.get()
+          val existing =
+            if (n == 0) batch.limit(0)
+            else s.read.parquet(stateRoot.resolve(s"gen$n").toString)
+          Warehouse.versionWinsCollapse(existing.unionByName(batch))
+            .write.mode("overwrite")
+            .parquet(stateRoot.resolve(s"gen${n + 1}").toString)
+          gen.incrementAndGet()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(stateRoot.resolve(s"gen${gen.get()}").toString)
+  }
+
   /** Gap-based sessionization (30-min inactivity): the batch twin of the
     * streaming `flatMapGroupsWithState` session operator. One shuffle on
     * user_id (both windows share the partitioning), then a single

@@ -330,7 +330,11 @@ object Warehouse {
     * At 100 TB this is the CDC-compaction pattern: base ∪ updates is one
     * union (no join), the only shuffle is the per-key collapse, and AQE
     * handles key skew like any single-shuffle aggregate. */
-  def replacingMerge(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic (base, updates) version stream both the batch key
+    * and its streaming twin consume — and [[versionWinsCollapse]] is the
+    * ONE merge both run, so stream == batch is a property of shared code,
+    * not parallel implementations. */
+  private[operators] def replacingFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = graft.Tables(spark, dir).orders
       .select(col("o_orderkey"), col("o_orderstatus"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("total_cents"),
@@ -339,7 +343,15 @@ object Warehouse {
       .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
         (col("total_cents") + lit(500L)).as("total_cents"),
         lit(2L).as("version"))
-    base.unionByName(updates)
+    (base, updates)
+  }
+
+  /** Version-wins collapse: one algebraic `max_by` aggregate per key.
+    * Associative AND commutative (versions are distinct per key), so any
+    * batch split of the version stream — including a streaming arrival
+    * order — converges to the identical table. */
+  private[operators] def versionWinsCollapse(versions: DataFrame): DataFrame =
+    versions
       .groupBy("o_orderkey")
       .agg(max_by(
         struct(col("version"), col("o_orderstatus"), col("total_cents")),
@@ -347,6 +359,10 @@ object Warehouse {
       .select(col("o_orderkey"), col("w.version").as("version"),
         col("w.o_orderstatus").as("o_orderstatus"),
         col("w.total_cents").as("total_cents"))
+
+  def replacingMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (base, updates) = replacingFrames(spark, dir)
+    versionWinsCollapse(base.unionByName(updates))
   }
 
   /** ONE fragmented-layout dir + ONE compacted dir per JVM, overwritten in

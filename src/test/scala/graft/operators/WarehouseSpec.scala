@@ -155,6 +155,18 @@ class WarehouseSpec extends SparkSpec {
     assert(got.exists(_._1 == "unknown") && got.size > 1)
   }
 
+  test("streaming CDC fold converges to the batch version-wins table exactly") {
+    val streamed = RefPipeline.streamingReplacingMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val batch = Warehouse.replacingMerge(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("version"),
+        r.getAs[String]("o_orderstatus"), r.getAs[Long]("total_cents"))).toSet
+    assert(streamed == batch,
+      s"stream diverged from batch: extra=${streamed.diff(batch).take(3)} missing=${batch.diff(streamed).take(3)}")
+    // the fold really ran incrementally: updates won over their base rows
+    assert(streamed.exists(_._2 == 2L), "no version-2 row survived — updates batch never folded")
+  }
+
   test("merged HLL sketch state equals sketching the raw union directly, within 5% of exact") {
     val merged = Warehouse.sketchStateMerge(spark, sf).collect()
       .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
