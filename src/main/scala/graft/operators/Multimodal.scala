@@ -116,7 +116,11 @@ object Multimodal {
     * real downscale-to-9x8 of decoded pixels — same stub contract as
     * [[FakeDecoder]]); the hash arithmetic is the real dHash. */
   private[graft] def dHash(blob: Array[Byte]): Long = {
-    val n = math.max(blob.length, 1)
+    // empty payload (empty document text): no pixels, no differences —
+    // hash 0. Without this, the modulus-1 fast path below would still
+    // index blob(0) into an empty array.
+    if (blob.isEmpty) return 0L
+    val n = blob.length
     @inline def luma(x: Int, y: Int): Int = blob(((y * 9 + x) * 31) % n) & 0xFF
     var h = 0L
     var bit = 0

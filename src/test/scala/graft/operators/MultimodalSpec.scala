@@ -53,5 +53,9 @@ class MultimodalSpec extends SparkSpec {
     // surface as distance-0 pairs (the image-dedup base case)
     val zero = got.filter(_._3 == 0L)
     assert(zero.nonEmpty, "expected distance-0 pairs from the corpus's exact duplicates")
+    // degenerate payloads must hash, not throw: empty and 1-byte blobs
+    assert(Multimodal.dHash(Array.emptyByteArray) == 0L)
+    assert(Multimodal.dHash(Array[Byte](42)) == 0L,
+      "a constant 1-byte image has no pixel differences — all dHash bits clear")
   }
 }
