@@ -167,6 +167,24 @@ class WarehouseSpec extends SparkSpec {
     assert(streamed.exists(_._2 == 2L), "no version-2 row survived — updates batch never folded")
   }
 
+  test("version-wins collapse is replay-idempotent: a duplicated batch changes nothing") {
+    // failure recovery replays a micro-batch; the fold must absorb the
+    // duplicate because max_by is insensitive to repeated rows — the
+    // exactly-once story of the CDC key, as a property
+    val (base, updates) = Warehouse.replacingFrames(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("version"),
+        r.getAs[String]("o_orderstatus"), r.getAs[Long]("total_cents"))).toSet
+    val once = rows(Warehouse.versionWinsCollapse(base.unionByName(updates)))
+    val replayed = rows(Warehouse.versionWinsCollapse(
+      base.unionByName(updates).unionByName(updates)))
+    assert(once == replayed, "a replayed updates batch must be absorbed")
+    // and folding the already-collapsed state with the replay is also stable
+    val folded = rows(Warehouse.versionWinsCollapse(
+      Warehouse.versionWinsCollapse(base.unionByName(updates)).unionByName(updates)))
+    assert(folded == once, "re-folding collapsed state with a replay must be a no-op")
+  }
+
   test("merged HLL sketch state equals sketching the raw union directly, within 5% of exact") {
     val merged = Warehouse.sketchStateMerge(spark, sf).collect()
       .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
