@@ -67,7 +67,17 @@ object Bench {
     // exact sliding uniques via the membership-explode inversion
     "q_sliding_distinct",
     // the streamed CDC fold: staging writes + two micro-batches + state
-    "streaming_replacing_merge")
+    "streaming_replacing_merge",
+    // sign-annihilation merge: union + one tiny-key algebraic aggregate
+    "wh_collapsing_merge",
+    // TTL key includes the partitioned write + the dir drop + the read
+    "wh_ttl_expire",
+    // cohort matrix: membership distinct + co-keyed cohort join
+    "q_cohort_matrix",
+    // zipf: vocabulary agg + the two-pass global rank + exact moments
+    "text_zipf",
+    // the stream-stream interval join: two watermarked sides + join state
+    "streaming_interval_join")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

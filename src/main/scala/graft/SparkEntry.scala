@@ -166,6 +166,18 @@ object SparkEntry {
     // WarehouseSpec asserts merged-state == direct-sketch bit equality
     // and a 5% accuracy band vs the exact distinct count
     "wh_sketch_state_merge" -> (Warehouse.sketchStateMerge _),
+    // the sign-annihilation mutable-table algebra (CollapsingMergeTree)
+    // next to wh_replacing_merge's version-wins, and TTL retention as a
+    // file-level partition drop
+    "wh_collapsing_merge" -> (Warehouse.collapsingMerge _),
+    "wh_ttl_expire" -> (Warehouse.ttlExpire _),
+    // the weekly cohort retention triangle, and the Zipf rank-frequency
+    // fit (GlobalRank + the quantized-ln + exact-moments contracts)
+    "q_cohort_matrix" -> (Analytics.cohortMatrix _),
+    "text_zipf" -> (TextAnalysis.zipfFit _),
+    // the stream-stream interval join (EventPipeline.purchaseAttribution,
+    // previously spec-only) checked against the batch join oracle
+    "streaming_interval_join" -> (RefPipeline.streamingIntervalJoin _),
   )
 
   private val tokCte =
@@ -1073,5 +1085,75 @@ object SparkEntry {
         |       CAST(sum(abs(CAST(round(e.value * 100) AS BIGINT) * d.n - d.s)) AS DOUBLE)
         |         / CAST(count(*) * any_value(d.n) AS DOUBLE) / 100.0 AS mad_value
         |FROM events e JOIN d USING (event_type) GROUP BY 1, 2""".stripMargin,
+    // the sign stream is a pure function of the base table (every 7th key
+    // cancelled by a -1 twin of its exact state; the non-%21 ones restated
+    // as 'F' at +250 cents), so the oracle replays it and runs the same
+    // sum(sign)/sum(sign*cents) annihilation
+    "wh_collapsing_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |                CAST(1 AS BIGINT) AS sign FROM orders),
+        |allr AS (
+        |  SELECT st, cents, sign FROM base
+        |  UNION ALL SELECT st, cents, CAST(-1 AS BIGINT) FROM base WHERE k % 7 = 0
+        |  UNION ALL SELECT 'F', cents + 250, CAST(1 AS BIGINT) FROM base
+        |    WHERE k % 7 = 0 AND k % 21 <> 0)
+        |SELECT st AS o_orderstatus, CAST(sum(sign) AS BIGINT) AS n_live,
+        |       CAST(sum(sign * cents) AS BIGINT) AS sum_cents
+        |FROM allr GROUP BY 1""".stripMargin,
+    // partition-level expiry must equal the row-level horizon filter:
+    // the layout is day-partitioned so dropping event_date dirs before the
+    // cutoff IS the predicate — equality proves file-level TTL lost and
+    // kept exactly the right days
+    "wh_ttl_expire" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       min(CAST(ts AS DATE)) AS first_day
+        |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+        |GROUP BY 1""".stripMargin,
+    // ISO-Monday week truncation and integer day arithmetic in both
+    // engines; membership is distinct per (user, week), so the final
+    // count needs no second DISTINCT
+    "q_cohort_matrix" ->
+      """WITH m AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM m GROUP BY 1)
+        |SELECT c.cohort_week, CAST((m.wk - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM m JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // the same quantize-ln-once-then-exact-moments chain; equal-cf terms
+    // swap ranks without changing the (ln rank, ln cf) multiset, so the
+    // fit is tie-insensitive and the one output row matches bit-for-bit
+    "text_zipf" ->
+      s"""WITH t AS ($tokCte),
+         |x AS (SELECT unnest(tk) AS term FROM t),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM x GROUP BY 1),
+         |r AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rank FROM c),
+         |q AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS qx,
+         |             CAST(floor(ln(CAST(cf AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS qy
+         |      FROM r),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         |             sum(CAST(qx AS HUGEINT) * qx) AS sxx,
+         |             sum(CAST(qx AS HUGEINT) * qy) AS sxy
+         |      FROM q)
+         |SELECT n AS n_terms,
+         |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * 1e4 + 0.5) / 1e4 AS zipf_slope,
+         |  floor((CAST(sy AS DOUBLE)
+         |       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5) / 1e4 AS intercept_ln_cf
+         |FROM m""".stripMargin,
+    // the BATCH interval join: an AvailableNow inner stream-stream join
+    // must emit exactly these rows (inner joins emit on match, the
+    // watermark only evicts state) — stream == batch is the check
+    "streaming_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, round(p.value, 4) AS value,
+        |       epoch_us(s.ts) AS signup_us, epoch_us(p.ts) AS purchase_us
+        |FROM events p JOIN events s ON s.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+        |  AND epoch_us(p.ts) >= epoch_us(s.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(s.ts) + 604800000000""".stripMargin,
   )
 }

@@ -649,4 +649,33 @@ object Analytics {
         max("gap_us").as("max_gap_us"),
         sum("gap_us").as("sum_gap_us"))
   }
+
+  /** Weekly cohort retention matrix (the warehouse triangle every product
+    * analytics stack draws; ClickHouse pairs `retention()` with exactly
+    * this cohort grid): users grouped by their FIRST-activity ISO week,
+    * then for each (cohort week, weeks-since-cohort offset) the count of
+    * distinct users active in that later week. [[retention]] covers the
+    * per-signup-event flag battery; this is the cohort-level matrix over
+    * the whole activity stream.
+    *
+    * Scale shape: ONE distinct collapses the event stream to (user, week)
+    * membership (partial-aggregated — the only corpus-sized step); the
+    * per-user cohort week is a min over that SAME membership frame (both
+    * aggregations key on user_id, so the frames arrive co-partitioned and
+    * the join is Exchange-free on the membership side — at most AQE
+    * broadcasts the user-level cohort frame); offsets are exact integer
+    * day arithmetic on Monday-truncated dates (ISO weeks in both engines),
+    * and each membership row is unique per (user, week), so the final
+    * count needs no second distinct. */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val membership = graft.GraftSession.trackCache(
+      Tables(spark, dir).events
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct())
+    val cohorts = membership.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    membership.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        expr("cast(datediff(wk, cohort_week) div 7 as bigint)").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

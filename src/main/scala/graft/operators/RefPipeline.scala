@@ -420,6 +420,57 @@ object RefPipeline {
     spark.table(sink).filter(!(col("user_id") <=> lit(Long.MinValue)))
   }
 
+  /** Stream-stream interval join as a CHECKED key
+    * (`streaming_interval_join`): the IDENTICAL
+    * [[graft.streaming.EventPipeline.purchaseAttribution]] the streaming
+    * spec replays — every purchase attributed to the same user's signups
+    * within the preceding 7 days, both sides watermarked so the join
+    * state can evict — executed over the file stream (the Kafka stand-in,
+    * as in [[streamingPointsByType]]) and checked against the BATCH
+    * interval join as the oracle. Inner stream-stream joins emit matches
+    * as soon as a micro-batch produces them (no watermark wait, so no
+    * sentinel staging is needed — the watermark's only job here is state
+    * EVICTION), which means an AvailableNow pass over all input must
+    * yield exactly the batch join: stream == batch is checked, not
+    * claimed.
+    *
+    * Scale shape: each side shuffles once on user_id; buffered state is
+    * bounded by the 7-day attribution window plus the 1-hour lateness
+    * allowance — the inherent floor of the semantics, the thing an
+    * unbounded batch join over a growing log can never promise.
+    * Timestamps leave as exact epoch micros (the oracle convention). */
+  def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sink = "graft_streaming_interval_join"
+    spark.catalog.dropTempView(sink)
+    val raw = spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.[p]arquet")
+    val typed = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val joined = graft.streaming.EventPipeline
+      .purchaseAttribution(graft.streaming.EventPipeline.typed(typed))
+      .select(col("purchase_id"), col("user_id"),
+        round(col("value"), 4).as("value"),
+        unix_micros(col("signup_ts")).as("signup_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    // join state partitions sized to state volume, not core count — the
+    // same store-per-partition-per-batch economics as streamingDedup
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(sink)
+  }
+
   /** Streaming CDC upsert compaction as a CHECKED key
     * (`streaming_replacing_merge`) — the reference's core production
     * pattern, Kafka → ReplacingMergeTree, end to end: a version stream

@@ -301,4 +301,51 @@ object TextAnalysis {
         expr("floor(cast(cs.ent_q as double) / cast(nullif(cs.n_chars, 0) as double) + 0.5) / 1e4")
           .as("char_entropy"))
   }
+
+  /** Zipf rank-frequency fit over the corpus vocabulary — the classic
+    * LM-corpus health check (natural text follows cf ∝ rank^s with
+    * s ≈ −1; a corpus of boilerplate or generated spam bends the line):
+    * global term ranks by collection frequency, then the least-squares
+    * slope/intercept of ln(cf) against ln(rank).
+    *
+    * Composes three proven contracts: the rank comes from
+    * [[GlobalRank.rowNumbered]] (range-partitioned two-pass rank — no
+    * single-partition WindowExec on a 100 TB-scale vocabulary), the
+    * ln values follow [[perplexity]]'s quantize-once-to-1e-4-then-exact-
+    * BIGINT drill, and the regression is [[Analytics.corrStats]]'s exact
+    * integer moments finished by one identical IEEE double chain (wide
+    * products held as decimal(38) — HUGEINT in the oracle).
+    *
+    * The (cf desc, term) tie-break makes the rank a total order, but the
+    * RESULT doesn't depend on it: equal-cf terms swap ranks without
+    * changing the (ln rank, ln cf) multiset, so the moments — and the one
+    * output row — are tie-insensitive by construction.
+    *
+    * Scale shape: cf is one vocabulary-sized partial-agg shuffle off the
+    * tokenize pass; the rank is the two-pass range exchange; the moments
+    * collapse map-side to ONE row. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cf = withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
+      .select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val ranked = GlobalRank.rowNumbered(cf, "rank", col("cf").desc, col("term"))
+    val q = ranked.select(
+      expr("cast(floor(ln(cast(rank as double)) * 10000 + 0.5) as bigint)").as("qx"),
+      expr("cast(floor(ln(cast(cf as double)) * 10000 + 0.5) as bigint)").as("qy"))
+    val m = q.agg(count(lit(1)).as("n"),
+      sum("qx").as("sx"), sum("qy").as("sy"),
+      sum(col("qx").cast("decimal(38,0)") * col("qx")).as("sxx"),
+      sum(col("qx").cast("decimal(38,0)") * col("qy")).as("sxy"))
+    val cxy = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val slope = cxy / vx // quantization units cancel: nats per nat
+    m.select(col("n").as("n_terms"),
+      // HALF_UP floor instead of round(): identical on both engines
+      (floor(slope * 1e4 + lit(0.5)) / 1e4).as("zipf_slope"),
+      // (sy - slope*sx)/n is already in 1e-4-nat units, so HALF_UP-flooring
+      // it to an integer IS rounding the nat value to 4 decimals
+      (floor((d(col("sy")) - slope * d(col("sx"))) / d(col("n")) + lit(0.5)) / 1e4)
+        .as("intercept_ln_cf"))
+  }
 }

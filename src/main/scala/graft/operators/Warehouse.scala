@@ -503,6 +503,110 @@ object Warehouse {
         sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
   }
 
+  /** The deterministic sign stream the collapsing-merge key and its spec
+    * share: every order contributes a +1 state row; every 7th key is
+    * CANCELLED by a -1 twin of its exact state; cancelled keys not also
+    * divisible by 21 are RESTATED with a +1 row (status forced to 'F',
+    * an exact +250-cent adjustment) — so %21 keys are pure deletes and
+    * the other %7 keys are in-place corrections. Pure function of the
+    * base table: the oracle replays it with no side channel. */
+  private[operators] def collapsingStream(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        lit(1L).as("sign"))
+    val cancels = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        lit(-1L).as("sign"))
+    val restates = base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 21 =!= 0)
+      .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+        (col("cents") + lit(250L)).as("cents"), lit(1L).as("sign"))
+    base.unionByName(cancels).unionByName(restates)
+  }
+
+  /** Sign-annihilation merge as a CHECKED key (`wh_collapsing_merge`) —
+    * the reference engine's CollapsingMergeTree, the OTHER mutable-table
+    * concept next to [[replacingMerge]]'s version-wins: deletes and
+    * corrections arrive as rows with `sign = -1` carrying the EXACT state
+    * they cancel (plus an optional +1 restatement), and aggregates run
+    * over the RAW uncollapsed stream as `sum(sign)` / `sum(sign * x)` —
+    * cancelled rows annihilate inside the aggregation itself, so no
+    * per-key collapse, join, or window ever materializes the current
+    * table. That algebra is the entire point of the engine: a count
+    * becomes `sum(sign)`, a sum becomes `sum(sign * x)`, and both stay
+    * ALGEBRAIC — Spark plans the familiar partial/final HashAggregate
+    * pair, map tasks annihilate locally, and the only shuffle carries one
+    * collapsed row per (task, status).
+    *
+    * vs [[replacingMerge]]: Replacing needs the per-KEY `max_by` collapse
+    * (a key-cardinality shuffle) before any aggregate is trustworthy;
+    * Collapsing pays only the aggregate's own tiny-key shuffle because
+    * the cancel row carries enough state to subtract itself. The price is
+    * the writer must KNOW the old state — exactly ClickHouse's documented
+    * trade between the two engines.
+    *
+    * At 100 TB this is the mutable-fact-table pattern: the sign stream is
+    * append-only (CDC-friendly), the aggregate never touches a key-sized
+    * shuffle, and money stays exact integer cents so annihilation is
+    * bit-for-bit (SURVEY §5). WarehouseSpec proves the sign aggregate
+    * equals a brute-force per-key final-state reconstruction and that
+    * pure-deleted keys contribute exactly zero. */
+  def collapsingMerge(spark: SparkSession, dir: String): DataFrame =
+    collapsingStream(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(sum("sign").as("n_live"),
+        sum(col("sign") * col("cents")).as("sum_cents"))
+
+  private lazy val ttlDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ttl")
+    graft.TempSweep.register(p)
+    p
+  }
+
+  /** How many `event_date=` partition dirs the last TTL run kept vs
+    * started with — WarehouseSpec asserts expired dirs are physically
+    * gone. */
+  @volatile private[graft] var ttlPartitionCounts: (Int, Int) = (0, 0)
+
+  /** TTL expiry as a CHECKED key (`wh_ttl_expire`) — the reference
+    * engine's `TTL timestamp + INTERVAL ...` retention clause: rows past
+    * the retention horizon are dropped BY PARTITION, not by scan. The
+    * events table is laid out `partitionBy(event_date)` (the same layout
+    * [[partitionPrunedDaily]] proves prunes), and expiry then DELETES the
+    * expired `event_date=` directories off the file listing — a
+    * metadata-sized driver operation that never opens a data file, which
+    * is the only affordable shape at 100 TB (a predicate DELETE would
+    * rewrite the table; ClickHouse's TTL drop-part does exactly this
+    * directory drop). Day partitioning makes the horizon align with
+    * partition boundaries, so file-level expiry IS row-level expiry —
+    * the declared contract of a daily-partitioned TTL table.
+    *
+    * The query then aggregates the RETAINED layout (partition discovery
+    * rebuilds `event_date` from the surviving directory names);
+    * `min(event_date)` rides along so the retention boundary is part of
+    * the checked result. Oracle = the same aggregate over raw events
+    * filtered to the horizon — equality proves the drop removed exactly
+    * the expired days. */
+  def ttlExpire(spark: SparkSession, dir: String): DataFrame = {
+    val out = ttlDir.toString
+    graft.Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val cutoff = java.time.LocalDate.parse("2024-01-20")
+    val partDirs = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    val expired = partDirs.filter { d =>
+      java.time.LocalDate.parse(d.getName.stripPrefix("event_date=")).isBefore(cutoff)
+    }
+    expired.foreach(d => graft.TempSweep.deleteRecursively(d.toPath))
+    ttlPartitionCounts = (partDirs.length, partDirs.length - expired.length)
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"),
+        min(col("event_date")).as("first_day"))
+  }
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */

@@ -238,4 +238,62 @@ class AnalyticsSpec extends SparkSpec {
         s"rank order violated between customers $ka and $kb")
     }
   }
+
+  test("cohort matrix equals the brute-force first-week/offset recount") {
+    val got = Analytics.cohortMatrix(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+
+    // brute force off the raw rows: ISO-Monday week per event, first week
+    // per user, distinct (cohort, offset) user counts
+    val m = graft.Tables(spark, sf).events
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map { r =>
+        val day = r.getDate(1).toLocalDate
+        (r.getLong(0), day.minusDays((day.getDayOfWeek.getValue - 1).toLong))
+      }.distinct
+    val cohort = m.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val brute = m.map { case (u, wk) =>
+      val c = cohort(u)
+      (c.toString, java.time.temporal.ChronoUnit.DAYS.between(c, wk) / 7, u)
+    }.distinct.groupBy(t => (t._1, t._2)).map { case ((c, o), us) => (c, o, us.length.toLong) }.toSet
+    assert(got == brute, s"extra=${got.diff(brute).take(5)} missing=${brute.diff(got).take(5)}")
+
+    // offset 0 always holds the full cohort: every user is active in
+    // their own first week by definition
+    val zero = got.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    val cohortSizes = cohort.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      .map { case (k, v) => k.toString -> v }
+    assert(zero == cohortSizes, "week-0 row must count the whole cohort")
+  }
+
+  test("zipf fit matches a driver-side recompute of the same quantized regression") {
+    val row = TextAnalysis.zipfFit(spark, sf).collect()(0)
+    val (n, slope, intercept) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+
+    // recompute from the cf distribution with the IDENTICAL arithmetic
+    // (same JVM Math.log, same quantization, same double chain)
+    val cf = graft.Tables(spark, sf).documents
+      .select(explode(expr(TextAnalysis.tokensExpr)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cf"))
+      .collect().map(_.getLong(1)).sortBy(-_)
+    assert(n == cf.length.toLong)
+    val q = cf.zipWithIndex.map { case (c, i) =>
+      (math.floor(math.log((i + 1).toDouble) * 10000 + 0.5).toLong,
+        math.floor(math.log(c.toDouble) * 10000 + 0.5).toLong)
+    }
+    val (sx, sy) = (q.map(_._1).sum, q.map(_._2).sum)
+    val sxx = q.map { case (x, _) => BigInt(x) * BigInt(x) }.sum
+    val sxy = q.map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    val nn = q.length.toDouble
+    val s = (nn * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (nn * sxx.toDouble - sx.toDouble * sx.toDouble)
+    assert(slope == math.floor(s * 1e4 + 0.5) / 1e4,
+      s"slope $slope != recomputed ${math.floor(s * 1e4 + 0.5) / 1e4}")
+    assert(intercept == math.floor((sy.toDouble - s * sx.toDouble) / nn + 0.5) / 1e4)
+    // cf is non-increasing in rank, so unless frequencies are constant the
+    // fit MUST slope down. (No "natural-text band" assertion: the
+    // synthetic corpus has near-uniform frequencies — slope ≈ -0.18 here,
+    // where real text sits near -1; the operator measures, not assumes.)
+    assert(slope < 0.0, s"zipf fit must slope down, got $slope")
+  }
 }

@@ -207,4 +207,59 @@ class WarehouseSpec extends SparkSpec {
         s"$day: estimate $mergedApprox outside 5% of exact $exact")
     }
   }
+
+  test("collapsing sign aggregate equals the brute-force per-key final state") {
+    val got = Warehouse.collapsingMerge(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute force: materialize each key's FINAL state (deleted keys
+    // vanish; restated keys carry the corrected row) and aggregate that
+    val t = graft.Tables(spark, sf).orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val live = t.filter(col("o_orderkey") % 7 =!= 0)
+    val restated = t.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 21 =!= 0)
+      .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+        (col("cents") + lit(250L)).as("cents"))
+    val expected = live.unionByName(restated)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_live"), sum("cents").as("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"sign annihilation diverged from the reconstructed final state: got=$got expected=$expected")
+
+    // pure-deleted keys (%21) contribute exactly zero to the sign stream
+    val deletedNet = Warehouse.collapsingStream(spark, sf)
+      .filter(col("o_orderkey") % 21 === 0)
+      .agg(sum("sign").as("s"), sum(col("sign") * col("cents")).as("sc"))
+      .collect()(0)
+    assert(deletedNet.getLong(0) == 0L && deletedNet.getLong(1) == 0L,
+      "a cancelled-without-restatement key must annihilate to zero")
+
+    // the algebra stays aggregate-only: no window, no join in the plan
+    val plan = Warehouse.collapsingMerge(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"collapsing merge must be pure aggregation:\n${plan.take(600)}")
+  }
+
+  test("TTL expiry physically drops expired partitions and keeps the horizon rows") {
+    val q = Warehouse.ttlExpire(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDate(3).toString)).toSet
+    val (before, after) = Warehouse.ttlPartitionCounts
+    assert(after < before, s"expected expired partition dirs to be dropped: $before -> $after")
+
+    // the retained layout answers exactly the horizon filter over raw data
+    val expected = graft.Tables(spark, sf).events
+      .filter(to_date(col("ts")) >= lit("2024-01-20").cast("date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"),
+        min(to_date(col("ts"))).as("first_day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDate(3).toString)).toSet
+    assert(got == expected, "file-level TTL diverged from the row-level horizon filter")
+
+    // every surviving partition directory is on or after the cutoff
+    assert(got.forall(_._4 >= "2024-01-20"), s"a pre-cutoff day survived: $got")
+  }
 }
