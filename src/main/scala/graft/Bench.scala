@@ -77,7 +77,11 @@ object Bench {
     // zipf: vocabulary agg + the two-pass global rank + exact moments
     "text_zipf",
     // the stream-stream interval join: two watermarked sides + join state
-    "streaming_interval_join")
+    "streaming_interval_join",
+    // scene cuts: decode-stage frame hashing + keyed lag differencing
+    "multimodal_scene_cuts",
+    // NDJSON export/import round-trip (includes the text write)
+    "ref_export_ndjson")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

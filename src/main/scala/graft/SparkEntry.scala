@@ -178,6 +178,11 @@ object SparkEntry {
     // the stream-stream interval join (EventPipeline.purchaseAttribution,
     // previously spec-only) checked against the batch join oracle
     "streaming_interval_join" -> (RefPipeline.streamingIntervalJoin _),
+    // rows-only by design (frame hashes depend on the decode stub);
+    // MultimodalSpec proves brute-force equality of the cut detection
+    "multimodal_scene_cuts" -> (Multimodal.sceneCuts _),
+    // the JSONEachRow export/import round-trip next to the CSV/ORC legs
+    "ref_export_ndjson" -> (graft.sources.EventsSource.refExportNdjson _),
   )
 
   private val tokCte =
@@ -1155,5 +1160,12 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
         |  AND epoch_us(p.ts) >= epoch_us(s.ts)
         |  AND epoch_us(p.ts) <= epoch_us(s.ts) + 604800000000""".stripMargin,
+    // the text leg is lossless: same aggregate on the raw parquet table
+    // (micros BIGINT timestamps, shortest-repr double round-trip)
+    "ref_export_ndjson" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

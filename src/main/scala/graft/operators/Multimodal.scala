@@ -182,4 +182,75 @@ object Multimodal {
         expr("hamming64(pa, pb)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
   }
+
+  private[graft] final case class FrameHash(doc_id: Long, frame_idx: Long, fhash: Long)
+
+  /** dHash of ONE FRAME of the fake video: same 9x8 luma-difference
+    * arithmetic as [[dHash]], with the sampling base shifted per 4-frame
+    * group — the stub contract for "consecutive frames look alike, a new
+    * shot re-frames everything" (frames inside a group hash identically;
+    * each group jump resamples the blob). The hash arithmetic is the real
+    * dHash; only the luma source is the deterministic stand-in. */
+  private[graft] def frameDHash(blob: Array[Byte], frame: Long): Long = {
+    if (blob.isEmpty) return 0L
+    val n = blob.length
+    val base = ((frame / 4) * 97L).toInt
+    @inline def luma(x: Int, y: Int): Int =
+      blob((((y * 9 + x) * 31 + base) % n + n) % n) & 0xFF
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) h |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Video scene-cut detection (`multimodal_scene_cuts`) — the shot
+    * segmentation every video training pipeline runs before sampling
+    * frames: hash every frame perceptually in the decode pass, then mark
+    * a CUT wherever consecutive frame hashes differ by more than the
+    * threshold (Hamming > 10 — within a shot dHash moves a few bits;
+    * a shot change re-frames most of the 64).
+    *
+    * Scale shape: the decode map emits (doc_id, frame_idx, fhash) — a
+    * bounded per-video fan-out (≤16 frames here; a real pipeline samples
+    * a capped frame grid exactly so this stays bounded), bytes never
+    * leave the scan stage. The differencing is `lag` under a KEYED window
+    * (one doc_id shuffle, per-video sort of its own ≤16 rows — SURVEY
+    * §4's WindowExec rule), the verify arithmetic is the native codegen'd
+    * `hamming64`, and the per-video rollup is the same keyed aggregation.
+    * Rows-only by design (the hash depends on the decode stub);
+    * MultimodalSpec proves the operator equals a driver-side brute-force
+    * recompute and that the stub's 4-frame groups yield exactly
+    * ceil(n_frames/4) scenes. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftSession.registerFunctions(spark) // hamming64
+    val raw: Dataset[RawMedia] = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .as[RawMedia]
+    val frames = raw.mapPartitions { it =>
+      it.flatMap { r =>
+        val meta = FakeDecoder.decode(r)
+        (0L until meta.n_frames).iterator.map(f => FrameHash(r.doc_id, f, frameDHash(r.blob, f)))
+      }
+    }.toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev_hash", lag("fhash", 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev_hash").isNotNull &&
+          expr("hamming64(fhash, prev_hash)") > 10, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        (sum("is_cut") + 1L).as("n_scenes"))
+  }
 }

@@ -140,6 +140,39 @@ object EventsSource {
         count(lit(1)).as("n"))
   }
 
+  /** NDJSON (JSONEachRow) EXPORT round-trip as a CHECKED key
+    * (`ref_export_ndjson`) — the other direction of the wire surface: the
+    * reference engine exports query results as `FORMAT JSONEachRow` as
+    * readily as it ingests them, and a user switching engines keeps both
+    * halves. The typed events projection is serialized line-per-row with
+    * the codegen'd `to_json` into an exit-swept temp dir (the export),
+    * then read back with an EXPLICIT schema (the import — never
+    * inference, which is a second full scan of 100 TB of text) and
+    * aggregated; the oracle runs the same aggregate on the raw parquet
+    * table, so equality proves the text leg is lossless for these types.
+    *
+    * Exactness: timestamps travel as exact epoch-micros BIGINTs (ISO
+    * strings would re-open format/zone variance), doubles round-trip
+    * bit-for-bit through Spark's shortest-representation JSON writer, and
+    * the aggregate stays in exact integer cents. One format boundary each
+    * way, zero extra shuffles. */
+  def refExportNdjson(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-ndjson")
+    graft.TempSweep.register(out)
+    graft.Tables(spark, dir).events
+      .select(to_json(struct(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))).as("value"))
+      .write.mode("overwrite").text(out.toString)
+    spark.read
+      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(out.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"),
+        max("ts_us").as("last_us"))
+  }
+
   /** The reference topology's Kafka reader (kcat -> topic `entry-events` ->
     * engine table, README.rst Step 1-2), as a compiled code path: the
     * `format("kafka")` source resolves at RUNTIME, so this builds against

@@ -58,4 +58,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(Array[Byte](42)) == 0L,
       "a constant 1-byte image has no pixel differences — all dHash bits clear")
   }
+
+  test("scene cuts equal the brute-force per-video lag recount") {
+    val got = Multimodal.sceneCuts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // ground truth driver-side: hash every frame, difference consecutive
+    // hashes, count cuts at Hamming > 10
+    val docs = graft.Tables(spark, sf).documents
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob"))
+    val brute = docs.map { case (id, blob) =>
+      val nf = 1L + id % 16L
+      val hs = (0L until nf).map(f => Multimodal.frameDHash(blob, f))
+      val cuts = hs.sliding(2).count {
+        case Seq(a, b) => java.lang.Long.bitCount(a ^ b) > 10
+        case _ => false
+      }
+      (id, nf, cuts.toLong + 1L)
+    }.toSet
+    assert(got == brute, s"extra=${got.diff(brute).take(5)} missing=${brute.diff(got).take(5)}")
+
+    // frames inside one 4-frame group hash identically by the stub
+    // contract, so scenes never exceed ceil(n_frames/4) — and the corpus
+    // must actually produce multi-scene videos (the detector detects)
+    assert(got.forall { case (_, nf, ns) => ns <= (nf + 3) / 4 },
+      "a within-group frame pair produced a cut")
+    assert(got.exists(_._3 > 1L), "expected at least one multi-scene video")
+
+    // empty payloads flow through: every video reports all its frames
+    assert(got.forall { case (id, nf, _) => nf == 1L + id % 16L })
+  }
 }
