@@ -81,7 +81,15 @@ object Bench {
     // scene cuts: decode-stage frame hashing + keyed lag differencing
     "multimodal_scene_cuts",
     // NDJSON export/import round-trip (includes the text write)
-    "ref_export_ndjson")
+    "ref_export_ndjson",
+    // chained conditional mins (three co-keyed agg+join rounds)
+    "q_sequence_match",
+    // map-side regex canonicalization + host rollup
+    "text_url_normalize",
+    // dictionary encode: layout build (dict + fact rewrite) + int-key agg
+    "wh_dictionary_encode",
+    // bloom skip index: 16-file layout + per-file index build + point read
+    "wh_bloom_skip_index")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -183,6 +183,13 @@ object SparkEntry {
     "multimodal_scene_cuts" -> (Multimodal.sceneCuts _),
     // the JSONEachRow export/import round-trip next to the CSV/ORC legs
     "ref_export_ndjson" -> (graft.sources.EventsSource.refExportNdjson _),
+    // ordered-subsequence match (sequenceMatch) via chained conditional
+    // mins; URL canonicalization over the deterministic generator
+    "q_sequence_match" -> (Analytics.sequenceMatch _),
+    "text_url_normalize" -> (TextAnalysis.urlNormalize _),
+    // LowCardinality dictionary encoding and the bloom_filter skip index
+    "wh_dictionary_encode" -> (Warehouse.dictionaryEncode _),
+    "wh_bloom_skip_index" -> (Warehouse.bloomSkipIndex _),
   )
 
   private val tokCte =
@@ -1167,5 +1174,51 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
         |FROM events GROUP BY 1""".stripMargin,
+    // the same chain of conditional mins (earliest-first greedy matching
+    // is exact for subsequence EXISTENCE); strict > is the declared tie
+    // rule, so no event-id tiebreak is needed in either engine
+    "q_sequence_match" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |           WHERE event_type IN ('signup', 'view', 'purchase')),
+        |t1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'view' AND tus > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1)
+        |SELECT t1.user_id,
+        |       CAST(CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS seq_matched,
+        |       CAST(t1.t1 AS BIGINT) AS signup_us
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+    // the generator replayed from range(); the id param is always first,
+    // so tracking params are strictly &-led and one global regex strips
+    // them (the declared invariant)
+    "text_url_normalize" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 50000) t(i)),
+        |u AS (SELECT 'https://' ||
+        |         ['example.com','news.site.org','blog.example.net','shop.example.com','docs.example.io'][CAST(i % 5 AS INT) + 1]
+        |         || '/p' || CAST(i % 97 AS VARCHAR) || '?id=' || CAST(i % 1000 AS VARCHAR)
+        |         || CASE WHEN i % 3 = 0 THEN '&utm_source=feed' ELSE '' END
+        |         || CASE WHEN i % 4 = 0 THEN '&utm_campaign=c' || CAST(i % 7 AS VARCHAR) ELSE '' END
+        |         || CASE WHEN i % 11 = 0 THEN '&ref=tw' ELSE '' END AS url
+        |      FROM g),
+        |n AS (SELECT url, regexp_replace(url, '&(utm_[a-z]+|ref)=[^&]*', '', 'g') AS norm,
+        |             regexp_extract(url, '^https://([^/]+)/', 1) AS host FROM u)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |       CAST(count(DISTINCT norm) AS BIGINT) AS n_unique_clean,
+        |       CAST(sum(CASE WHEN norm <> url THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked
+        |FROM n GROUP BY 1""".stripMargin,
+    // the dictionary layout is semantically invisible: same aggregate on
+    // the raw string table
+    "wh_dictionary_encode" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    // bloom skipping is I/O-only: the exact predicate still applies, so
+    // the point query equals the raw-table filter
+    "wh_bloom_skip_index" ->
+      """WITH p AS (SELECT min(event_id) AS e FROM events)
+        |SELECT event_id, user_id, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS v_cents
+        |FROM events, p WHERE event_id = p.e""".stripMargin,
   )
 }

@@ -667,6 +667,41 @@ object Analytics {
     * day arithmetic on Monday-truncated dates (ISO weeks in both engines),
     * and each membership row is unique per (user, week), so the final
     * count needs no second distinct. */
+  /** Ordered-subsequence pattern match (ClickHouse
+    * `sequenceMatch('(?1).*(?2).*(?3)')`): does each user's timeline
+    * contain signup, THEN a view strictly after it, THEN a purchase
+    * strictly after that — unbounded by any window (the complement of
+    * [[windowFunnel]]'s within-7-days level count)?
+    *
+    * The scalable shape is a CHAIN OF CONDITIONAL MINS, not a per-user
+    * sort: t1 = min signup time; t2 = min view time AFTER t1; t3 = min
+    * purchase time AFTER t2 — each step one filtered aggregation over the
+    * events co-keyed on user_id plus one user-keyed join (the frames
+    * arrive co-partitioned from their shuffles; nothing ever collects or
+    * sorts a timeline). Earliest-first greedy matching is exact for
+    * existence: if ANY ordered triple exists, the minimal one exists.
+    * Strict `>` at each step is the declared tie rule (equal timestamps
+    * do not chain — cross-engine deterministic without an event-id
+    * tiebreak). Times stay exact BIGINT micros. */
+  def sequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.GraftSession.trackCache(
+      Tables(spark, dir).events
+        .filter(col("event_type").isin("signup", "view", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus")))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val t2 = e.filter(col("event_type") === "view")
+      .join(t1, Seq("user_id")).filter(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min("tus").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).filter(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min("tus").as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 1L).otherwise(0L).as("seq_matched"),
+        col("t1").as("signup_us"))
+  }
+
   def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
     val membership = graft.GraftSession.trackCache(
       Tables(spark, dir).events

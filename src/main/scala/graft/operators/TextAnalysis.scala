@@ -324,6 +324,45 @@ object TextAnalysis {
     * Scale shape: cf is one vocabulary-sized partial-agg shuffle off the
     * tokenize pass; the rank is the two-pass range exchange; the moments
     * collapse map-side to ONE row. */
+  /** URL canonicalization (`text_url_normalize`) — the CommonCrawl-era
+    * dedup pre-pass: strip tracking parameters (`utm_*`, `ref`) so that
+    * the same page fetched from different campaigns collapses to ONE
+    * canonical URL, then roll up per host. The corpus has no URL column,
+    * so the input is a deterministic in-query generator (the
+    * `ref_points_by_house` precedent: row i is a pure function of i, so
+    * the oracle replays the generation with no side channel); the
+    * generator always emits the `id` parameter first, so tracking params
+    * are strictly `&`-led and one regex strips them without re-gluing
+    * separators — that invariant is declared, not assumed.
+    *
+    * Scale shape: generation + regex normalization + host extraction are
+    * all map-side codegen'd string ops (the regexes live in the Java/RE2
+    * common subset the PII key established); the only shuffles are the
+    * host aggregate and the distinct for unique-clean counts — both on
+    * already-collapsed frames. */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = array(Seq("example.com", "news.site.org", "blog.example.net",
+      "shop.example.com", "docs.example.io").map(lit): _*)
+    val urls = spark.range(0, 50000L).select(concat(
+      lit("https://"),
+      element_at(hosts, (col("id") % 5 + 1).cast("int")),
+      lit("/p"), (col("id") % 97).cast("string"),
+      lit("?id="), (col("id") % 1000).cast("string"),
+      when(col("id") % 3 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+      // modulus 4, deliberately coprime-ish to the host modulus 5: a
+      // campaign modulus of 5 would make one whole host 100% tracked
+      when(col("id") % 4 === 0, concat(lit("&utm_campaign=c"), (col("id") % 7).cast("string")))
+        .otherwise(lit("")),
+      when(col("id") % 11 === 0, lit("&ref=tw")).otherwise(lit(""))).as("url"))
+    urls
+      .withColumn("norm", regexp_replace(col("url"), "&(utm_[a-z]+|ref)=[^&]*", ""))
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("norm").as("n_unique_clean"),
+        sum(when(col("norm") =!= col("url"), 1L).otherwise(0L)).as("n_tracked"))
+  }
+
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("double")
     val cf = withTokens(Tables(spark, dir).documents.select("doc_id", "text"))

@@ -607,6 +607,108 @@ object Warehouse {
         min(col("event_date")).as("first_day"))
   }
 
+  private[graft] lazy val dictDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-dict")
+    graft.TempSweep.register(p)
+    p
+  }
+
+  /** Dictionary encoding as a CHECKED key (`wh_dictionary_encode`) — the
+    * reference engine's `LowCardinality(String)` column type: a
+    * low-cardinality string column is stored ONCE as a (string → dense
+    * int id) dictionary sidecar, and the fact table carries only the int
+    * codes. Parquet dictionary-encodes string PAGES on its own; what the
+    * column type buys beyond that is the EXECUTION side — every group-by
+    * key, join key, and shuffle row carries a 4-byte int instead of a
+    * string, hashing and comparing ints, with the one string decode
+    * deferred to the final (vocabulary-sized) join.
+    *
+    * Build: distinct types (a bounded vocabulary — the LowCardinality
+    * contract) get dense ids via [[GlobalRank.boundedRowNumbered]] (no
+    * WindowExec); the fact rewrite is one broadcast join; both land in an
+    * exit-swept layout dir. Query: the aggregate runs ENTIRELY on int
+    * codes and decodes per GROUP at the end through a broadcast of the
+    * dictionary. Oracle = the same aggregate on the raw string table —
+    * equality proves the encoding invisible; WarehouseSpec asserts the
+    * encoded layout carries no string column and the decode join
+    * broadcasts. */
+  def dictionaryEncode(spark: SparkSession, dir: String): DataFrame = {
+    val out = dictDir.toString
+    val e = graft.Tables(spark, dir).events
+    val dict = GlobalRank.boundedRowNumbered(
+      e.select("event_type").distinct(), "type_id", col("event_type"))
+    dict.write.mode("overwrite").parquet(s"$out/dict")
+    e.join(broadcast(spark.read.parquet(s"$out/dict")), Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("type_id"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+      .write.mode("overwrite").parquet(s"$out/facts")
+    spark.read.parquet(s"$out/facts")
+      .groupBy("type_id")
+      .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
+      .join(broadcast(spark.read.parquet(s"$out/dict")), Seq("type_id"))
+      .select(col("event_type"), col("n_events"), col("sum_cents"))
+  }
+
+  private lazy val bloomIdxDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-bloomidx")
+    graft.TempSweep.register(p)
+    p
+  }
+
+  /** (files in layout, files the last bloom-indexed query opened) —
+    * WarehouseSpec asserts opened < total. */
+  @volatile private[graft] var bloomSkipCounts: (Int, Int) = (0, 0)
+
+  /** Bloom data-skipping index as a CHECKED key (`wh_bloom_skip_index`) —
+    * the reference engine's `INDEX ... TYPE bloom_filter` skip index: for
+    * a HIGH-cardinality column that the sort/partition keys don't cover
+    * (here the unique event_id in a layout distributed by user_id),
+    * footer min/max prunes nothing — hash scatter makes every file span
+    * the whole id range. A per-file Bloom filter sidecar answers "might
+    * this file contain event e?" at the file-listing level, so a point
+    * lookup opens ~one file instead of scanning the table.
+    *
+    * Build: one bounded driver loop over the layout's files (K = file
+    * count, a layout knob — the analog of ClickHouse building skip
+    * indexes per part), each building a distributed `stat.bloomFilter`
+    * whose BIT ARRAY alone returns to the driver (the
+    * `pipeline_decontaminate_bloom` contract). At 100 TB the same
+    * sidecars come out of ONE pass with a per-file bloom AGGREGATE
+    * (Spark exposes no public one; this repo's `BloomMightContain`
+    * expression is the probe half of that pair) — the K-job build keeps
+    * the checked path simple and the index layout identical.
+    *
+    * Query: the probed key is the corpus's min event_id (one tiny
+    * aggregate — no magic constant that breaks at another SF); sidecars
+    * are consulted DRIVER-side (index-sized work), the scan reads only
+    * surviving files, and the exact predicate still applies — bloom
+    * false positives cost I/O, never correctness. Oracle = the same
+    * point lookup over the raw table. */
+  def bloomSkipIndex(spark: SparkSession, dir: String): DataFrame = {
+    val out = bloomIdxDir.toString
+    graft.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+      .repartition(16, col("user_id")) // event_id deliberately NOT the layout key
+      .write.mode("overwrite").parquet(out)
+    val files = parquetFiles(out).map(_.getPath).sorted
+    // an EMPTY file (hash scatter with fewer hot keys than buckets) can
+    // never contain the probe — no sidecar, pruned unconditionally; a
+    // bloom over zero rows is also where stat.bloomFilter returns null
+    val index = files.flatMap { f =>
+      val d = spark.read.parquet(f)
+      val n = d.count()
+      if (n == 0) None else Some(f -> d.stat.bloomFilter("event_id", n, 0.01))
+    }
+    val probe = graft.Tables(spark, dir).events
+      .agg(min("event_id")).collect()(0).getLong(0)
+    val hits = index.filter(_._2.mightContainLong(probe)).map(_._1)
+    bloomSkipCounts = (files.length, hits.length)
+    spark.read.parquet(hits: _*)
+      .filter(col("event_id") === probe)
+      .select("event_id", "user_id", "event_type", "v_cents")
+  }
+
   /** Revenue per order priority over the BUCKETED tables: the
     * orders⋈lineitem join runs bucket-to-bucket (no Exchange before the
     * SortMergeJoin); the only shuffle left is the final small aggregation. */

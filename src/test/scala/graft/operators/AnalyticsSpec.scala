@@ -239,6 +239,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sequence match equals the brute-force ordered-subsequence scan") {
+    val got = Analytics.sequenceMatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute force: sort each user's full timeline and greedily walk the
+    // signup -> view -> purchase pattern with strict >
+    val events = graft.Tables(spark, sf).events
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = events.groupBy(_._1).collect {
+      case (u, rows) if rows.exists(_._2 == "signup") =>
+        val sorted = rows.sortBy(_._3)
+        val t1 = rows.filter(_._2 == "signup").map(_._3).min
+        val matched = {
+          val t2 = sorted.collectFirst { case (_, "view", t) if t > t1 => t }
+          t2.exists(v => sorted.exists { case (_, ty, t) => ty == "purchase" && t > v })
+        }
+        (u, if (matched) 1L else 0L, t1)
+    }.toSet
+    assert(got == brute, s"extra=${got.diff(brute).take(5)} missing=${brute.diff(got).take(5)}")
+    // non-degenerate: the pattern fires somewhere (this corpus's
+    // timelines are dense enough that every signup user may match —
+    // the brute-force equality above is the real check)
+    assert(got.exists(_._2 == 1L), "expected at least one matched user")
+  }
+
+  test("url normalization strips exactly the tracking params and keeps hosts stable") {
+    val rows = TextAnalysis.urlNormalize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 5, "five hosts by construction")
+    assert(rows.map(_._2).sum == 50000L, "every generated url lands in exactly one host")
+    // i%3, i%5, i%11 tracking coverage: of 10000 urls per host, those
+    // hitting none of the three moduli carry no tracking params
+    rows.foreach { case (host, n, uniq, tracked) =>
+      assert(tracked > 0 && tracked < n, s"$host: tracking must be partial, got $tracked/$n")
+      assert(uniq <= n, s"$host: unique clean urls cannot exceed total")
+    }
+  }
+
   test("cohort matrix equals the brute-force first-week/offset recount") {
     val got = Analytics.cohortMatrix(spark, sf).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet

@@ -242,6 +242,49 @@ class WarehouseSpec extends SparkSpec {
       s"collapsing merge must be pure aggregation:\n${plan.take(600)}")
   }
 
+  test("dictionary-encoded layout carries no string column and decodes via broadcast") {
+    val q = Warehouse.dictionaryEncode(spark, sf)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.Tables(spark, sf).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(expr("cast(round(value * 100) as bigint)")).as("sc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "encoding must be invisible to the aggregate")
+
+    // the fact layout stores only int codes — no string column anywhere
+    val facts = spark.read.parquet(Warehouse.dictDir.resolve("facts").toString)
+    assert(!facts.schema.exists(_.dataType == org.apache.spark.sql.types.StringType),
+      s"encoded facts must carry no strings: ${facts.schema.treeString}")
+
+    // the decode join broadcasts the vocabulary-sized dictionary
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"decode join should broadcast:\n${plan.take(600)}")
+  }
+
+  test("bloom skip index opens fewer files than the layout holds, same answer as the raw filter") {
+    val q = Warehouse.bloomSkipIndex(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val (total, opened) = Warehouse.bloomSkipCounts
+    // <= 16: the writer skips empty hash buckets (15 hot users into 16
+    // buckets at this SF), so the layout holds the non-empty files only
+    assert(total > 4 && total <= 16, s"unexpected layout file count $total")
+    // a unique key lives in ONE file; fpp 0.01 over 16 sidecars makes
+    // even one false positive unlikely, but allow a few — the contract
+    // is "most files skipped", not an exact count
+    assert(opened < total / 2,
+      s"the index should skip most files for a point lookup: opened $opened of $total")
+    assert(opened > 0, "no false negatives: the probed event's file must survive")
+
+    val probe = graft.Tables(spark, sf).events.agg(min("event_id")).collect()(0).getLong(0)
+    val expected = graft.Tables(spark, sf).events
+      .filter(col("event_id") === probe)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == expected, "skipping must never change the answer")
+  }
+
   test("TTL expiry physically drops expired partitions and keeps the horizon rows") {
     val q = Warehouse.ttlExpire(spark, sf)
     val got = q.collect()
