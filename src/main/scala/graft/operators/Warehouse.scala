@@ -668,15 +668,14 @@ object Warehouse {
     * this file contain event e?" at the file-listing level, so a point
     * lookup opens ~one file instead of scanning the table.
     *
-    * Build: one bounded driver loop over the layout's files (K = file
-    * count, a layout knob — the analog of ClickHouse building skip
-    * indexes per part), each building a distributed `stat.bloomFilter`
-    * whose BIT ARRAY alone returns to the driver (the
-    * `pipeline_decontaminate_bloom` contract). At 100 TB the same
-    * sidecars come out of ONE pass with a per-file bloom AGGREGATE
-    * (Spark exposes no public one; this repo's `BloomMightContain`
-    * expression is the probe half of that pair) — the K-job build keeps
-    * the checked path simple and the index layout identical.
+    * Build: ONE distributed pass — `groupBy(input_file_name())` with the
+    * native [[graft.functions.BloomAgg]] per-group bloom aggregate (the
+    * aggregate Spark doesn't expose publicly; `stat.bloomFilter` builds
+    * one filter per FRAME, which would cost K jobs here). Each task folds
+    * its rows into an in-memory filter, filters merge associatively by
+    * bitwise OR, and only the K finished BIT ARRAYS reach the driver (the
+    * `pipeline_decontaminate_bloom` contract); [[graft.functions
+    * .BloomMightContain]] is the codegen'd probe half of the same pair.
     *
     * Query: the probed key is the corpus's min event_id (one tiny
     * aggregate — no magic constant that breaks at another SF); sidecars
@@ -691,20 +690,27 @@ object Warehouse {
         expr("cast(round(value * 100) as bigint)").as("v_cents"))
       .repartition(16, col("user_id")) // event_id deliberately NOT the layout key
       .write.mode("overwrite").parquet(out)
-    val files = parquetFiles(out).map(_.getPath).sorted
-    // an EMPTY file (hash scatter with fewer hot keys than buckets) can
-    // never contain the probe — no sidecar, pruned unconditionally; a
-    // bloom over zero rows is also where stat.bloomFilter returns null
-    val index = files.flatMap { f =>
-      val d = spark.read.parquet(f)
-      val n = d.count()
-      if (n == 0) None else Some(f -> d.stat.bloomFilter("event_id", n, 0.01))
-    }
+    val files = parquetFiles(out)
+    // per-file expected items: total rows over the files actually written
+    // (a parquet count is footer metadata, not a scan), overprovisioned 2x
+    // against hash skew — undersizing a bloom silently raises its fpp
+    val totalRows = spark.read.parquet(out).count()
+    val expected = math.max(totalRows * 2L / math.max(files.length, 1), 64L)
+    // ONE pass builds every sidecar; an EMPTY file (hash scatter with
+    // fewer hot keys than buckets) yields no group — pruned by absence
+    val agg = udaf(new graft.functions.BloomAgg(expected, 0.01))
+    val index = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(agg(col("event_id")).as("bloom"))
+      .collect()
+      .map(r => r.getString(0) ->
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))))
     val probe = graft.Tables(spark, dir).events
       .agg(min("event_id")).collect()(0).getLong(0)
     val hits = index.filter(_._2.mightContainLong(probe)).map(_._1)
     bloomSkipCounts = (files.length, hits.length)
-    spark.read.parquet(hits: _*)
+    spark.read.parquet(hits.toIndexedSeq: _*)
       .filter(col("event_id") === probe)
       .select("event_id", "user_id", "event_type", "v_cents")
   }
