@@ -89,7 +89,13 @@ object Bench {
     // dictionary encode: layout build (dict + fact rewrite) + int-key agg
     "wh_dictionary_encode",
     // bloom skip index: 16-file layout + per-file index build + point read
-    "wh_bloom_skip_index")
+    "wh_bloom_skip_index",
+    // BPE pair counting: within-word pair explode + tiny-key aggregate
+    "text_bpe_pairs",
+    // temperature mixture: two doc passes + a 5-key rollup
+    "pipeline_mix_temperature",
+    // int8 quantization: one map-side HOF pass over every vector
+    "emb_int8_quantize")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

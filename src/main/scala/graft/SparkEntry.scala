@@ -190,6 +190,11 @@ object SparkEntry {
     // LowCardinality dictionary encoding and the bloom_filter skip index
     "wh_dictionary_encode" -> (Warehouse.dictionaryEncode _),
     "wh_bloom_skip_index" -> (Warehouse.bloomSkipIndex _),
+    // BPE pair counting, temperature-scaled language mixture, int8
+    // embedding quantization — the tokenizer/sampling/storage pre-passes
+    "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
+    "pipeline_mix_temperature" -> (Pipeline.mixTemperature _),
+    "emb_int8_quantize" -> ((s, d) => Similarity.int8Quantize(s, d)),
   )
 
   private val tokCte =
@@ -1220,5 +1225,58 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type,
         |       CAST(round(value * 100) AS BIGINT) AS v_cents
         |FROM events, p WHERE event_id = p.e""".stripMargin,
+    // ASCII corpus: both engines count substring positions in characters;
+    // the (n desc, pair) order is total so LIMIT 20 picks the same rows
+    "text_bpe_pairs" ->
+      s"""WITH t AS ($tokCte),
+         |w AS (SELECT unnest(tk) AS w FROM t),
+         |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+         |      FROM w, unnest(range(1, length(w))) AS u(i)
+         |      WHERE length(w) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // pow quantized once to 1e-6 units (the ln/exp drill), exact BIGINT
+    // total, one identical division for the share
+    "pipeline_mix_temperature" ->
+      s"""WITH t AS ($tokCte),
+         |h AS (SELECT doc_id, len(tk) AS n_tok,
+         |        len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS hits_en,
+         |        len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS hits_de,
+         |        len(list_filter(tk, x -> x IN ('le','la','et','est','les'))) AS hits_fr,
+         |        len(list_filter(tk, x -> x IN ('el','los','y','es','las'))) AS hits_es
+         |      FROM t),
+         |l AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CASE WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'unknown'
+         |       WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+         |       WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+         |       WHEN hits_fr >= hits_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |      FROM h),
+         |m AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM l GROUP BY 1),
+         |w AS (SELECT *, CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1e6 + 0.5) AS BIGINT) AS w_q FROM m),
+         |tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS tw FROM w)
+         |SELECT pred_lang, n_docs, n_tokens, w_q,
+         |       CAST(floor(CAST(w_q AS DOUBLE) / CAST(tw AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS share_q6
+         |FROM w, tot""".stripMargin,
+    // float->double widening is exact; code and error fold x and scale
+    // through the identical IEEE chain; per-dim error quantized once to
+    // 1e-12 units then exact BIGINT sums
+    "emb_int8_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e)
+        |SELECT vec_id, CAST(len(emb) AS BIGINT) AS n_dims,
+        |  CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_q9,
+        |  CASE WHEN scale > 0 THEN
+        |    CAST(list_sum(list_transform(emb, x -> abs(CAST(floor(x / scale + 0.5) AS BIGINT)))) AS BIGINT)
+        |  ELSE 0 END AS sum_abs_code,
+        |  CASE WHEN scale > 0 THEN
+        |    CAST(list_sum(list_transform(emb, x ->
+        |      CAST(floor((x - floor(x / scale + 0.5) * scale)
+        |                * (x - floor(x / scale + 0.5) * scale) * 1e12 + 0.5) AS BIGINT))) AS BIGINT)
+        |  ELSE 0 END AS sse_q12
+        |FROM s""".stripMargin,
   )
 }

@@ -61,6 +61,37 @@ object Pipeline {
       .select("doc_id", "pred_lang", "bucket")
   }
 
+  /** Temperature-scaled language mixture weights
+    * (`pipeline_mix_temperature`) — the multilingual sampling formula
+    * (mT5/XLM-R: sample language L with probability ∝ p_L^α, α < 1
+    * upweights low-resource languages): per predicted language, token
+    * mass, the α=0.3 temperature weight, and its normalized share. The
+    * DECISION-table sibling of [[trainMix]]'s per-document hash sampling
+    * — production computes this table, then feeds its rates into the
+    * trainMix-style reproducible-bucket filter.
+    *
+    * Cross-engine float contract: `pow` (like ln/exp) is not correctly
+    * rounded, so the weight is quantized ONCE to 1e-6 units
+    * (`floor(pow(n_tokens, 0.3)·1e6 + 0.5)`), totals sum exactly as
+    * BIGINTs, and the share is one identical double division finished by
+    * the HALF-UP floor. Scale shape: langId and token counting are
+    * map-side doc passes joined on doc_id; the rollup is a ≤5-key
+    * aggregate; the share total rides a broadcast single row. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val langs = graft.GraftSession.trackCache(
+      TextAnalysis.langId(spark, dir).select("doc_id", "pred_lang"))
+    val toks = TextAnalysis.quality(spark, dir).select("doc_id", "n_tokens")
+    val w = langs.join(toks, Seq("doc_id"))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("w_q",
+        expr("cast(floor(pow(cast(n_tokens as double), 0.3) * 1e6 + 0.5) as bigint)"))
+    w.crossJoin(broadcast(w.agg(sum("w_q").as("tw"))))
+      .select(col("pred_lang"), col("n_docs"), col("n_tokens"), col("w_q"),
+        expr("cast(floor(cast(w_q as double) / cast(tw as double) * 1e6 + 0.5) as bigint)")
+          .as("share_q6"))
+  }
+
   /** Sequence packing — the last step before tokenized training data hits
     * the trainer: documents are laid out end-to-end and cut into
     * fixed-length training sequences (GPT-style concat-and-split; 512

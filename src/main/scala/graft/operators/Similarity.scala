@@ -531,4 +531,36 @@ object Similarity {
                   / cast(n as double))
                 / cast(n as double)) * 1e4 + 0.5) / 1e4""").as("cov"))
   }
+
+  /** Symmetric int8 vector quantization (`emb_int8_quantize`) — the
+    * embedding STORAGE compression every large vector store runs before
+    * (or instead of) PQ: per vector, scale = max|x|/127, code_i =
+    * round(x_i/scale) ∈ [−127, 127], 4× smaller than float32 with a
+    * per-vector error bound of scale/2 per dimension. The per-vector
+    * stats here are the quantization QA gate (scale, total code mass,
+    * summed squared reconstruction error) a pipeline thresholds on
+    * before swapping the compressed table in for [[topK]]'s exact tier.
+    *
+    * Everything is one map-side pass of builtin HOFs (no codes array is
+    * even materialized — each stat folds x and scale directly). Exactness
+    * (SURVEY §5): float→double widening is exact, the code is the HALF-UP
+    * floor of one identical division, the squared error `e·e` is plain
+    * IEEE multiplication (no pow), and each per-dimension error is
+    * quantized ONCE to 1e-12 units then summed as exact BIGINTs. A
+    * zero vector (scale 0) takes the declared all-zero-codes path. */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .withColumn("scale", expr("array_max(transform(emb, x -> abs(x))) / 127.0"))
+      .select(col("vec_id"),
+        size(col("emb")).cast("long").as("n_dims"),
+        expr("cast(floor(scale * 1e9 + 0.5) as bigint)").as("scale_q9"),
+        expr("""CASE WHEN scale > 0 THEN
+                  aggregate(emb, 0L, (a, x) -> a + abs(cast(floor(x / scale + 0.5) as bigint)))
+                ELSE 0L END""").as("sum_abs_code"),
+        expr("""CASE WHEN scale > 0 THEN
+                  aggregate(emb, 0L, (a, x) ->
+                    a + cast(floor((x - floor(x / scale + 0.5) * scale)
+                                 * (x - floor(x / scale + 0.5) * scale) * 1e12 + 0.5) as bigint))
+                ELSE 0L END""").as("sse_q12"))
 }

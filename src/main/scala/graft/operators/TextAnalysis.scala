@@ -324,6 +324,25 @@ object TextAnalysis {
     * Scale shape: cf is one vocabulary-sized partial-agg shuffle off the
     * tokenize pass; the rank is the two-pass range exchange; the moments
     * collapse map-side to ONE row. */
+  /** Adjacent character-pair statistics (`text_bpe_pairs`) — the FIRST
+    * iteration of BPE tokenizer training (count every within-word symbol
+    * pair, merge the most frequent): pairs are built map-side from each
+    * word with builtin `sequence`/`substring` (ASCII corpus — both
+    * engines count substring positions in characters), one
+    * vocabulary-sized partial-agg shuffle counts them, and the top 20 by
+    * (count desc, pair) is a bounded TakeOrdered — never a global sort.
+    * A full BPE trainer iterates this exact query, re-tokenizing against
+    * the grown merge table each round; the per-iteration data shape is
+    * what has to scale, and it is one map + one tiny-key aggregate. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
+      .select(explode(col("tk")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+
   /** URL canonicalization (`text_url_normalize`) — the CommonCrawl-era
     * dedup pre-pass: strip tracking parameters (`utm_*`, `ref`) so that
     * the same page fetched from different campaigns collapses to ONE

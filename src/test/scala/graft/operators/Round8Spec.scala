@@ -289,4 +289,104 @@ class Round8Spec extends SparkSpec {
         s"component $c variance ${vars(c)} != eigenvalue-implied $want")
     }
   }
+
+  test("BloomAgg: no false negatives, sane fpp, distributed merge bit-equals sequential build") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.functions.{col, udaf}
+    val g = Gen.choose(Long.MinValue, Long.MaxValue)
+    val keys = (1 to 600).flatMap(_ => g.sample).distinct
+    import spark.implicits._
+    val df = keys.zipWithIndex.map { case (k, i) => (i % 7, k) }
+      .toDF("grp", "key").repartition(4) // force multi-partition partial merges
+    val agg = udaf(new graft.functions.BloomAgg(256, 0.01))
+    val blooms = df.groupBy("grp").agg(agg(col("key")).as("b")).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]]("b")).toMap
+    def parse(b: Array[Byte]) = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+
+    // no false negatives: every inserted key answers true in its group
+    keys.zipWithIndex.foreach { case (k, i) =>
+      assert(parse(blooms(i % 7)).mightContainLong(k), s"false negative for $k")
+    }
+    // false-positive rate in the declared ballpark on fresh keys
+    val inserted = keys.toSet
+    val fresh = (1 to 3000).flatMap(_ => g.sample).distinct.filterNot(inserted)
+    val b0 = parse(blooms(0))
+    val fp = fresh.count(b0.mightContainLong)
+    assert(fp <= math.max(fresh.size * 0.05, 5.0),
+      s"fpp blew past the declared 1%: $fp of ${fresh.size}")
+
+    // OR-merge is commutative, so the DISTRIBUTED aggregate must be
+    // bit-identical to one sequential driver-side build
+    val seq0 = org.apache.spark.util.sketch.BloomFilter.create(256, 0.01)
+    keys.zipWithIndex.filter(_._2 % 7 == 0).foreach { case (k, _) => seq0.putLong(k) }
+    val out = new java.io.ByteArrayOutputStream()
+    seq0.writeTo(out)
+    assert(java.util.Arrays.equals(out.toByteArray, blooms(0)),
+      "distributed merge must reproduce the sequential filter bit-for-bit")
+  }
+
+  test("bpe pairs equal the brute-force within-word pair recount") {
+    import org.apache.spark.sql.functions.col
+    val got = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val words = graft.Tables(spark, sf).documents.select(col("text")).collect()
+      .flatMap(r => Option(r.getString(0)).toSeq)
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+    val counts = words.filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, v) => (p, v.length.toLong) }
+    val brute = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == brute, s"got=${got.take(5).toSeq} want=${brute.take(5)}")
+  }
+
+  test("temperature mixture shares are normalized and recomputed exactly") {
+    val rows = Pipeline.mixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // shares sum to 1e6 within per-language rounding slack
+    val shareSum = rows.map(_._5).sum
+    assert(math.abs(shareSum - 1000000L) <= rows.length,
+      s"shares must normalize: sum $shareSum over ${rows.length} languages")
+    // the weight is exactly the quantized pow of the token mass
+    rows.foreach { case (lang, _, nTok, wq, _) =>
+      val want = math.floor(StrictMath.pow(nTok.toDouble, 0.3) * 1e6 + 0.5).toLong
+      // Math.pow (Spark) and StrictMath.pow may differ in the last ulp;
+      // the quantization makes a flip a <=1 unit event
+      assert(math.abs(wq - want) <= 1L, s"$lang: w_q $wq != recomputed $want")
+    }
+    // temperature flattens: shares are less spread than raw token shares
+    val tokTotal = rows.map(_._3).sum.toDouble
+    val rawMax = rows.map(_._3.toDouble / tokTotal).max
+    val tmpMax = rows.map(_._5.toDouble / 1e6).max
+    assert(tmpMax < rawMax + 1e-9,
+      s"alpha<1 must not sharpen the mixture: $tmpMax vs raw $rawMax")
+  }
+
+  test("int8 quantization stats respect the code and error bounds, recomputed exactly") {
+    val rows = Similarity.int8Quantize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byId = graft.Tables(spark, sf).embeddings
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, nDims, scaleQ9, sumAbs, sseQ12) =>
+      val e = byId(id)
+      assert(nDims == e.length.toLong)
+      val scale = e.map(math.abs).max / 127.0
+      assert(scaleQ9 == math.floor(scale * 1e9 + 0.5).toLong, s"vec $id scale")
+      if (scale > 0) {
+        val codes = e.map(x => math.floor(x / scale + 0.5).toLong)
+        assert(codes.forall(c => c >= -127L && c <= 127L), s"vec $id code out of int8 range")
+        assert(sumAbs == codes.map(math.abs).sum, s"vec $id sum_abs_code")
+        val sse = e.map { x =>
+          val err = x - math.floor(x / scale + 0.5) * scale
+          math.floor(err * err * 1e12 + 0.5).toLong
+        }.sum
+        assert(sseQ12 == sse, s"vec $id sse")
+        // per-dim error bound: |err| <= scale/2 (+1 quantization unit slack)
+        assert(sseQ12 <= math.ceil(nDims * (scale / 2) * (scale / 2) * 1e12).toLong + nDims,
+          s"vec $id error above the scale/2 bound")
+      } else assert(sumAbs == 0L && sseQ12 == 0L)
+    }
+  }
 }
