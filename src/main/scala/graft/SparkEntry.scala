@@ -1193,7 +1193,7 @@ object SparkEntry {
         |SELECT t1.user_id,
         |       CAST(CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS seq_matched,
         |       CAST(t1.t1 AS BIGINT) AS signup_us
-        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+        |FROM t1 LEFT JOIN t3 USING (user_id)""".stripMargin,
     // the generator replayed from range(); the id param is always first,
     // so tracking params are strictly &-led and one global regex strips
     // them (the declared invariant)

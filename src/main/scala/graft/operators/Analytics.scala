@@ -667,6 +667,18 @@ object Analytics {
     * day arithmetic on Monday-truncated dates (ISO weeks in both engines),
     * and each membership row is unique per (user, week), so the final
     * count needs no second distinct. */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val membership = graft.GraftSession.trackCache(
+      Tables(spark, dir).events
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct())
+    val cohorts = membership.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    membership.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        expr("cast(datediff(wk, cohort_week) div 7 as bigint)").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered-subsequence pattern match (ClickHouse
     * `sequenceMatch('(?1).*(?2).*(?3)')`): does each user's timeline
     * contain signup, THEN a view strictly after it, THEN a purchase
@@ -696,21 +708,11 @@ object Analytics {
     val t3 = e.filter(col("event_type") === "purchase")
       .join(t2, Seq("user_id")).filter(col("tus") > col("t2"))
       .groupBy("user_id").agg(min("tus").as("t3"))
-    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+    // t3 already encodes the whole chain (a user reaches t3 only through
+    // t2), so the output joins t1 -> t3 directly
+    t1.join(t3, Seq("user_id"), "left")
       .select(col("user_id"),
         when(col("t3").isNotNull, 1L).otherwise(0L).as("seq_matched"),
         col("t1").as("signup_us"))
-  }
-
-  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val membership = graft.GraftSession.trackCache(
-      Tables(spark, dir).events
-        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
-        .distinct())
-    val cohorts = membership.groupBy("user_id").agg(min("wk").as("cohort_week"))
-    membership.join(cohorts, Seq("user_id"))
-      .groupBy(col("cohort_week"),
-        expr("cast(datediff(wk, cohort_week) div 7 as bigint)").as("week_offset"))
-      .agg(count(lit(1)).as("n_users"))
   }
 }

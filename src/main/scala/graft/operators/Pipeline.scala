@@ -81,11 +81,13 @@ object Pipeline {
     val langs = graft.GraftSession.trackCache(
       TextAnalysis.langId(spark, dir).select("doc_id", "pred_lang"))
     val toks = TextAnalysis.quality(spark, dir).select("doc_id", "n_tokens")
-    val w = langs.join(toks, Seq("doc_id"))
+    // cached: w feeds BOTH sides of the share cross join — without the
+    // boundary the tokenize+join lineage runs twice per invocation
+    val w = graft.GraftSession.trackCache(langs.join(toks, Seq("doc_id"))
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .withColumn("w_q",
-        expr("cast(floor(pow(cast(n_tokens as double), 0.3) * 1e6 + 0.5) as bigint)"))
+        expr("cast(floor(pow(cast(n_tokens as double), 0.3) * 1e6 + 0.5) as bigint)")))
     w.crossJoin(broadcast(w.agg(sum("w_q").as("tw"))))
       .select(col("pred_lang"), col("n_docs"), col("n_tokens"), col("w_q"),
         expr("cast(floor(cast(w_q as double) / cast(tw as double) * 1e6 + 0.5) as bigint)")

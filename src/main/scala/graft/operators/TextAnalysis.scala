@@ -324,6 +324,31 @@ object TextAnalysis {
     * Scale shape: cf is one vocabulary-sized partial-agg shuffle off the
     * tokenize pass; the rank is the two-pass range exchange; the moments
     * collapse map-side to ONE row. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cf = withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
+      .select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val ranked = GlobalRank.rowNumbered(cf, "rank", col("cf").desc, col("term"))
+    val q = ranked.select(
+      expr("cast(floor(ln(cast(rank as double)) * 10000 + 0.5) as bigint)").as("qx"),
+      expr("cast(floor(ln(cast(cf as double)) * 10000 + 0.5) as bigint)").as("qy"))
+    val m = q.agg(count(lit(1)).as("n"),
+      sum("qx").as("sx"), sum("qy").as("sy"),
+      sum(col("qx").cast("decimal(38,0)") * col("qx")).as("sxx"),
+      sum(col("qx").cast("decimal(38,0)") * col("qy")).as("sxy"))
+    val cxy = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val slope = cxy / vx // quantization units cancel: nats per nat
+    m.select(col("n").as("n_terms"),
+      // HALF_UP floor instead of round(): identical on both engines
+      (floor(slope * 1e4 + lit(0.5)) / 1e4).as("zipf_slope"),
+      // (sy - slope*sx)/n is already in 1e-4-nat units, so HALF_UP-flooring
+      // it to an integer IS rounding the nat value to 4 decimals
+      (floor((d(col("sy")) - slope * d(col("sx"))) / d(col("n")) + lit(0.5)) / 1e4)
+        .as("intercept_ln_cf"))
+  }
+
   /** Adjacent character-pair statistics (`text_bpe_pairs`) — the FIRST
     * iteration of BPE tokenizer training (count every within-word symbol
     * pair, merge the most frequent): pairs are built map-side from each
@@ -380,30 +405,5 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct("norm").as("n_unique_clean"),
         sum(when(col("norm") =!= col("url"), 1L).otherwise(0L)).as("n_tracked"))
-  }
-
-  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
-    val d = (c: Column) => c.cast("double")
-    val cf = withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
-      .select(explode(col("tk")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cf"))
-    val ranked = GlobalRank.rowNumbered(cf, "rank", col("cf").desc, col("term"))
-    val q = ranked.select(
-      expr("cast(floor(ln(cast(rank as double)) * 10000 + 0.5) as bigint)").as("qx"),
-      expr("cast(floor(ln(cast(cf as double)) * 10000 + 0.5) as bigint)").as("qy"))
-    val m = q.agg(count(lit(1)).as("n"),
-      sum("qx").as("sx"), sum("qy").as("sy"),
-      sum(col("qx").cast("decimal(38,0)") * col("qx")).as("sxx"),
-      sum(col("qx").cast("decimal(38,0)") * col("qy")).as("sxy"))
-    val cxy = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
-    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
-    val slope = cxy / vx // quantization units cancel: nats per nat
-    m.select(col("n").as("n_terms"),
-      // HALF_UP floor instead of round(): identical on both engines
-      (floor(slope * 1e4 + lit(0.5)) / 1e4).as("zipf_slope"),
-      // (sy - slope*sx)/n is already in 1e-4-nat units, so HALF_UP-flooring
-      // it to an integer IS rounding the nat value to 4 decimals
-      (floor((d(col("sy")) - slope * d(col("sx"))) / d(col("n")) + lit(0.5)) / 1e4)
-        .as("intercept_ln_cf"))
   }
 }
