@@ -95,7 +95,9 @@ object Bench {
     // temperature mixture: two doc passes + a 5-key rollup
     "pipeline_mix_temperature",
     // int8 quantization: one map-side HOF pass over every vector
-    "emb_int8_quantize")
+    "emb_int8_quantize",
+    // LOCF fill: the dense-calendar stitch + one keyed window
+    "q_interpolate_fill")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -195,6 +195,8 @@ object SparkEntry {
     "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "pipeline_mix_temperature" -> (Pipeline.mixTemperature _),
     "emb_int8_quantize" -> ((s, d) => Similarity.int8Quantize(s, d)),
+    // LOCF carry-forward interpolation next to q_fill_gaps' zeros
+    "q_interpolate_fill" -> (Analytics.interpolateFill _),
   )
 
   private val tokCte =
@@ -1259,6 +1261,27 @@ object SparkEntry {
          |SELECT pred_lang, n_docs, n_tokens, w_q,
          |       CAST(floor(CAST(w_q AS DOUBLE) / CAST(tw AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS share_q6
          |FROM w, tot""".stripMargin,
+    // the same dense calendar as q_fill_gaps, with missing days carrying
+    // the last OBSERVED total forward under the identical keyed window
+    "q_interpolate_fill" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |           FROM events GROUP BY 1, 2),
+        |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |cal AS (SELECT t.event_type,
+        |               CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN span s),
+        |g AS (SELECT c.event_type, c.day,
+        |        CAST(CASE WHEN d.n_events IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+        |        d.sum_cents
+        |      FROM cal c LEFT JOIN d ON d.event_type = c.event_type AND d.day = c.day)
+        |SELECT event_type, day, observed,
+        |       CAST(coalesce(last_value(sum_cents IGNORE NULLS)
+        |         OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+        |         AS filled_cents
+        |FROM g""".stripMargin,
     // float->double widening is exact; code and error fold x and scale
     // through the identical IEEE chain; per-dim error quantized once to
     // 1e-12 units then exact BIGINT sums

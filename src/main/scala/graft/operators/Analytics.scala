@@ -456,6 +456,31 @@ object Analytics {
         coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
   }
 
+  /** Carry-forward gap interpolation (ClickHouse `WITH FILL ...
+    * INTERPOLATE`, the feature-store LOCF staple — a gauge keeps its
+    * last observed value until the next observation, where
+    * [[fillGaps]]'s zeros are the right semantics only for additive
+    * counters): the same dense type × day calendar, with missing days
+    * taking the LAST observed daily total (0 before the first
+    * observation, by declared convention).
+    *
+    * The fill is `last(..., ignoreNulls)` under a KEYED window — one
+    * event_type shuffle, per-type ordered scan of |days| rows (SURVEY
+    * §4's rule: keyed windows scale like aggregations; a timeline per
+    * key is exactly what they're for). `observed` rides along so a
+    * consumer can tell measurement from interpolation — the column every
+    * LOCF bug hunt wishes existed. Exact integer cents end-to-end. */
+  def interpolateFill(spark: SparkSession, dir: String): DataFrame = {
+    val filled = fillGaps(spark, dir)
+      .withColumn("observed", when(col("n_events") > 0, 1L).otherwise(0L))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.select(col("event_type"), col("day"), col("observed"),
+      coalesce(
+        last(when(col("observed") === 1L, col("sum_cents")), ignoreNulls = true).over(w),
+        lit(0L)).as("filled_cents"))
+  }
+
   /** ANSI `percent_rank` over every customer's lifetime spend — the
     * continuous sibling of [[spendQuartiles]]'s ntile, completing the
     * global-rank family (row_number / ntile / prefix-sum / percent_rank)
