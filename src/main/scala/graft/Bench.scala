@@ -97,7 +97,11 @@ object Bench {
     // int8 quantization: one map-side HOF pass over every vector
     "emb_int8_quantize",
     // LOCF fill: the dense-calendar stitch + one keyed window
-    "q_interpolate_fill")
+    "q_interpolate_fill",
+    // weighted median: vocabulary collapse + keyed cumulative window
+    "q_quantile_exact_weighted",
+    // late-data semantics: staging writes + 3 micro-batches + state
+    "streaming_late_data")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -197,6 +197,10 @@ object SparkEntry {
     "emb_int8_quantize" -> ((s, d) => Similarity.int8Quantize(s, d)),
     // LOCF carry-forward interpolation next to q_fill_gaps' zeros
     "q_interpolate_fill" -> (Analytics.interpolateFill _),
+    // exact weighted median over the collapsed value vocabulary, and the
+    // watermark's late-drop semantics as a checked stream
+    "q_quantile_exact_weighted" -> (Analytics.quantileExactWeighted _),
+    "streaming_late_data" -> (RefPipeline.streamingLateData _),
   )
 
   private val tokCte =
@@ -1261,6 +1265,32 @@ object SparkEntry {
          |SELECT pred_lang, n_docs, n_tokens, w_q,
          |       CAST(floor(CAST(w_q AS DOUBLE) / CAST(tw AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS share_q6
          |FROM w, tot""".stripMargin,
+    // the same collapse + cumulative-weight chain; lower weighted median
+    // by the declared 2*cum >= total rule — all BIGINT, no division
+    "q_quantile_exact_weighted" ->
+      """WITH g AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, w,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM g),
+        |t AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_weight FROM g GROUP BY 1)
+        |SELECT c.l_returnflag, t.total_weight,
+        |       CAST(min(c.cents) AS BIGINT) AS wmedian_cents
+        |FROM c JOIN t USING (l_returnflag)
+        |WHERE 2 * c.cum >= t.total_weight
+        |GROUP BY 1, 2""".stripMargin,
+    // the watermark drop rule replayed in batch: the late slice
+    // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
+    // exactly what the stream's result is missing
+    "streaming_late_data" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id % 50 <> 0
+        |GROUP BY 1, 2""".stripMargin,
     // the same dense calendar as q_fill_gaps, with missing days carrying
     // the last OBSERVED total forward under the identical keyed window
     "q_interpolate_fill" ->

@@ -704,6 +704,38 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Exact weighted median (ClickHouse `quantileExactWeighted(0.5)`):
+    * the median item price with each price weighted by its quantity —
+    * the exact-percentile sibling [[quantiles]]'s unweighted
+    * interpolation and [[approxQuantiles]]'s sketch can't answer.
+    *
+    * Scale shape: the stream first COLLAPSES to (group, distinct value,
+    * total weight) — a partial-aggregated shuffle bounded by the value
+    * vocabulary, not the row count; the cumulative weight then runs
+    * under a KEYED window over that collapsed frame (per-group ordered
+    * scan of its own distinct values); the median is the min value whose
+    * doubled cumulative weight reaches the group total — pure BIGINT
+    * comparisons, no division, no quantization, bit-identical anywhere
+    * (the lower weighted median, the declared convention). */
+  def quantileExactWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.GraftSession.trackCache(
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+          expr("cast(round(l_quantity) as bigint)").as("qty"))
+        .groupBy("l_returnflag", "cents")
+        .agg(sum("qty").as("w")))
+    val tot = g.groupBy("l_returnflag").agg(sum("w").as("total_weight"))
+    val w = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum", sum("w").over(w))
+      .join(tot, Seq("l_returnflag"))
+      .filter(col("cum") * 2 >= col("total_weight"))
+      .groupBy("l_returnflag", "total_weight")
+      .agg(min("cents").as("wmedian_cents"))
+      .select("l_returnflag", "total_weight", "wmedian_cents")
+  }
+
   /** Ordered-subsequence pattern match (ClickHouse
     * `sequenceMatch('(?1).*(?2).*(?3)')`): does each user's timeline
     * contain signup, THEN a view strictly after it, THEN a purchase

@@ -471,6 +471,107 @@ object RefPipeline {
     spark.table(sink)
   }
 
+  /** Watermark late-data semantics as a CHECKED key
+    * (`streaming_late_data`) — the OTHER half of the exactly-once story:
+    * [[streamingPointsByType]] proves a stream that sees everything
+    * equals the batch query; this key proves a stream that sees data TOO
+    * LATE deterministically DROPS it. The reference engine hits the same
+    * problem with its future-timestamp cutover; Structured Streaming's
+    * answer is the watermark, and this key makes that answer part of the
+    * checked surface instead of prose.
+    *
+    * Staging (the [[streamingSessionWindow]] mtime pattern,
+    * `maxFilesPerTrigger=1`): batch 1 = the ON-TIME corpus (every event
+    * with `event_id % 50 != 0`), batches 2–3 = TWO far-future sentinel
+    * batches that advance the watermark to ~2030, batch 4 = the LATE
+    * slice (`event_id % 50 == 0`). Spark's drop rule is WINDOW-level:
+    * a late row is discarded iff the watermark has passed its window's
+    * END (rows for a still-open window are admitted however old) — and
+    * the watermark a batch OBSERVES lags the data that produced it by a
+    * batch. One sentinel batch is therefore not enough: the late batch
+    * would still see the corpus-derived watermark, under which the
+    * corpus's LAST day is still open, and exactly that day's late rows
+    * would leak in (measured — 6 rows at sf0.01 before the second
+    * sentinel existed). With two sentinel batches the late batch
+    * provably observes the 2030 watermark, every 2024 window is closed,
+    * and the whole slice drops. The oracle REPLAYS the rule in batch
+    * (`WHERE event_id % 50 <> 0`); equality proves lateness is
+    * deterministic, not racy.
+    *
+    * Scale shape: one watermarked windowed aggregation — state bounded
+    * by open windows (days × types), partitions sized to state volume;
+    * the drop itself is a map-side filter against the watermark, free at
+    * any scale. The sentinel's own still-open window never emits in
+    * append mode; the guard filter is defensive only. */
+  def streamingLateData(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sink = "graft_streaming_late"
+    spark.catalog.dropTempView(sink)
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    registerTempCleanup(stage)
+    val raw0 = spark.read.schema(schema).parquet(s"$dir/events.parquet")
+    val now = System.currentTimeMillis()
+    def writeSlice(df: org.apache.spark.sql.DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
+      val build = stage.resolve(s"build_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(build.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(build)
+        try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      }
+      val dest = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(now + mtimeOffsetMs))
+    }
+    writeSlice(raw0.filter(col("event_id") % 50 =!= 0), "a_ontime", 0L)
+    def sentinel(tsNanos: Long) = spark.range(1).select(schema.fields.toIndexedSeq.map { f =>
+      (f.name, f.dataType) match {
+        case ("ts", org.apache.spark.sql.types.LongType) =>
+          lit(tsNanos).as("ts")
+        case ("ts", _) =>
+          lit(new java.sql.Timestamp(tsNanos / 1000000L)).as("ts")
+        case ("user_id", org.apache.spark.sql.types.LongType) =>
+          lit(Long.MinValue).as("user_id")
+        case ("value", org.apache.spark.sql.types.DoubleType) => lit(0.0d).as("value")
+        case (n, dt) => lit(null).cast(dt).as(n)
+      }
+    }: _*)
+    writeSlice(sentinel(1893456000000000000L), "b_flush1", 60000L) // 2030-01-01
+    writeSlice(sentinel(1893459600000000000L), "c_flush2", 90000L) // +1 h
+    writeSlice(raw0.filter(col("event_id") % 50 === 0), "d_late", 120000L)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", stage.toString)
+      .parquet(s"$stage/*.[p]arquet")
+    val typed = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val agg = typed
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+      .select(to_date(col("window.start")).as("day"), col("event_type"),
+        col("n_events"), col("sum_cents"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // defensive: the sentinel's window stays open and never emits, but a
+    // changed flush policy must not silently add a 2030 row
+    spark.table(sink).filter(col("day") < lit("2029-01-01").cast("date"))
+  }
+
   /** Streaming CDC upsert compaction as a CHECKED key
     * (`streaming_replacing_merge`) — the reference's core production
     * pattern, Kafka → ReplacingMergeTree, end to end: a version stream

@@ -239,6 +239,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("weighted median equals the brute-force expand-and-pick recount") {
+    val got = Analytics.quantileExactWeighted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // ground truth: literally expand each price by its weight and take
+    // the lower median element of the sorted multiset
+    val rows = graft.Tables(spark, sf).lineitem
+      .selectExpr("l_returnflag",
+        "cast(round(l_extendedprice * 100) as bigint) as cents",
+        "cast(round(l_quantity) as bigint) as qty").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = rows.groupBy(_._1).map { case (f, rs) =>
+      val expanded = rs.toSeq.flatMap { case (_, c, q) => Seq.fill(q.toInt)(c) }.sorted
+      val total = expanded.length.toLong
+      // lower weighted median: min value whose cumulative count doubles
+      // past the total == element at ceil(total/2) of the expanded sort
+      (f, total, expanded(((total + 1) / 2 - 1).toInt))
+    }.toSet
+    assert(got == brute, s"extra=${got.diff(brute)} missing=${brute.diff(got)}")
+  }
+
   test("sequence match equals the brute-force ordered-subsequence scan") {
     val got = Analytics.sequenceMatch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

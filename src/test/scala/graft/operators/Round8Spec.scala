@@ -326,6 +326,28 @@ class Round8Spec extends SparkSpec {
       "distributed merge must reproduce the sequential filter bit-for-bit")
   }
 
+  test("streaming late data drops exactly the behind-watermark slice") {
+    import org.apache.spark.sql.functions.{col, expr, to_date}
+    val got = RefPipeline.streamingLateData(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // the batch replay of the drop rule: on-time rows only
+    val expected = graft.Tables(spark, sf).events
+      .filter(col("event_id") % 50 =!= 0)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          expr("cast(round(value * 100) as bigint)")).as("s"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"extra=${got.diff(expected).take(3)} missing=${expected.diff(got).take(3)}")
+    // and the drop was REAL: the late slice is non-empty, so equality
+    // with the filtered batch means rows were actually discarded
+    val lateRows = graft.Tables(spark, sf).events
+      .filter(col("event_id") % 50 === 0).count()
+    assert(lateRows > 0, "the staged late slice must be non-empty for the test to mean anything")
+  }
+
   test("bpe pairs equal the brute-force within-word pair recount") {
     import org.apache.spark.sql.functions.col
     val got = TextAnalysis.bpePairs(spark, sf).collect()
