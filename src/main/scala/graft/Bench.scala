@@ -101,7 +101,15 @@ object Bench {
     // weighted median: vocabulary collapse + keyed cumulative window
     "q_quantile_exact_weighted",
     // late-data semantics: staging writes + 3 micro-batches + state
-    "streaming_late_data")
+    "streaming_late_data",
+    // segment-then-stitch positive-delta accumulation
+    "q_deltasum",
+    // three quartiles off one shared bucket-then-refine pass
+    "q_quantiles_weighted",
+    // Spearman over collapsed rank codes (two value equi-joins)
+    "q_rank_corr",
+    // projection build (two partial-agg passes + writes) + routed read
+    "wh_projection")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -190,6 +190,8 @@ object SparkEntry {
     // LowCardinality dictionary encoding and the bloom_filter skip index
     "wh_dictionary_encode" -> (Warehouse.dictionaryEncode _),
     "wh_bloom_skip_index" -> (Warehouse.bloomSkipIndex _),
+    // stored pre-aggregates with the read path routing to the smallest
+    "wh_projection" -> (Warehouse.projectionRouted _),
     // BPE pair counting, temperature-scaled language mixture, int8
     // embedding quantization — the tokenizer/sampling/storage pre-passes
     "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
@@ -201,6 +203,12 @@ object SparkEntry {
     // watermark's late-drop semantics as a checked stream
     "q_quantile_exact_weighted" -> (Analytics.quantileExactWeighted _),
     "streaming_late_data" -> (RefPipeline.streamingLateData _),
+    // counter-reset-tolerant positive-delta accumulation per type
+    "q_deltasum" -> (Analytics.deltaSum _),
+    // the three quartiles sharing one bucket-then-refine pass
+    "q_quantiles_weighted" -> (Analytics.quantilesExactWeighted _),
+    // Spearman over collapsed average-rank codes, never a global sort
+    "q_rank_corr" -> (Analytics.rankCorr _),
   )
 
   private val tokCte =
@@ -1231,6 +1239,16 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type,
         |       CAST(round(value * 100) AS BIGINT) AS v_cents
         |FROM events, p WHERE event_id = p.e""".stripMargin,
+    // the projection merge must equal the raw aggregate bit-for-bit:
+    // integer cents are summed per row before any aggregation, so
+    // partial-then-merge and one-shot grouping are the same algebra
+    "wh_projection" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // ASCII corpus: both engines count substring positions in characters;
     // the (n desc, pair) order is total so LIMIT 20 picks the same rows
     "text_bpe_pairs" ->
@@ -1282,6 +1300,60 @@ object SparkEntry {
         |FROM c JOIN t USING (l_returnflag)
         |WHERE 2 * c.cum >= t.total_weight
         |GROUP BY 1, 2""".stripMargin,
+    // one flat lag window in the oracle vs the segmented stitch in
+    // Spark — same (epoch micros, event_id) total order, same null-head
+    // and positive-delta rules, so the sums must agree exactly
+    "q_deltasum" ->
+      """WITH s AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents,
+        |             lag(CAST(round(value * 100) AS BIGINT))
+        |               OVER (PARTITION BY event_type
+        |                     ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events)
+        |SELECT event_type,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL AND cents > prev
+        |                     THEN cents - prev ELSE 0 END) AS BIGINT)
+        |         AS delta_sum_cents,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1""".stripMargin,
+    // the same collapse/cumulate chain as the median key, crossed with
+    // the three quartile numerators; lower-quantile rule 4*cum >= k*total
+    "q_quantiles_weighted" ->
+      """WITH g AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, w,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM g),
+        |t AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_weight FROM g GROUP BY 1)
+        |SELECT c.l_returnflag, CAST(l.k AS BIGINT) AS level_q, t.total_weight,
+        |       CAST(min(c.cents) AS BIGINT) AS q_cents
+        |FROM c JOIN t USING (l_returnflag)
+        |     CROSS JOIN (VALUES (1), (2), (3)) AS l(k)
+        |WHERE 4 * c.cum >= l.k * t.total_weight
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // average rank via min-rank + tie count (2r + cnt - 1 == the doubled
+    // average rank the Spark side derives from cnt_less); Pearson over
+    // the codes with the q_corr round-to-1e-4 contract
+    "q_rank_corr" ->
+      """WITH r AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |a AS (SELECT 2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS ax,
+        |             2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ay
+        |      FROM r),
+        |m AS (SELECT count(*) AS n, sum(ax) AS sx, sum(ay) AS sy,
+        |             sum(ax * ax) AS sxx, sum(ay * ay) AS syy,
+        |             sum(ax * ay) AS sxy
+        |      FROM a)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    AS rank_corr
+        |FROM m""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
     // exactly what the stream's result is missing

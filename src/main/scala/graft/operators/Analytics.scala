@@ -759,6 +759,110 @@ object Analytics {
       .select("l_returnflag", "total_weight", "wmedian_cents")
   }
 
+  /** Multi-level exact weighted quantiles (ClickHouse
+    * `quantilesExactWeighted(0.25, 0.5, 0.75)`): the three quartiles of
+    * the weighted price multiset in ONE pass over the corpus — the
+    * collapse, bucket histogram, and total-weight frames from
+    * [[quantileExactWeighted]]'s bucket-then-refine shape are computed
+    * once and SHARED across levels; only the pivot selection and the
+    * in-bucket refine carry the level as one more key column (a tiny
+    * broadcast of groups x levels rows, a 3x row amplification on the
+    * in-bucket slice only, and one window partitioned by (group, level)
+    * over bucket-bounded frames). Level k/4's value is the min v with
+    * `4*cum >= k*total` — the lower-quantile rule, pure BIGINT, the
+    * k=2 row bit-identical to the median key. */
+  def quantilesExactWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.GraftSession.trackCache(
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+          expr("cast(round(l_quantity) as bigint)").as("qty"))
+        .groupBy("l_returnflag", "cents")
+        .agg(sum("qty").as("w")))
+    val tot = g.groupBy("l_returnflag").agg(sum("w").as("total_weight"))
+    val wb = Window.partitionBy("l_returnflag").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumB = graft.GraftSession.trackCache(
+      g.withColumn("b", expr("cents div 4096"))
+        .groupBy("l_returnflag", "b").agg(sum("w").as("bw"))
+        .withColumn("cumb", sum("bw").over(wb)).join(tot, Seq("l_returnflag")))
+    val levels = spark.range(1, 4).select(col("id").as("k"))
+    val pivot = cumB.crossJoin(levels)
+      .filter(col("cumb") * 4 >= col("k") * col("total_weight"))
+      .groupBy("l_returnflag", "k", "total_weight").agg(min("b").as("pb"))
+    val before = cumB.select("l_returnflag", "b", "cumb")
+      .join(pivot.select("l_returnflag", "k", "pb"), Seq("l_returnflag"))
+      .filter(col("b") < col("pb"))
+      .groupBy("l_returnflag", "k").agg(max("cumb").as("w_before"))
+    val wv = Window.partitionBy("l_returnflag", "k").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(pivot, Seq("l_returnflag"))
+      .filter(expr("cents div 4096") === col("pb"))
+      .withColumn("cum_in", sum("w").over(wv))
+      .join(before, Seq("l_returnflag", "k"), "left")
+      .filter((coalesce(col("w_before"), lit(0L)) + col("cum_in")) * 4 >=
+        col("k") * col("total_weight"))
+      .groupBy("l_returnflag", "k", "total_weight")
+      .agg(min("cents").as("q_cents"))
+      .select(col("l_returnflag"), col("k").as("level_q"),
+        col("total_weight"), col("q_cents"))
+  }
+
+  /** Spearman rank correlation (ClickHouse `rankCorr(x, y)`) between
+    * quantity and price, with AVERAGE ranks for ties — the nonparametric
+    * sibling of [[corrStats]]'s Pearson.
+    *
+    * Scale shape: per-row ranks never need a global sort — a value's
+    * average rank depends only on the VALUE: `avg_rank(v) = cnt_less(v)
+    * + (cnt(v)+1)/2`, carried as the integer `2*avg_rank = 2*cnt_less +
+    * cnt + 1`. For x the vocabulary is genuinely small (integral
+    * quantities), one tiny cumulative frame. For y (cents, near-unique)
+    * `cnt_less` runs as a TWO-LEVEL prefix: an exclusive cumulative over
+    * the 4096-cent bucket totals (a domain/4096-sized frame), plus an
+    * exclusive in-bucket cumulative PARTITIONED BY bucket — parallel
+    * across buckets, per-task work bounded by bucket occupancy, no
+    * single task ever sorting the whole domain. Rows then pick up their
+    * rank codes via two value equi-joins (the x side is
+    * vocabulary-sized; AQE broadcasts it from runtime stats) and the
+    * correlation is Pearson over the codes: exact BIGINT moments (the
+    * doubled codes are <= 2n+1, so every moment fits a BIGINT while
+    * n <~ 1.3e6 per the n*(2n)^2 bound — beyond that widen the moments
+    * to DECIMAL), combined in DOUBLE and rounded once to 1e-4,
+    * [[corrStats]]'s exact cross-engine float contract. */
+  def rankCorr(spark: SparkSession, dir: String): DataFrame = {
+    val rows = graft.GraftSession.trackCache(
+      Tables(spark, dir).lineitem.select(
+        expr("cast(round(l_quantity) as bigint)").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y")))
+    val unb = Window.unboundedPreceding
+    val vx = rows.groupBy("x").agg(count(lit(1)).as("cnt"))
+      .withColumn("less",
+        coalesce(sum("cnt").over(Window.orderBy("x").rowsBetween(unb, -1)), lit(0L)))
+      .select(col("x"), (col("less") * 2 + col("cnt") + 1).as("ax"))
+    val vy = rows.groupBy("y").agg(count(lit(1)).as("cnt"))
+      .withColumn("b", expr("y div 4096"))
+    val bless = vy.groupBy("b").agg(sum("cnt").as("bcnt"))
+      .withColumn("bless",
+        coalesce(sum("bcnt").over(Window.orderBy("b").rowsBetween(unb, -1)), lit(0L)))
+      .select("b", "bless")
+    val ay = vy.join(bless, Seq("b"))
+      .withColumn("inless",
+        coalesce(sum("cnt").over(
+          Window.partitionBy("b").orderBy("y").rowsBetween(unb, -1)), lit(0L)))
+      .select(col("y"), ((col("bless") + col("inless")) * 2 + col("cnt") + 1).as("ay"))
+    val m = rows.join(vx, Seq("x")).join(ay, Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("ax").as("sx"), sum("ay").as("sy"),
+        sum(col("ax") * col("ax")).as("sxx"),
+        sum(col("ay") * col("ay")).as("syy"),
+        sum(col("ax") * col("ay")).as("sxy"))
+    val d = (c: String) => col(c).cast("double")
+    m.select(col("n"),
+      round((d("n") * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+          sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 4).as("rank_corr"))
+  }
+
   /** Ordered-subsequence pattern match (ClickHouse
     * `sequenceMatch('(?1).*(?2).*(?3)')`): does each user's timeline
     * contain signup, THEN a view strictly after it, THEN a purchase
@@ -794,5 +898,50 @@ object Analytics {
       .select(col("user_id"),
         when(col("t3").isNotNull, 1L).otherwise(0L).as("seq_matched"),
         col("t1").as("signup_us"))
+  }
+
+  /** Positive-delta accumulation (ClickHouse `deltaSum(value)`): per
+    * event type, the sum of INCREASES between consecutive readings in
+    * time order — the counter-reset-tolerant rate primitive (a
+    * monotonically increasing gauge that occasionally resets contributes
+    * only its upward movement).
+    *
+    * Scale shape — SEGMENT THEN STITCH: a per-type window over the whole
+    * timeline is one task sorting a type's entire history. Instead the
+    * timeline splits at day boundaries: (1) the consecutive-delta window
+    * runs PARTITIONED BY (type, day) — task size is one day of one type,
+    * bounded by time granularity, embarrassingly parallel across days;
+    * (2) each (type, day) also yields its first/last reading (`min_by`/
+    * `max_by` under the same total order — part of the SAME aggregate,
+    * no extra pass); (3) the day-boundary deltas (last of the previous
+    * PRESENT day -> first of this day) stitch under a window over the
+    * per-day frame — days x types rows, never row-scaled. The declared
+    * total order is (epoch micros, event_id) — ties in the truncated
+    * timestamp are broken identically in both engines. Values are exact
+    * integer cents; a null predecessor (segment head) contributes 0. */
+  def deltaSum(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.GraftSession.trackCache(
+      Tables(spark, dir).events.select(
+        col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        to_date(col("ts")).as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents")))
+    val wd = Window.partitionBy("event_type", "day").orderBy("tus", "event_id")
+    val inDay = e.withColumn("prev", lag("cents", 1).over(wd))
+      .groupBy("event_type", "day")
+      .agg(
+        sum(when(col("cents") > col("prev"), col("cents") - col("prev"))
+          .otherwise(0L)).as("in_day"),
+        count(lit(1)).as("n"),
+        min_by(col("cents"), struct(col("tus"), col("event_id"))).as("first_v"),
+        max_by(col("cents"), struct(col("tus"), col("event_id"))).as("last_v"))
+    val wb = Window.partitionBy("event_type").orderBy("day")
+    inDay.withColumn("prev_last", lag("last_v", 1).over(wb))
+      .groupBy("event_type")
+      .agg((sum("in_day") +
+        sum(when(col("first_v") > col("prev_last"),
+          col("first_v") - col("prev_last")).otherwise(0L))).as("delta_sum_cents"),
+        sum("n").as("n_events"))
+      .select("event_type", "delta_sum_cents", "n_events")
   }
 }

@@ -239,6 +239,67 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("deltaSum equals the brute-force sequential positive-delta recount") {
+    val got = Analytics.deltaSum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = graft.Tables(spark, sf).events
+      .selectExpr("event_type", "unix_micros(ts) as tus", "event_id",
+        "cast(round(value * 100) as bigint) as cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = rows.groupBy(_._1).map { case (t, rs) =>
+      val ordered = rs.toSeq.sortBy(r => (r._2, r._3)).map(_._4)
+      val ds = ordered.zip(ordered.drop(1))
+        .map { case (a, b) => math.max(0L, b - a) }.sum
+      (t, ds, ordered.length.toLong)
+    }.toSet
+    assert(got == brute, s"extra=${got.diff(brute)} missing=${brute.diff(got)}")
+  }
+
+  test("weighted quartiles equal the brute force and embed the median key") {
+    val got = Analytics.quantilesExactWeighted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rows = graft.Tables(spark, sf).lineitem
+      .selectExpr("l_returnflag",
+        "cast(round(l_extendedprice * 100) as bigint) as cents",
+        "cast(round(l_quantity) as bigint) as qty").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = rows.groupBy(_._1).flatMap { case (f, rs) =>
+      val expanded = rs.toSeq.flatMap { case (_, c, q) => Seq.fill(q.toInt)(c) }.sorted
+      val total = expanded.length.toLong
+      // lower quantile at k/4 == element at ceil(k*total/4) of the sort
+      (1L to 3L).map(k => (f, k, total, expanded(((k * total + 3) / 4 - 1).toInt)))
+    }.toSet
+    assert(got == brute, s"extra=${got.diff(brute)} missing=${brute.diff(got)}")
+    // the level-2 slice IS the median key's contract
+    val median = Analytics.quantileExactWeighted(spark, sf).collect()
+      .map(r => (r.getString(0), 2L, r.getLong(1), r.getLong(2))).toSet
+    assert(got.filter(_._2 == 2L) == median)
+  }
+
+  test("rank correlation equals the brute-force average-rank Spearman") {
+    val got = Analytics.rankCorr(spark, sf).collect().head
+    val rows = graft.Tables(spark, sf).lineitem
+      .selectExpr("cast(round(l_quantity) as bigint) as x",
+        "cast(round(l_extendedprice * 100) as bigint) as y").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, ps) => v -> (ps.map(_._2 + 1.0).sum / ps.size) }
+    }
+    val rx = avgRanks(rows.map(_._1).toSeq)
+    val ry = avgRanks(rows.map(_._2).toSeq)
+    val pairs = rows.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length.toDouble
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val num = pairs.map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum) *
+      math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(math.abs(got.getDouble(1) - num / den) < 5e-4,
+      s"got ${got.getDouble(1)} brute ${num / den}")
+  }
+
   test("weighted median equals the brute-force expand-and-pick recount") {
     val got = Analytics.quantileExactWeighted(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -285,6 +285,34 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected, "skipping must never change the answer")
   }
 
+  test("projection router picks the smallest covering store and refuses uncovered dims") {
+    val projs = Warehouse.buildProjections(spark, sf)
+    // (year) is covered by both stores; the 2-dim one is more aggregated
+    val byYear = Warehouse.projectionAnswer(spark, projs, Seq("l_year"))
+    assert(byYear.count() > 0)
+    assert(Warehouse.lastProjection == "p_ym")
+    // (year, flag) forces the wider store — p_ym has no flag column
+    val byFlag = Warehouse.projectionAnswer(spark, projs, Seq("l_year", "l_returnflag"))
+    assert(Warehouse.lastProjection == "p_ymf")
+    // routed answers equal aggregating the raw facts
+    val raw = graft.Tables(spark, sf).lineitem.select(
+      org.apache.spark.sql.functions.year(col("l_shipdate")).cast("long").as("l_year"),
+      col("l_returnflag"),
+      expr("cast(round(l_quantity) as bigint)").as("qty"),
+      expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)").as("cents"))
+    val rawByFlag = raw.groupBy("l_year", "l_returnflag")
+      .agg(sum("qty").as("sum_qty"), sum("cents").as("revenue_cents"),
+        count(org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val gotByFlag = byFlag.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(gotByFlag == rawByFlag)
+    // a grouping set no projection covers fails loudly, never a full scan
+    intercept[IllegalArgumentException] {
+      Warehouse.projectionAnswer(spark, projs, Seq("l_suppkey"))
+    }
+  }
+
   test("TTL expiry physically drops expired partitions and keeps the horizon rows") {
     val q = Warehouse.ttlExpire(spark, sf)
     val got = q.collect()
