@@ -109,7 +109,11 @@ object Bench {
     // Spearman over collapsed rank codes (two value equi-joins)
     "q_rank_corr",
     // projection build (two partial-agg passes + writes) + routed read
-    "wh_projection")
+    "wh_projection",
+    // stratified hash holdout: langId pass + per-row bucket compare
+    "pipeline_split",
+    // fractional repetition: langId pass + map-side sequence explode
+    "pipeline_repeat_upsample")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -209,10 +209,37 @@ object SparkEntry {
     "q_quantiles_weighted" -> (Analytics.quantilesExactWeighted _),
     // Spearman over collapsed average-rank codes, never a global sort
     "q_rank_corr" -> (Analytics.rankCorr _),
+    // deterministic stratified holdout + fractional epoch repetition
+    "pipeline_split" -> (Pipeline.split _),
+    "pipeline_repeat_upsample" -> (Pipeline.repeatUpsample _),
   )
 
   private val tokCte =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents"
+
+  // doc_id -> pred_lang, the same stopword-vote langId the text_langid /
+  // pipeline_train_mix oracles inline; ends with CTE `l(doc_id, pred_lang)`
+  private val langCtes =
+    s"""WITH t AS ($tokCte),
+       |h AS (SELECT doc_id,
+       |        len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS hits_en,
+       |        len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS hits_de,
+       |        len(list_filter(tk, x -> x IN ('le','la','et','est','les'))) AS hits_fr,
+       |        len(list_filter(tk, x -> x IN ('el','los','y','es','las'))) AS hits_es
+       |      FROM t),
+       |l AS (SELECT doc_id,
+       |        CASE WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'unknown'
+       |             WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+       |             WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+       |             WHEN hits_fr >= hits_es THEN 'fr'
+       |             ELSE 'es' END AS pred_lang
+       |      FROM h)""".stripMargin
+
+  // 256-bucket reproducible hash from the first two md5 hex digits —
+  // the SQL twin of Pipeline.bucket256
+  private val bucket256Sql =
+    "CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 " +
+      "+ strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)"
 
   private val shingleCtes =
     s"""WITH tkt AS ($tokCte),
@@ -733,6 +760,27 @@ object SparkEntry {
          |SELECT doc_id, pred_lang, bucket FROM b
          |WHERE bucket < CASE WHEN pred_lang = 'en' THEN 5
          |                    WHEN pred_lang = 'unknown' THEN 2 ELSE 16 END""".stripMargin,
+    // the identical md5 bucket + threshold CASE — assignments must agree
+    // row-for-row across engines
+    "pipeline_split" ->
+      s"""$langCtes
+         |SELECT doc_id, pred_lang, $bucket256Sql AS bucket,
+         |       CASE WHEN $bucket256Sql < 5 THEN 'test'
+         |            WHEN $bucket256Sql < 13 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM l""".stripMargin,
+    // floor(f) copies + one bucketed extra; generate_series replays the
+    // same per-doc copy count
+    "pipeline_repeat_upsample" ->
+      s"""$langCtes,
+         |c AS (SELECT doc_id, pred_lang,
+         |        (CASE WHEN pred_lang = 'unknown' THEN 3 ELSE 1 END
+         |         + CASE WHEN pred_lang = 'unknown'
+         |                 AND $bucket256Sql < 128 THEN 1 ELSE 0 END) AS n_copies
+         |      FROM l)
+         |SELECT doc_id, pred_lang, CAST(n_copies AS BIGINT) AS n_copies,
+         |       CAST(u.copy_ord AS BIGINT) AS copy_ord
+         |FROM c, unnest(range(1, n_copies + 1)) AS u(copy_ord)""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE tkt AS ($tokCte),
          |m AS (SELECT doc_id, len(tk) AS n_tok,

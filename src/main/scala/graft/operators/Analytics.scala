@@ -828,23 +828,25 @@ object Analytics {
     * doubled codes are <= 2n+1, so every moment fits a BIGINT while
     * n <~ 1.3e6 per the n*(2n)^2 bound — beyond that widen the moments
     * to DECIMAL), combined in DOUBLE and rounded once to 1e-4,
-    * [[corrStats]]'s exact cross-engine float contract. */
+    * [[corrStats]]'s exact cross-engine float contract. Both ordered
+    * prefixes ride [[GlobalRank.prefixSummed]] (range-partitioned,
+    * inclusive; exclusive = inclusive - own), keeping the repo's
+    * no-partition-less-WindowExec invariant intact even on the small
+    * frames. */
   def rankCorr(spark: SparkSession, dir: String): DataFrame = {
     val rows = graft.GraftSession.trackCache(
       Tables(spark, dir).lineitem.select(
         expr("cast(round(l_quantity) as bigint)").as("x"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("y")))
     val unb = Window.unboundedPreceding
-    val vx = rows.groupBy("x").agg(count(lit(1)).as("cnt"))
-      .withColumn("less",
-        coalesce(sum("cnt").over(Window.orderBy("x").rowsBetween(unb, -1)), lit(0L)))
-      .select(col("x"), (col("less") * 2 + col("cnt") + 1).as("ax"))
+    val vx = GlobalRank.prefixSummed(
+      rows.groupBy("x").agg(count(lit(1)).as("cnt")), col("cnt"), "cum", col("x"))
+      .select(col("x"), (col("cum") * 2 - col("cnt") + 1).as("ax"))
     val vy = rows.groupBy("y").agg(count(lit(1)).as("cnt"))
       .withColumn("b", expr("y div 4096"))
-    val bless = vy.groupBy("b").agg(sum("cnt").as("bcnt"))
-      .withColumn("bless",
-        coalesce(sum("bcnt").over(Window.orderBy("b").rowsBetween(unb, -1)), lit(0L)))
-      .select("b", "bless")
+    val bless = GlobalRank.prefixSummed(
+      vy.groupBy("b").agg(sum("cnt").as("bcnt")), col("bcnt"), "bcum", col("b"))
+      .select(col("b"), (col("bcum") - col("bcnt")).as("bless"))
     val ay = vy.join(bless, Seq("b"))
       .withColumn("inless",
         coalesce(sum("cnt").over(

@@ -224,4 +224,59 @@ object Pipeline {
     summed.withColumn("phase",
       expr(s"least(3L, (greatest(cum_tokens - 1L, 0L) * 4L) div ${total}L)"))
   }
+
+  /** 256-bucket reproducible hash: the first two md5 hex digits of the
+    * doc id — [[trainMix]]'s 16-bucket idea at the finer granularity
+    * splits and fractional repeats need. Any engine computes the same
+    * md5, so assignments agree everywhere with zero sampling state. */
+  private val bucket256 = expr(
+    "cast((instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16 " +
+      "+ instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1 as bigint)")
+
+  /** Deterministic STRATIFIED train/val/test split (`pipeline_split`) —
+    * the holdout assignment every training pipeline makes before any
+    * mixing: ~2% test (buckets 0-4 of 256), ~3% val (5-12), the rest
+    * train. Assignment is the per-row [[bucket256]] hash compare — no
+    * shuffle beyond langId's own, no coordination — and because the
+    * hash is uniform WITHIN each language stratum, the rates hold per
+    * language automatically (stratification by construction, the same
+    * reason `trainMix`'s per-language rates work). A doc's split never
+    * changes as the corpus grows — the property that keeps yesterday's
+    * test set uncontaminated when new data lands. */
+  def split(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.trackCache(
+      TextAnalysis.langId(spark, dir).select("doc_id", "pred_lang"))
+      .withColumn("bucket", bucket256)
+      .withColumn("split",
+        when(col("bucket") < 5, "test")
+          .when(col("bucket") < 13, "val")
+          .otherwise("train"))
+      .select("doc_id", "pred_lang", "bucket", "split")
+
+  /** Fractional epoch repetition (`pipeline_repeat_upsample`) — the
+    * data-mixture step AFTER the rates are decided: the low-resource
+    * stratum repeats 3.5x, the dominant language 1x. (On this corpus
+    * the langId vote only ever yields en/unknown — `unknown` IS the
+    * low-resource stratum; a multilingual corpus would list its rare
+    * languages here.) A fractional factor f repeats every doc floor(f)
+    * times and one BUCKETED EXTRA time for the deterministic
+    * `bucket < frac(f)*256` slice — in expectation exactly f,
+    * reproducible row-for-row (the alternative to random oversampling:
+    * no RNG, no epoch-to-epoch drift, byte-identical shards on
+    * rebuild). The explode is `posexplode(sequence(...))`-shaped: row
+    * amplification happens MAP-SIDE after the rate decides n_copies,
+    * nothing shuffles at corpus width. */
+  def repeatUpsample(spark: SparkSession, dir: String): DataFrame = {
+    // declared rates in 1/256ths so frac(f)*256 is exact integer math:
+    // unknown 3.5x -> 3 + 128/256; everything else 1x
+    val whole = when(col("pred_lang") === "unknown", 3L).otherwise(1L)
+    val fracNum = when(col("pred_lang") === "unknown", 128L).otherwise(0L)
+    graft.GraftSession.trackCache(
+      TextAnalysis.langId(spark, dir).select("doc_id", "pred_lang"))
+      .withColumn("bucket", bucket256)
+      .withColumn("n_copies",
+        whole + when(col("bucket") < fracNum, 1L).otherwise(0L))
+      .select(col("doc_id"), col("pred_lang"), col("n_copies"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_ord"))
+  }
 }

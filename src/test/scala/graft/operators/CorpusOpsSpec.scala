@@ -103,6 +103,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.count(_.getDouble(4) > 0) > rows.length / 2)
   }
 
+  test("split is a stratified partition: exhaustive, disjoint, hash-stable") {
+    val rows = Pipeline.split(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val total = graft.Tables(spark, sf).documents.count()
+    // every doc assigned exactly once
+    assert(rows.length.toLong == total)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // the assignment is the declared pure function of the doc id
+    rows.foreach { case (id, _, b, s) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      val eb = "0123456789abcdef".indexOf(hex(0)) * 16L + "0123456789abcdef".indexOf(hex(1))
+      assert(b == eb, s"doc $id bucket $b != md5-derived $eb")
+      val es = if (b < 5) "test" else if (b < 13) "val" else "train"
+      assert(s == es)
+    }
+    // each nonempty stratum keeps a train majority (rates hold per language)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      if (rs.length >= 50)
+        assert(rs.count(_._4 == "train") > rs.length / 2, s"$lang train minority")
+    }
+  }
+
+  test("repeat upsample copies are dense per doc and hit the declared factors") {
+    val rows = Pipeline.repeatUpsample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // per doc: copy_ord is exactly 1..n_copies
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val n = rs.head._3
+      assert(rs.map(_._4).sorted.toSeq == (1L to n), s"doc $id copies not dense")
+    }
+    // the upweighted stratum repeats 3 or 4 times, the rest exactly once
+    rows.foreach { case (id, lang, n, _) =>
+      if (lang == "unknown") assert(n == 3L || n == 4L, s"$id x$n")
+      else assert(n == 1L, s"$id x$n")
+    }
+    // the key must not be vacuous: the corpus HAS an upweighted stratum
+    assert(rows.exists(_._3 > 1L), "no doc was upsampled — stratum empty")
+  }
+
   test("curriculum phases are best-first, monotone, and balanced in token mass") {
     val rows = Pipeline.curriculum(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
