@@ -113,7 +113,9 @@ object Bench {
     // stratified hash holdout: langId pass + per-row bucket compare
     "pipeline_split",
     // fractional repetition: langId pass + map-side sequence explode
-    "pipeline_repeat_upsample")
+    "pipeline_repeat_upsample",
+    // the statistical aggregates: one count/moment shuffle each
+    "q_entropy", "q_cramers_v", "q_welch_ttest")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -212,6 +212,11 @@ object SparkEntry {
     // deterministic stratified holdout + fractional epoch repetition
     "pipeline_split" -> (Pipeline.split _),
     "pipeline_repeat_upsample" -> (Pipeline.repeatUpsample _),
+    // the statistical aggregate family: Shannon entropy, Cramer's V,
+    // Welch's t — exact integer moments, quantize-once float contracts
+    "q_entropy" -> (Analytics.entropy _),
+    "q_cramers_v" -> (Analytics.cramersV _),
+    "q_welch_ttest" -> (Analytics.welchTTest _),
   )
 
   private val tokCte =
@@ -1402,6 +1407,56 @@ object SparkEntry {
         |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
         |    AS rank_corr
         |FROM m""".stripMargin,
+    // per-value log2 quantized once to 1e-6, weighted sum exact BIGINT,
+    // one identical division + subtraction rounded to 1e-4 bits
+    "q_entropy" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_values,
+        |        CAST(sum(c * CAST(floor(log2(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s_q6
+        |      FROM c GROUP BY 1)
+        |SELECT event_type, n, n_values,
+        |  round((CAST(CAST(floor(log2(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+        |         - CAST(s_q6 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6, 4) AS entropy_bits
+        |FROM a""".stripMargin,
+    // each cell's chi-square contribution is a fixed IEEE sequence on
+    // exact counts quantized once to 1e-6 — the cross-cell sum is then
+    // BIGINT, immune to double addition order; dow numberings differ
+    // across engines (1-7 vs 0-6) but bijectively, so cells agree
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT event_type, dayofweek(ts) AS dow, count(*) AS nij
+        |               FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(nij) AS ri FROM cells GROUP BY 1),
+        |c AS (SELECT dow, sum(nij) AS cj FROM cells GROUP BY 1),
+        |t AS (SELECT sum(nij) AS n, count(DISTINCT event_type) AS r,
+        |             count(DISTINCT dow) AS c FROM cells),
+        |q AS (SELECT t.n, t.r, t.c,
+        |        CAST(floor((CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS chi_q6
+        |      FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(sum(chi_q6) AS DOUBLE) / 1e6, 4) AS chi2,
+        |  round(sqrt(CAST(sum(chi_q6) AS DOUBLE) / 1e6 /
+        |        (CAST(n AS DOUBLE) * (least(r, c) - 1))), 4) AS cramers_v
+        |FROM q GROUP BY n, r, c""".stripMargin,
+    // the whole statistic is a fixed IEEE sequence on six exact BIGINT
+    // moments, written identically in both engines, rounded once
+    "q_welch_ttest" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |             sum(CAST(round(value * 100) AS BIGINT)) AS s,
+        |             sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS ss
+        |           FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+        |p AS (SELECT n AS n1, s AS s1, ss AS ss1 FROM m WHERE event_type = 'purchase'),
+        |v AS (SELECT n AS n2, s AS s2, ss AS ss2 FROM m WHERE event_type = 'view')
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |        sqrt((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |               / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+        |           + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |               / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)), 4) AS t_stat
+        |FROM p, v""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
     // exactly what the stream's result is missing

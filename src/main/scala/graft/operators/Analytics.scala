@@ -865,6 +865,97 @@ object Analytics {
           sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 4).as("rank_corr"))
   }
 
+  /** Shannon entropy of a value distribution (ClickHouse `entropy`):
+    * how concentrated each event type's traffic is across users — the
+    * diversity gauge next to [[distinctUsers]]'s plain count.
+    *
+    * `H = log2(N) - (1/N) * sum(c_v * log2(c_v))` over the per-value
+    * counts. Scale shape: one (type, user) count aggregation (the only
+    * row-scaled shuffle, map-side combined), then a per-type rollup of
+    * the counts frame. Cross-engine float contract: `log2` is not
+    * correctly rounded across engines, so each value's log2 quantizes
+    * ONCE to 1e-6 units (the ln/exp/pow drill), the weighted sum runs
+    * as exact BIGINTs, and the final combine is one identical division
+    * + subtraction rounded to 1e-4 bits. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).events
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    counts.groupBy("event_type")
+      .agg(sum("c").as("n"),
+        count(lit(1)).as("n_values"),
+        sum(expr("c * cast(floor(log2(cast(c as double)) * 1e6 + 0.5) as bigint)"))
+          .as("s_q6"))
+      .select(col("event_type"), col("n"), col("n_values"),
+        round((expr("cast(floor(log2(cast(n as double)) * 1e6 + 0.5) as bigint)")
+          .cast("double") - col("s_q6").cast("double") / col("n").cast("double")) / 1e6,
+          4).as("entropy_bits"))
+  }
+
+  /** Cramer's V association (ClickHouse `cramersV`) between event type
+    * and day-of-week — "is traffic shape independent of weekday" as one
+    * number in [0, 1].
+    *
+    * The contingency table is types x 7 cells — everything after the
+    * count aggregation is frame arithmetic on tiny broadcastable
+    * frames (row sums, column sums, grand total), never a collect.
+    * Cross-engine float contract: each cell's chi-square contribution
+    * `(n_ij - e_ij)^2 / e_ij` is a fixed IEEE sequence on exact
+    * integers (identical in any engine) quantized ONCE to 1e-6 units;
+    * the sum over cells is then exact BIGINT — immune to double
+    * addition order, which a distributed sum cannot pin — and V is one
+    * final sqrt rounded to 1e-4. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.GraftSession.trackCache(
+      Tables(spark, dir).events
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("nij")))
+    val rows = cells.groupBy("event_type").agg(sum("nij").as("ri"))
+    val cols = cells.groupBy("dow").agg(sum("nij").as("cj"))
+    val tot = cells.agg(sum("nij").as("n"),
+      countDistinct("event_type").as("r"), countDistinct("dow").as("c"))
+    cells.join(rows, Seq("event_type")).join(cols, Seq("dow")).crossJoin(broadcast(tot))
+      .withColumn("e", col("ri").cast("double") * col("cj").cast("double") / col("n").cast("double"))
+      .withColumn("chi_q6", expr(
+        "cast(floor((cast(nij as double) - e) * (cast(nij as double) - e) / e * 1e6 + 0.5) as bigint)"))
+      .groupBy("n", "r", "c").agg(sum("chi_q6").as("chi2_q6"))
+      .select(col("n"),
+        round(col("chi2_q6").cast("double") / 1e6, 4).as("chi2"),
+        round(sqrt(col("chi2_q6").cast("double") / 1e6 /
+          (col("n").cast("double") * (least(col("r"), col("c")) - 1).cast("double"))), 4)
+          .as("cramers_v"))
+  }
+
+  /** Welch's unequal-variance t statistic (ClickHouse `welchTTest`)
+    * between purchase and view order values: do the two event types
+    * spend differently, as a significance-scaled number.
+    *
+    * Exact integer moments per group (n, sum, sum of squares over
+    * cents — one filtered aggregation, map-side combined), then the
+    * whole statistic is a fixed IEEE sequence on those six BIGINTs:
+    * identical in any engine, rounded once to 1e-4. The p-value needs
+    * the incomplete beta function (not expressible as a deterministic
+    * cross-engine SQL contract) — consumers threshold on |t|, the
+    * standard practice. */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables(spark, dir).events
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+    val p = m.filter(col("event_type") === "purchase")
+      .select(col("n").as("n1"), col("s").as("s1"), col("ss").as("ss1"))
+    val v = m.filter(col("event_type") === "view")
+      .select(col("n").as("n2"), col("s").as("s2"), col("ss").as("ss2"))
+    p.crossJoin(v).select(col("n1"), col("n2"),
+      round(expr(
+        """(cast(s1 as double) / cast(n1 as double) - cast(s2 as double) / cast(n2 as double)) /
+          |sqrt((cast(ss1 as double) - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+          |       / (cast(n1 as double) - 1.0d) / cast(n1 as double)
+          |   + (cast(ss2 as double) - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+          |       / (cast(n2 as double) - 1.0d) / cast(n2 as double))""".stripMargin), 4)
+        .as("t_stat"))
+  }
+
   /** Ordered-subsequence pattern match (ClickHouse
     * `sequenceMatch('(?1).*(?2).*(?3)')`): does each user's timeline
     * contain signup, THEN a view strictly after it, THEN a purchase

@@ -300,6 +300,59 @@ class AnalyticsSpec extends SparkSpec {
       s"got ${got.getDouble(1)} brute ${num / den}")
   }
 
+  test("entropy matches the plain-double Shannon recount and its bounds") {
+    val got = Analytics.entropy(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val rows = graft.Tables(spark, sf).events
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val counts = rs.groupBy(_._2).values.map(_.size.toDouble)
+      val n = rs.size.toDouble
+      val h = (math.log(n) - counts.map(c => c * math.log(c)).sum / n) / math.log(2)
+      val (gn, gv, gh) = (got(t)._1, got(t)._2, got(t)._3)
+      assert(gn == rs.size.toLong && gv == counts.size.toLong)
+      assert(math.abs(gh - h) < 1e-3, s"$t: $gh vs $h")
+      assert(gh >= -1e-9 && gh <= math.log(counts.size.toDouble) / math.log(2) + 1e-9)
+    }
+  }
+
+  test("cramers V matches the plain-double chi-square recount, inside [0,1]") {
+    val r = Analytics.cramersV(spark, sf).collect().head
+    val rows = graft.Tables(spark, sf).events
+      .select(col("event_type"), dayofweek(col("ts")).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val n = rows.length.toDouble
+    val cell = rows.groupBy(identity).view.mapValues(_.size.toDouble)
+    val ri = rows.groupBy(_._1).view.mapValues(_.size.toDouble)
+    val cj = rows.groupBy(_._2).view.mapValues(_.size.toDouble)
+    val chi2 = cell.map { case ((t, d), o) =>
+      val e = ri(t) * cj(d) / n; (o - e) * (o - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (n * (math.min(ri.size, cj.size) - 1)))
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(math.abs(r.getDouble(1) - chi2) < 1e-2, s"chi2 ${r.getDouble(1)} vs $chi2")
+    assert(math.abs(r.getDouble(2) - v) < 1e-3)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("welch t equals the plain-double recount from raw cents") {
+    val r = Analytics.welchTTest(spark, sf).collect().head
+    val rows = graft.Tables(spark, sf).events
+      .filter(col("event_type").isin("purchase", "view"))
+      .selectExpr("event_type", "cast(round(value * 100) as bigint)").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    def stats(t: String) = {
+      val vs = rows.filter(_._1 == t).map(_._2.toDouble)
+      val m = vs.sum / vs.length
+      (vs.length.toDouble, m, vs.map(x => (x - m) * (x - m)).sum / (vs.length - 1))
+    }
+    val (n1, m1, v1) = stats("purchase"); val (n2, m2, v2) = stats("view")
+    val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert(r.getLong(0) == n1.toLong && r.getLong(1) == n2.toLong)
+    assert(math.abs(r.getDouble(2) - t) < 1e-3, s"t ${r.getDouble(2)} vs $t")
+  }
+
   test("weighted median equals the brute-force expand-and-pick recount") {
     val got = Analytics.quantileExactWeighted(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
