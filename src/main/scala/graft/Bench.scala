@@ -115,7 +115,9 @@ object Bench {
     // fractional repetition: langId pass + map-side sequence explode
     "pipeline_repeat_upsample",
     // the statistical aggregates: one count/moment shuffle each
-    "q_entropy", "q_cramers_v", "q_welch_ttest")
+    "q_entropy", "q_cramers_v", "q_welch_ttest",
+    // bitmap state build (bucketed construct + write) + OR-merge read
+    "wh_bitmap_state_merge")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -217,6 +217,8 @@ object SparkEntry {
     "q_entropy" -> (Analytics.entropy _),
     "q_cramers_v" -> (Analytics.cramersV _),
     "q_welch_ttest" -> (Analytics.welchTTest _),
+    // exact distinct from stored mergeable bitmap states (HLL's sibling)
+    "wh_bitmap_state_merge" -> (Warehouse.bitmapStateMerge _),
   )
 
   private val tokCte =
@@ -1457,6 +1459,11 @@ object SparkEntry {
         |           + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
         |               / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)), 4) AS t_stat
         |FROM p, v""".stripMargin,
+    // the bitmap path is exact, so the oracle is the plain distinct —
+    // equality proves the whole state-at-rest round trip bit-perfect
+    "wh_bitmap_state_merge" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
     // exactly what the stream's result is missing

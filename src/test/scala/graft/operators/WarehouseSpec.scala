@@ -285,6 +285,21 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected, "skipping must never change the answer")
   }
 
+  test("bitmap state merge is exact and its stored states stay bucket-bounded") {
+    val got = Warehouse.bitmapStateMerge(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = graft.Tables(spark, sf).events
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exact, s"bitmap=$got exact=$exact")
+    // every stored state is one bucket's bitmap: at most 4 KiB by design
+    spark.read.parquet(Warehouse.bitmapStateDirForTest)
+      .select("user_bitmap").collect().foreach { r =>
+        assert(r.getAs[Array[Byte]](0).length <= 4096)
+      }
+  }
+
   test("projection router picks the smallest covering store and refuses uncovered dims") {
     val projs = Warehouse.buildProjections(spark, sf)
     // (year) is covered by both stores; the 2-dim one is more aggregated
