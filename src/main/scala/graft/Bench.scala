@@ -117,7 +117,9 @@ object Bench {
     // the statistical aggregates: one count/moment shuffle each
     "q_entropy", "q_cramers_v", "q_welch_ttest",
     // bitmap state build (bucketed construct + write) + OR-merge read
-    "wh_bitmap_state_merge")
+    "wh_bitmap_state_merge",
+    // three partial-sum part writes + the key-grouped merge read
+    "wh_summing_merge")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

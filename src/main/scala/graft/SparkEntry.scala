@@ -219,6 +219,8 @@ object SparkEntry {
     "q_welch_ttest" -> (Analytics.welchTTest _),
     // exact distinct from stored mergeable bitmap states (HLL's sibling)
     "wh_bitmap_state_merge" -> (Warehouse.bitmapStateMerge _),
+    // partial-sum parts + all-zero drop: the mutable-table trio's third
+    "wh_summing_merge" -> (Warehouse.summingMerge _),
   )
 
   private val tokCte =
@@ -1464,6 +1466,14 @@ object SparkEntry {
     "wh_bitmap_state_merge" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    // the adjustment part exactly annihilates the user_id % 13 slice,
+    // so the merged view equals full-year totals minus that slice
+    "wh_summing_merge" ->
+      """SELECT user_id, event_type,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events WHERE user_id % 13 <> 0
+        |GROUP BY 1, 2""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
     // exactly what the stream's result is missing

@@ -463,6 +463,54 @@ object Warehouse {
         sum("cnt").as("n_events"))
   }
 
+  private lazy val summingDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-summing")
+    graft.TempSweep.register(p)
+    p
+  }
+
+  /** SummingMergeTree semantics as a CHECKED key (`wh_summing_merge`) —
+    * the third member of the reference engine's mutable-table trio next
+    * to [[replacingMerge]] (version-wins) and [[collapsingMerge]]
+    * (sign-annihilation): parts carry PARTIAL SUMS per sort key, merges
+    * add them, and a key whose summed metrics have ALL become zero is
+    * DROPPED from the merged view (the engine's documented "row is
+    * deleted" rule — how counter tables shed dead keys without a
+    * delete).
+    *
+    * The layout writes three parts: two half-year partial aggregates of
+    * per-(user, type) spend counters, plus an adjustment part that
+    * exactly negates a deterministic slice of users (`user_id % 13 = 0`)
+    * — the SummingMergeTree way to retract a counter. The merged read is
+    * a union of PART-SIZED frames (partials, never raw rows) + one
+    * key-grouped sum + the all-zero drop filter; summed metrics are
+    * exact integer cents so annihilation is bit-for-bit. The oracle
+    * replays the whole contract from RAW events: full-year totals for
+    * keys off the slice, absence for keys on it. vs [[collapsingMerge]]:
+    * Summing stores one PARTIAL ROW per key per part (no sign column,
+    * no cancel-state copies) and pays a key-cardinality merge; vs
+    * [[aggStateMerge]]: the mergeable state is plain addition, so the
+    * stored parts stay queryable by any SQL reader. */
+  def summingMerge(spark: SparkSession, dir: String): DataFrame = {
+    val out = summingDir.toString
+    val e = graft.Tables(spark, dir).events.select(
+      col("user_id"), col("event_type"), month(col("ts")).as("m"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    def part(f: org.apache.spark.sql.Column) = e.filter(f)
+      .groupBy("user_id", "event_type")
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_rows"))
+    part(col("m") <= 6).write.mode("overwrite").parquet(s"$out/part=h1")
+    part(col("m") > 6).write.mode("overwrite").parquet(s"$out/part=h2")
+    part(lit(true)).filter(col("user_id") % 13 === 0)
+      .select(col("user_id"), col("event_type"),
+        (-col("sum_cents")).as("sum_cents"), (-col("n_rows")).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$out/part=adj")
+    spark.read.parquet(out)
+      .groupBy("user_id", "event_type")
+      .agg(sum("sum_cents").as("sum_cents"), sum("n_rows").as("n_rows"))
+      .filter(!(col("sum_cents") === 0L && col("n_rows") === 0L))
+  }
+
   private lazy val bitmapStateDir: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-bitmapstate")
     graft.TempSweep.register(p)

@@ -285,6 +285,24 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected, "skipping must never change the answer")
   }
 
+  test("summing merge adds partials across parts and drops all-zero keys") {
+    val got = Warehouse.summingMerge(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val raw = graft.Tables(spark, sf).events
+      .selectExpr("user_id", "event_type", "cast(round(value * 100) as bigint) as cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = raw.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> ((rs.map(_._3).sum, rs.length.toLong))
+    }
+    // annihilated keys are gone, not zero-valued
+    brute.keys.filter(_._1 % 13 == 0).foreach(k => assert(!got.contains(k), s"$k survived"))
+    // every other key carries the exact full-year partial-sum total
+    brute.filter(_._1._1 % 13 != 0).foreach { case (k, v) =>
+      assert(got.get(k).contains(v), s"$k: ${got.get(k)} vs $v")
+    }
+    assert(got.keySet == brute.keySet.filter(_._1 % 13 != 0))
+  }
+
   test("bitmap state merge is exact and its stored states stay bucket-bounded") {
     val got = Warehouse.bitmapStateMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
