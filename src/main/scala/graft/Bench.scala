@@ -98,7 +98,8 @@ object Bench {
     "emb_int8_quantize",
     // LOCF fill: the dense-calendar stitch + one keyed window
     "q_interpolate_fill",
-    // weighted median: vocabulary collapse + keyed cumulative window
+    // weighted median: bucket-then-refine (coarse histogram picks the
+    // pivot bucket; the exact scan runs inside that bucket only)
     "q_quantile_exact_weighted",
     // late-data semantics: staging writes + 3 micro-batches + state
     "streaming_late_data",

@@ -749,20 +749,7 @@ object SparkEntry {
          |        ORDER BY round(score, 6) DESC, term) AS rn FROM s)
          |SELECT doc_id, term AS top_term, tf, df, round(score, 4) AS tfidf FROM r WHERE rn = 1""".stripMargin,
     "pipeline_train_mix" ->
-      s"""WITH t AS ($tokCte),
-         |h AS (SELECT doc_id,
-         |        len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS hits_en,
-         |        len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS hits_de,
-         |        len(list_filter(tk, x -> x IN ('le','la','et','est','les'))) AS hits_fr,
-         |        len(list_filter(tk, x -> x IN ('el','los','y','es','las'))) AS hits_es
-         |      FROM t),
-         |l AS (SELECT doc_id,
-         |        CASE WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'unknown'
-         |             WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
-         |             WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
-         |             WHEN hits_fr >= hits_es THEN 'fr'
-         |             ELSE 'es' END AS pred_lang
-         |      FROM h),
+      s"""$langCtes,
          |b AS (SELECT doc_id, pred_lang,
          |        CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket
          |      FROM l)

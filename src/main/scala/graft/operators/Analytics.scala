@@ -727,51 +727,21 @@ object Analytics {
     * total — pure BIGINT comparisons, no division, no quantization,
     * bit-identical anywhere (lower weighted median, the declared
     * convention). */
-  def quantileExactWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val g = graft.GraftSession.trackCache(
-      Tables(spark, dir).lineitem
-        .select(col("l_returnflag"),
-          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
-          expr("cast(round(l_quantity) as bigint)").as("qty"))
-        .groupBy("l_returnflag", "cents")
-        .agg(sum("qty").as("w")))
-    val tot = g.groupBy("l_returnflag").agg(sum("w").as("total_weight"))
-    val buckets = g.withColumn("b", expr("cents div 4096"))
-      .groupBy("l_returnflag", "b").agg(sum("w").as("bw"))
-    val wb = Window.partitionBy("l_returnflag").orderBy("b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumB = graft.GraftSession.trackCache(
-      buckets.withColumn("cumb", sum("bw").over(wb)).join(tot, Seq("l_returnflag")))
-    val pivot = cumB.filter(col("cumb") * 2 >= col("total_weight"))
-      .groupBy("l_returnflag", "total_weight").agg(min("b").as("pb"))
-    val before = cumB.join(pivot.select("l_returnflag", "pb"), Seq("l_returnflag"))
-      .filter(col("b") < col("pb"))
-      .groupBy("l_returnflag").agg(max("cumb").as("w_before"))
-    val wv = Window.partitionBy("l_returnflag").orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.join(pivot, Seq("l_returnflag"))
-      .filter(expr("cents div 4096") === col("pb"))
-      .withColumn("cum_in", sum("w").over(wv))
-      .join(before, Seq("l_returnflag"), "left")
-      .filter((coalesce(col("w_before"), lit(0L)) + col("cum_in")) * 2 >= col("total_weight"))
-      .groupBy("l_returnflag", "total_weight")
-      .agg(min("cents").as("wmedian_cents"))
-      .select("l_returnflag", "total_weight", "wmedian_cents")
-  }
+  def quantileExactWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedQuantileLevels(spark, dir, Seq(2L))
+      .select(col("l_returnflag"), col("total_weight"),
+        col("q_cents").as("wmedian_cents"))
 
-  /** Multi-level exact weighted quantiles (ClickHouse
-    * `quantilesExactWeighted(0.25, 0.5, 0.75)`): the three quartiles of
-    * the weighted price multiset in ONE pass over the corpus — the
-    * collapse, bucket histogram, and total-weight frames from
-    * [[quantileExactWeighted]]'s bucket-then-refine shape are computed
-    * once and SHARED across levels; only the pivot selection and the
-    * in-bucket refine carry the level as one more key column (a tiny
-    * broadcast of groups x levels rows, a 3x row amplification on the
-    * in-bucket slice only, and one window partitioned by (group, level)
-    * over bucket-bounded frames). Level k/4's value is the min v with
-    * `4*cum >= k*total` — the lower-quantile rule, pure BIGINT, the
-    * k=2 row bit-identical to the median key. */
-  def quantilesExactWeighted(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared bucket-then-refine machinery behind
+    * [[quantileExactWeighted]] (level 2/4) and
+    * [[quantilesExactWeighted]] (levels 1..3/4): ONE collapse, ONE
+    * bucket histogram, ONE total frame — the level rides as a key
+    * column from the pivot selection onward, so a fix to the bucket
+    * width or the before-weight rule lands in every quantile key at
+    * once. Returns the long frame (l_returnflag, k, total_weight,
+    * q_cents) where q_cents = min v with `4*cum >= k*total`. */
+  private def weightedQuantileLevels(spark: SparkSession, dir: String,
+      ks: Seq[Long]): DataFrame = {
     val g = graft.GraftSession.trackCache(
       Tables(spark, dir).lineitem
         .select(col("l_returnflag"),
@@ -786,7 +756,8 @@ object Analytics {
       g.withColumn("b", expr("cents div 4096"))
         .groupBy("l_returnflag", "b").agg(sum("w").as("bw"))
         .withColumn("cumb", sum("bw").over(wb)).join(tot, Seq("l_returnflag")))
-    val levels = spark.range(1, 4).select(col("id").as("k"))
+    val levels = spark.range(1)
+      .select(explode(array(ks.map(lit(_)): _*)).as("k"))
     val pivot = cumB.crossJoin(levels)
       .filter(col("cumb") * 4 >= col("k") * col("total_weight"))
       .groupBy("l_returnflag", "k", "total_weight").agg(min("b").as("pb"))
@@ -804,9 +775,24 @@ object Analytics {
         col("k") * col("total_weight"))
       .groupBy("l_returnflag", "k", "total_weight")
       .agg(min("cents").as("q_cents"))
+  }
+
+  /** Multi-level exact weighted quantiles (ClickHouse
+    * `quantilesExactWeighted(0.25, 0.5, 0.75)`): the three quartiles of
+    * the weighted price multiset in ONE pass over the corpus — the
+    * collapse, bucket histogram, and total-weight frames from
+    * [[quantileExactWeighted]]'s bucket-then-refine shape are computed
+    * once and SHARED across levels; only the pivot selection and the
+    * in-bucket refine carry the level as one more key column (a tiny
+    * broadcast of groups x levels rows, a 3x row amplification on the
+    * in-bucket slice only, and one window partitioned by (group, level)
+    * over bucket-bounded frames). Level k/4's value is the min v with
+    * `4*cum >= k*total` — the lower-quantile rule, pure BIGINT, the
+    * k=2 row bit-identical to the median key. */
+  def quantilesExactWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedQuantileLevels(spark, dir, Seq(1L, 2L, 3L))
       .select(col("l_returnflag"), col("k").as("level_q"),
         col("total_weight"), col("q_cents"))
-  }
 
   /** Spearman rank correlation (ClickHouse `rankCorr(x, y)`) between
     * quantity and price, with AVERAGE ranks for ties — the nonparametric
@@ -824,10 +810,11 @@ object Analytics {
     * single task ever sorting the whole domain. Rows then pick up their
     * rank codes via two value equi-joins (the x side is
     * vocabulary-sized; AQE broadcasts it from runtime stats) and the
-    * correlation is Pearson over the codes: exact BIGINT moments (the
-    * doubled codes are <= 2n+1, so every moment fits a BIGINT while
-    * n <~ 1.3e6 per the n*(2n)^2 bound — beyond that widen the moments
-    * to DECIMAL), combined in DOUBLE and rounded once to 1e-4,
+    * correlation is Pearson over the codes: exact DECIMAL(38,0) moments
+    * (per-row products of the doubled <=2n+1 codes fit a BIGINT, but
+    * their sums bound at 4n^3 and would wrap past n ~ 1.3e6 — the
+    * decimal sums stay exact at any feasible n, matching the oracle's
+    * HUGEINT), combined in DOUBLE and rounded once to 1e-4,
     * [[corrStats]]'s exact cross-engine float contract. Both ordered
     * prefixes ride [[GlobalRank.prefixSummed]] (range-partitioned,
     * inclusive; exclusive = inclusive - own), keeping the repo's
@@ -852,12 +839,18 @@ object Analytics {
         coalesce(sum("cnt").over(
           Window.partitionBy("b").orderBy("y").rowsBetween(unb, -1)), lit(0L)))
       .select(col("y"), ((col("bless") + col("inless")) * 2 + col("cnt") + 1).as("ay"))
+    // moments widened to DECIMAL(38,0): the doubled codes are <= 2n+1,
+    // so per-row products fit a BIGINT to n ~ 1.5e9, but their SUMS
+    // bound at 4n^3 and would wrap silently past n ~ 1.3e6 — decimal
+    // sums stay exact at any feasible n and cast to the same double the
+    // oracle's HUGEINT sums do
     val m = rows.join(vx, Seq("x")).join(ay, Seq("y"))
       .agg(count(lit(1)).as("n"),
-        sum("ax").as("sx"), sum("ay").as("sy"),
-        sum(col("ax") * col("ax")).as("sxx"),
-        sum(col("ay") * col("ay")).as("syy"),
-        sum(col("ax") * col("ay")).as("sxy"))
+        sum(col("ax").cast("decimal(38,0)")).as("sx"),
+        sum(col("ay").cast("decimal(38,0)")).as("sy"),
+        sum((col("ax") * col("ax")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ay") * col("ay")).cast("decimal(38,0)")).as("syy"),
+        sum((col("ax") * col("ay")).cast("decimal(38,0)")).as("sxy"))
     val d = (c: String) => col(c).cast("double")
     m.select(col("n"),
       round((d("n") * d("sxy") - d("sx") * d("sy")) /
@@ -1013,12 +1006,12 @@ object Analytics {
     * timestamp are broken identically in both engines. Values are exact
     * integer cents; a null predecessor (segment head) contributes 0. */
   def deltaSum(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.GraftSession.trackCache(
-      Tables(spark, dir).events.select(
-        col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("tus"),
-        to_date(col("ts")).as("day"),
-        expr("cast(round(value * 100) as bigint)").as("cents")))
+    // one linear chain, consumed once — no cache boundary needed
+    val e = Tables(spark, dir).events.select(
+      col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("tus"),
+      to_date(col("ts")).as("day"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
     val wd = Window.partitionBy("event_type", "day").orderBy("tus", "event_id")
     val inDay = e.withColumn("prev", lag("cents", 1).over(wd))
       .groupBy("event_type", "day")
