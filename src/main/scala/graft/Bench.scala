@@ -120,7 +120,9 @@ object Bench {
     // bitmap state build (bucketed construct + write) + OR-merge read
     "wh_bitmap_state_merge",
     // three partial-sum part writes + the key-grouped merge read
-    "wh_summing_merge")
+    "wh_summing_merge",
+    // sweep line: orderkey join + day collapse + distributed prefix sum
+    "q_max_intersections")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -221,6 +221,8 @@ object SparkEntry {
     "wh_bitmap_state_merge" -> (Warehouse.bitmapStateMerge _),
     // partial-sum parts + all-zero drop: the mutable-table trio's third
     "wh_summing_merge" -> (Warehouse.summingMerge _),
+    // sweep-line peak concurrency off the distributed prefix sum
+    "q_max_intersections" -> (Analytics.maxIntersections _),
   )
 
   private val tokCte =
@@ -1461,6 +1463,21 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM events WHERE user_id % 13 <> 0
         |GROUP BY 1, 2""".stripMargin,
+    // the same sweep line as one flat window; ties break to the
+    // earliest day in both engines
+    "q_max_intersections" ->
+      """WITH iv AS (SELECT o.o_orderdate, l.l_shipdate
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |d AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(1 AS BIGINT) AS dl FROM iv
+        |      UNION ALL
+        |      SELECT CAST(l_shipdate AS DATE) + 1 AS day, CAST(-1 AS BIGINT) AS dl FROM iv),
+        |g AS (SELECT day, sum(dl) AS dl FROM d GROUP BY 1),
+        |c AS (SELECT day, sum(dl) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |      FROM g)
+        |SELECT CAST(m.m AS BIGINT) AS peak_open, min(c.day) AS peak_day
+        |FROM c, (SELECT max(open) AS m FROM c) AS m
+        |WHERE c.open = m.m GROUP BY m.m""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
     // exactly what the stream's result is missing

@@ -858,6 +858,38 @@ object Analytics {
           sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 4).as("rank_corr"))
   }
 
+  /** Peak concurrent intervals (ClickHouse `maxIntersections` /
+    * `maxIntersectionsPosition`): the maximum number of order lines
+    * simultaneously awaiting shipment ([o_orderdate, l_shipdate],
+    * closed — a line is "open" from order day through ship day) and the
+    * first day that peak holds — the classic sweep-line counting
+    * problem.
+    *
+    * Scale shape: the orderkey equi-join attaches each line's order
+    * date (fact-fact key join, co-partitioned shuffles), each interval
+    * becomes two DELTA events (+1 at order, -1 the day after ship), the
+    * deltas COLLAPSE per day (the only row-scaled aggregation; the
+    * result is day-domain-bounded), the open count is a running sum
+    * over days via [[GlobalRank.prefixSummed]] (range-partitioned, P
+    * collected longs, no single-task window), and the peak is one
+    * min_by over the tiny days frame. Ties break to the EARLIEST day —
+    * deterministic cross-engine. */
+  def maxIntersections(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val iv = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    // the stored columns are timestamp[ms]; the sweep runs on DATE days
+    val deltas = iv.select(to_date(col("o_orderdate")).as("day"), lit(1L).as("d"))
+      .unionByName(iv.select(date_add(to_date(col("l_shipdate")), 1).as("day"),
+        lit(-1L).as("d")))
+      .groupBy("day").agg(sum("d").as("dl"))
+    GlobalRank.prefixSummed(deltas, col("dl"), "open", col("day"))
+      .agg(max("open").as("peak_open"),
+        min_by(col("day"), struct((-col("open")).as("o"), col("day"))).as("peak_day"))
+      .select(col("peak_open"), col("peak_day"))
+  }
+
   /** Shannon entropy of a value distribution (ClickHouse `entropy`):
     * how concentrated each event type's traffic is across users — the
     * diversity gauge next to [[distinctUsers]]'s plain count.

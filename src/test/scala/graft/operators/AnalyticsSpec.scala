@@ -300,6 +300,30 @@ class AnalyticsSpec extends SparkSpec {
       s"got ${got.getDouble(1)} brute ${num / den}")
   }
 
+  test("max intersections equals the brute-force daily open-interval sweep") {
+    val r = Analytics.maxIntersections(spark, sf).collect().head
+    val t = graft.Tables(spark, sf)
+    val ivs = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("to_date(o_orderdate)", "to_date(l_shipdate)").collect()
+      .map(x => (x.getDate(0).toLocalDate, x.getDate(1).toLocalDate))
+    val deltas = scala.collection.mutable.TreeMap.empty[java.time.LocalDate, Long]
+    ivs.foreach { case (s, e) =>
+      deltas(s) = deltas.getOrElse(s, 0L) + 1
+      val e1 = e.plusDays(1)
+      deltas(e1) = deltas.getOrElse(e1, 0L) - 1
+    }
+    var open = 0L; var peak = -1L; var peakDay: java.time.LocalDate = null
+    deltas.foreach { case (day, d) =>
+      open += d
+      if (open > peak) { peak = open; peakDay = day }
+    }
+    assert(r.getLong(0) == peak, s"peak ${r.getLong(0)} vs $peak")
+    assert(r.getDate(1).toLocalDate == peakDay,
+      s"day ${r.getDate(1)} vs $peakDay")
+  }
+
   test("entropy matches the plain-double Shannon recount and its bounds") {
     val got = Analytics.entropy(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
