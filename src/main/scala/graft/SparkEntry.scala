@@ -400,9 +400,9 @@ object SparkEntry {
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity), 4) AS sum_qty,
-        |round(sum(l_extendedprice), 4) AS sum_base_price,
-        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+        |sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0 AS sum_charge,
         |round(avg(l_quantity), 4) AS avg_qty,
         |round(avg(l_extendedprice), 4) AS avg_price,
         |round(avg(l_discount), 4) AS avg_disc,
@@ -410,7 +410,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= DATE '2000-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      """SELECT l_orderkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
         |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -419,7 +419,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      """SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -427,7 +427,7 @@ object SparkEntry {
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name""".stripMargin,
     "q_top_customers" ->
-      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent,
+      """WITH spend AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spent,
         |                      count(*) AS n_orders
         |               FROM orders GROUP BY o_custkey)
         |SELECT CAST(row_number() OVER (ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk,
@@ -447,7 +447,7 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |       count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
@@ -666,15 +666,15 @@ object SparkEntry {
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |       count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus AS status,
-        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS p_urgent,
-        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS p_high,
-        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 4) AS p_medium,
-        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 4) AS p_notspec,
-        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS p_low
+        |  sum(CAST(round(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_urgent,
+        |  sum(CAST(round(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_high,
+        |  sum(CAST(round(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_medium,
+        |  sum(CAST(round(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_notspec,
+        |  sum(CAST(round(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_low
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_anti_join" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_customers
@@ -704,17 +704,17 @@ object SparkEntry {
       """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "wh_colocated_join" ->
-      """SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      """SELECT o_orderpriority, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q_ntile" ->
-      """WITH s AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent
+      """WITH s AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spent
         |           FROM orders GROUP BY 1),
         |q AS (SELECT total_spent,
         |        CAST(ntile(4) OVER (ORDER BY total_spent DESC, o_custkey) AS BIGINT) AS quartile
         |      FROM s)
-        |SELECT quartile, count(*) AS n_customers, round(sum(total_spent), 4) AS total
+        |SELECT quartile, count(*) AS n_customers, sum(CAST(round(total_spent * 100) AS BIGINT)) / 100.0 AS total
         |FROM q GROUP BY quartile""".stripMargin,
     "jdbc_sink_roundtrip" ->
       """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
@@ -888,7 +888,7 @@ object SparkEntry {
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |       count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     // direct aggregation over raw events: equality proves the stored
     // (sum, count, min, max) state merge is lossless
@@ -934,7 +934,7 @@ object SparkEntry {
     // the raw table
     "wh_zorder_range" ->
       """SELECT count(*) AS n,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 3000
         |  AND l_partkey BETWEEN 100 AND 800""".stripMargin,
@@ -1027,7 +1027,7 @@ object SparkEntry {
     "wh_orc_roundtrip" ->
       """SELECT l_returnflag,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
         |GROUP BY 1""".stripMargin,
     // CSV wire leg: same index arithmetic replayed from range()

@@ -92,10 +92,10 @@ object Analytics {
   def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables(spark, dir).orders
       .groupBy("o_custkey")
-      .agg(round(sum("o_totalprice"), 4).as("total_spent"))
+      .agg(Olap.centsSum(col("o_totalprice")).as("total_spent"))
     GlobalRank.ntiled(spend, 4, "quartile", col("total_spent").desc, col("o_custkey"))
       .groupBy("quartile")
-      .agg(count(lit(1)).as("n_customers"), round(sum("total_spent"), 4).as("total"))
+      .agg(count(lit(1)).as("n_customers"), Olap.centsSum(col("total_spent")).as("total"))
   }
 
   /** As-of join: each purchase event paired with the most recent PRIOR

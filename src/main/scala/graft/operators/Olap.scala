@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -21,6 +21,19 @@ object Olap {
 
   private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Price-magnitude money sum with the exact-cents contract: the per-row
+    * cents rounding is one fixed IEEE sequence (identical in any engine),
+    * the BIGINT sum is addition-order-independent, and the single final
+    * division of an exact integer reproduces bit-for-bit. The naive
+    * `round(sum(double), 4)` is NOT reproducible at price magnitudes —
+    * for sums ~1e9 the double accumulation error (~ulp·sqrt(n)) straddles
+    * the 1e-4 rounding boundary, which the sf0.1 oracle sweep caught on
+    * `wh_colocated_join`. Small-magnitude sums (event values, ~1e6) stay
+    * on the plain pattern, where the error is 1e5 times below the
+    * boundary. */
+  private[operators] def centsSum(e: Column): Column =
+    sum(round(e * 100).cast("long")) / 100.0
+
   /** TPC-H Q1: pricing summary. Single scan, single shuffle on a 4-ish-row
     * key space; everything codegen'd. */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame =
@@ -29,9 +42,9 @@ object Olap {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(revenue), 4).as("sum_disc_price"),
-        round(sum(revenue * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        centsSum(col("l_extendedprice")).as("sum_base_price"),
+        centsSum(revenue).as("sum_disc_price"),
+        centsSum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
@@ -51,7 +64,7 @@ object Olap {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_orderpriority"))
-      .agg(round(sum(revenue), 4).as("revenue"))
+      .agg(centsSum(revenue).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -76,7 +89,7 @@ object Olap {
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(revenue), 4).as("revenue"))
+      .agg(centsSum(revenue).as("revenue"))
   }
 
   /** Top-20 customers by lifetime order value: grouped agg then a window
@@ -85,7 +98,7 @@ object Olap {
   def topCustomers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val spend = t.orders.groupBy("o_custkey")
-      .agg(round(sum("o_totalprice"), 4).as("total_spent"),
+      .agg(centsSum(col("o_totalprice")).as("total_spent"),
         count(lit(1)).as("n_orders"))
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
     // top-20 via orderBy+limit first: Catalyst plans a TakeOrderedAndProject
@@ -128,7 +141,7 @@ object Olap {
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+      .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -141,7 +154,7 @@ object Olap {
   def ordersCube(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+      .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -158,7 +171,8 @@ object Olap {
     spark.sql(
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(1) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |       count(1) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM gs_orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
   }
@@ -173,7 +187,7 @@ object Olap {
       .groupBy("o_orderstatus")
       .pivot("o_orderpriority",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-      .agg(round(sum("o_totalprice"), 4))
+      .agg(centsSum(col("o_totalprice")))
       .select(col("o_orderstatus").as("status"),
         col("`1-URGENT`").as("p_urgent"), col("`2-HIGH`").as("p_high"),
         col("`3-MEDIUM`").as("p_medium"), col("`4-NOT SPECIFIED`").as("p_notspec"),

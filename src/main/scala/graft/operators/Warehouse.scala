@@ -278,7 +278,7 @@ object Warehouse {
       .filter(col("l_orderkey").between(1000, 3000) &&
         col("l_partkey").between(100, 800))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        Olap.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
   }
 
@@ -304,7 +304,7 @@ object Warehouse {
       .filter(col("l_shipdate") >= lit("1996-01-01"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        Olap.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
   /** Version-wins upsert merge as a CHECKED key (`wh_replacing_merge`) —
@@ -901,6 +901,6 @@ object Warehouse {
       .join(spark.table(s"${prefix}_lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+      .agg(Olap.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
 }

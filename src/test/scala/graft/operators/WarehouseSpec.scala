@@ -29,7 +29,7 @@ class WarehouseSpec extends SparkSpec {
     val expected = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+      .agg(Olap.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     val got = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet

@@ -14,11 +14,10 @@ class WideningSpec extends SparkSpec {
     val rollup = Olap.ordersRollup(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     rollup.foreach { case (k, (n, tot)) =>
-      // counts compare exactly; the round(sum(double),4) totals get a small
-      // tolerance — different physical plans may merge partials in a
-      // different order, flipping the 4th decimal at a rounding boundary
+      // totals are exact-cents sums now (order-independent BIGINT + one
+      // division), so shared cells must agree bit-for-bit — no tolerance
       val cell = cube.get(k)
-      assert(cell.exists { case (cn, ctot) => cn == n && math.abs(ctot - tot) <= 1e-3 },
+      assert(cell.contains((n, tot)),
         s"cube disagrees with rollup at $k: $cell vs ($n, $tot)")
     }
     val extraSlices = cube.keySet.diff(rollup.keySet)
