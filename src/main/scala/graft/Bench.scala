@@ -122,7 +122,9 @@ object Bench {
     // three partial-sum part writes + the key-grouped merge read
     "wh_summing_merge",
     // sweep line: orderkey join + day collapse + distributed prefix sum
-    "q_max_intersections")
+    "q_max_intersections",
+    // mutation: range layout write + stats pass + the surgical rewrite
+    "wh_mutation_delete")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -223,6 +223,8 @@ object SparkEntry {
     "wh_summing_merge" -> (Warehouse.summingMerge _),
     // sweep-line peak concurrency off the distributed prefix sum
     "q_max_intersections" -> (Analytics.maxIntersections _),
+    // predicate DELETE as a stats-pruned surgical file rewrite
+    "wh_mutation_delete" -> (Warehouse.mutationDelete _),
   )
 
   private val tokCte =
@@ -1478,6 +1480,14 @@ object SparkEntry {
         |SELECT CAST(m.m AS BIGINT) AS peak_open, min(c.day) AS peak_day
         |FROM c, (SELECT max(open) AS m FROM c) AS m
         |WHERE c.open = m.m GROUP BY m.m""".stripMargin,
+    // the same deterministic victim; equality proves the surgical
+    // rewrite removed exactly the victim's rows and nothing else
+    "wh_mutation_delete" ->
+      """WITH v AS (SELECT min(user_id) AS victim FROM events WHERE user_id % 97 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events, v WHERE user_id <> v.victim
+        |GROUP BY 1""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
     // exactly what the stream's result is missing

@@ -463,6 +463,82 @@ object Warehouse {
         sum("cnt").as("n_events"))
   }
 
+  private lazy val mutationDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-mutation")
+    graft.TempSweep.register(p)
+    p
+  }
+
+  /** (files in layout, files the last mutation rewrote) — WarehouseSpec
+    * asserts rewritten < total, i.e. the delete was surgical. */
+  @volatile private[graft] var mutationCounts: (Int, Int) = (0, 0)
+
+  /** Row-level DELETE as a SURGICAL file rewrite (`wh_mutation_delete`)
+    * — the reference engine's `ALTER TABLE ... DELETE WHERE` mutation:
+    * at 100 TB a predicate delete must NOT rewrite the table; it
+    * rewrites only the parts that can contain matching rows and leaves
+    * every other file untouched (ClickHouse mutates part-by-part;
+    * lakehouse formats do the same under a manifest commit).
+    *
+    * The layout is RANGE-clustered on user_id (the delete key), so
+    * per-file min/max statistics localize any point predicate to ~one
+    * file. The mutation: (1) one column-pruned pass computes per-file
+    * (min, max) of the key; (2) files whose range can contain the
+    * victim are rewritten WITHOUT the matching rows (a filtered scan of
+    * only those files); (3) untouched files carry over as files —
+    * driver-side metadata copies standing in for the manifest re-link a
+    * table format would commit, never a data read. The checked query
+    * aggregates the mutated layout; the oracle applies the same
+    * predicate to the raw table — equality proves the delete removed
+    * exactly the victim's rows and nothing else. The victim is
+    * deterministic (min user id divisible by 97), so both engines
+    * target the same rows. */
+  def mutationDelete(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = mutationDir
+    val gen0 = root.resolve("gen0").toString
+    val gen1 = root.resolve("gen1")
+    graft.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+      .repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(gen0)
+    val victim = graft.Tables(spark, dir).events
+      .filter(col("user_id") % 97 === 0)
+      .agg(min("user_id")).collect()(0).getLong(0)
+    val stats = spark.read.parquet(gen0)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (affected, untouched) = stats.partition { case (_, lo, hi) =>
+      lo <= victim && victim <= hi }
+    mutationCounts = (stats.length, affected.length)
+    graft.TempSweep.deleteRecursively(gen1)
+    Files.createDirectories(gen1)
+    // untouched parts carry over by reference (metadata copy, no scan)
+    untouched.foreach { case (f, _, _) =>
+      val src = Paths.get(new java.net.URI(f))
+      Files.copy(src, gen1.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    // affected parts: filtered rewrite of ONLY those files
+    if (affected.nonEmpty) {
+      val tmp = root.resolve("rewrite")
+      spark.read.parquet(affected.map(_._1): _*)
+        .filter(col("user_id") =!= victim)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("part-"))
+          Files.move(p, gen1.resolve("rw-" + n), StandardCopyOption.REPLACE_EXISTING)
+      }
+      graft.TempSweep.deleteRecursively(tmp)
+    }
+    spark.read.parquet(gen1.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
+  }
+
   private lazy val summingDir: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-summing")
     graft.TempSweep.register(p)

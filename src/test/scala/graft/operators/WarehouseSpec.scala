@@ -285,6 +285,29 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected, "skipping must never change the answer")
   }
 
+  test("mutation delete rewrites only the files that can hold the victim") {
+    val got = Warehouse.mutationDelete(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val (total, rewritten) = Warehouse.mutationCounts
+    assert(rewritten >= 1 && rewritten < total,
+      s"delete was not surgical: rewrote $rewritten of $total files")
+    val victim = graft.Tables(spark, sf).events
+      .filter(col("user_id") % 97 === 0)
+      .agg(org.apache.spark.sql.functions.min("user_id")).collect()(0).getLong(0)
+    val expected = graft.Tables(spark, sf).events
+      .filter(col("user_id") =!= victim)
+      .selectExpr("event_type", "cast(round(value * 100) as bigint) as c")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("c").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // and the victim had rows to delete, so equality is not vacuous
+    assert(graft.Tables(spark, sf).events
+      .filter(col("user_id") === victim).count() > 0)
+  }
+
   test("summing merge adds partials across parts and drops all-zero keys") {
     val got = Warehouse.summingMerge(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
