@@ -1486,7 +1486,7 @@ object SparkEntry {
       """WITH v AS (SELECT min(user_id) AS victim FROM events WHERE user_id % 97 = 0)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM events, v WHERE user_id <> v.victim
+        |FROM events, v WHERE user_id IS DISTINCT FROM v.victim
         |GROUP BY 1""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be

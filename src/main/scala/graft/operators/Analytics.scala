@@ -879,10 +879,16 @@ object Analytics {
     val iv = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-    // the stored columns are timestamp[ms]; the sweep runs on DATE days
-    val deltas = iv.select(to_date(col("o_orderdate")).as("day"), lit(1L).as("d"))
-      .unionByName(iv.select(date_add(to_date(col("l_shipdate")), 1).as("day"),
-        lit(-1L).as("d")))
+    // the stored columns are timestamp[ms]; the sweep runs on DATE days.
+    // Both delta events come out of ONE pass over the joined rows
+    // (explode of a 2-element array) — a union of two branches would
+    // run the join twice, and the differing pruned schemas defeat
+    // exchange reuse
+    val deltas = iv.select(explode(array(
+        struct(to_date(col("o_orderdate")).as("day"), lit(1L).as("d")),
+        struct(date_add(to_date(col("l_shipdate")), 1).as("day"),
+          lit(-1L).as("d")))).as("e"))
+      .select(col("e.day").as("day"), col("e.d").as("d"))
       .groupBy("day").agg(sum("d").as("dl"))
     GlobalRank.prefixSummed(deltas, col("dl"), "open", col("day"))
       .agg(max("open").as("peak_open"),

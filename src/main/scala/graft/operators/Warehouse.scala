@@ -485,9 +485,9 @@ object Warehouse {
     * file. The mutation: (1) one column-pruned pass computes per-file
     * (min, max) of the key; (2) files whose range can contain the
     * victim are rewritten WITHOUT the matching rows (a filtered scan of
-    * only those files); (3) untouched files carry over as files —
-    * driver-side metadata copies standing in for the manifest re-link a
-    * table format would commit, never a data read. The checked query
+    * only those files); (3) untouched files carry over by HARD LINK —
+    * the metadata-only re-link a table format's manifest commit does,
+    * never a data read or byte copy. The checked query
     * aggregates the mutated layout; the oracle applies the same
     * predicate to the raw table — equality proves the delete removed
     * exactly the victim's rows and nothing else. The victim is
@@ -504,9 +504,15 @@ object Warehouse {
       .repartitionByRange(16, col("user_id"))
       .sortWithinPartitions("user_id")
       .write.mode("overwrite").parquet(gen0)
-    val victim = graft.Tables(spark, dir).events
+    // victim lookup reads the already-written gen0 layout (column-pruned,
+    // range-clustered), not the raw table — no second full-table scan.
+    // No qualifying user (possible on tiny smoke slices) degrades to a
+    // sentinel no row carries, so the delete is a clean no-op — matching
+    // the oracle's IS DISTINCT FROM against a NULL victim.
+    val vrow = spark.read.parquet(gen0)
       .filter(col("user_id") % 97 === 0)
-      .agg(min("user_id")).collect()(0).getLong(0)
+      .agg(min("user_id")).collect()(0)
+    val victim = if (vrow.isNullAt(0)) Long.MinValue else vrow.getLong(0)
     val stats = spark.read.parquet(gen0)
       .groupBy(input_file_name().as("f"))
       .agg(min("user_id").as("lo"), max("user_id").as("hi"))
@@ -516,10 +522,17 @@ object Warehouse {
     mutationCounts = (stats.length, affected.length)
     graft.TempSweep.deleteRecursively(gen1)
     Files.createDirectories(gen1)
-    // untouched parts carry over by reference (metadata copy, no scan)
+    // untouched parts carry over by reference: a HARD LINK (gen0 and
+    // gen1 share the temp filesystem) — true metadata-only re-link, no
+    // byte movement, standing in for the manifest commit a table format
+    // would do. Copy only as a fallback for link-less filesystems.
     untouched.foreach { case (f, _, _) =>
       val src = Paths.get(new java.net.URI(f))
-      Files.copy(src, gen1.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+      val dst = gen1.resolve(src.getFileName)
+      try Files.createLink(dst, src)
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     // affected parts: filtered rewrite of ONLY those files
     if (affected.nonEmpty) {
@@ -527,11 +540,12 @@ object Warehouse {
       spark.read.parquet(affected.map(_._1): _*)
         .filter(col("user_id") =!= victim)
         .write.mode("overwrite").parquet(tmp.toString)
-      Files.list(tmp).forEach { p =>
+      val rewritten = Files.list(tmp)
+      try rewritten.forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("part-"))
           Files.move(p, gen1.resolve("rw-" + n), StandardCopyOption.REPLACE_EXISTING)
-      }
+      } finally rewritten.close()
       graft.TempSweep.deleteRecursively(tmp)
     }
     spark.read.parquet(gen1.toString)
