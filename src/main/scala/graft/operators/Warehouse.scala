@@ -469,6 +469,11 @@ object Warehouse {
     p
   }
 
+  /** (gen0, gen1) of the last mutation — WarehouseSpec checks the
+    * untouched-part carry-over really is a hard link (shared inode). */
+  private[graft] def mutationGens: (java.nio.file.Path, java.nio.file.Path) =
+    (mutationDir.resolve("gen0"), mutationDir.resolve("gen1"))
+
   /** (files in layout, files the last mutation rewrote) — WarehouseSpec
     * asserts rewritten < total, i.e. the delete was surgical. */
   @volatile private[graft] var mutationCounts: (Int, Int) = (0, 0)

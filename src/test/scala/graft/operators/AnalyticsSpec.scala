@@ -322,6 +322,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(0) == peak, s"peak ${r.getLong(0)} vs $peak")
     assert(r.getDate(1).toLocalDate == peakDay,
       s"day ${r.getDate(1)} vs $peakDay")
+    // both ±1 deltas come out of ONE pass over the joined rows — the
+    // lineage must hold exactly one Join (a union of per-delta branches
+    // would expand the lineitem-orders join twice in the plan tree).
+    // The ANALYZED plan is the right probe: prefixSummed caches the
+    // deltas frame, so by optimization time the join hides inside an
+    // InMemoryRelation
+    val joins = Analytics.maxIntersections(spark, sf)
+      .queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+    assert(joins.length == 1, s"expected 1 join, plan has ${joins.length}")
   }
 
   test("entropy matches the plain-double Shannon recount and its bounds") {

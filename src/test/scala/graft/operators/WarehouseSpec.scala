@@ -306,6 +306,21 @@ class WarehouseSpec extends SparkSpec {
     // and the victim had rows to delete, so equality is not vacuous
     assert(graft.Tables(spark, sf).events
       .filter(col("user_id") === victim).count() > 0)
+    // the untouched carry-over is a true metadata-only re-link: every
+    // non-rewritten gen1 part shares an inode with its gen0 original
+    // (Files.copy would satisfy the result equality above but move the
+    // bytes — the exact cost the surgical delete exists to avoid)
+    val (gen0, gen1) = Warehouse.mutationGens
+    def ino(p: java.nio.file.Path): Any =
+      java.nio.file.Files.getAttribute(p, "unix:ino")
+    val carried = gen1.toFile.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(carried.length == total - rewritten,
+      s"expected ${total - rewritten} carried parts, found ${carried.length}")
+    carried.foreach { f =>
+      assert(ino(f.toPath) == ino(gen0.resolve(f.getName)),
+        s"${f.getName} was copied, not hard-linked")
+    }
   }
 
   test("summing merge adds partials across parts and drops all-zero keys") {
