@@ -124,7 +124,9 @@ object Bench {
     // sweep line: orderkey join + day collapse + distributed prefix sum
     "q_max_intersections",
     // mutation: range layout write + stats pass + the surgical rewrite
-    "wh_mutation_delete")
+    "wh_mutation_delete",
+    // AUC: one score-count shuffle + the prefix sum over the score domain
+    "q_auc")
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -225,6 +225,8 @@ object SparkEntry {
     "q_max_intersections" -> (Analytics.maxIntersections _),
     // predicate DELETE as a stats-pruned surgical file rewrite
     "wh_mutation_delete" -> (Warehouse.mutationDelete _),
+    // global ROC AUC via Mann-Whitney U — no per-row ranks materialized
+    "q_auc" -> (Analytics.auc _),
   )
 
   private val tokCte =
@@ -1488,6 +1490,23 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events, v WHERE user_id IS DISTINCT FROM v.victim
         |GROUP BY 1""".stripMargin,
+    // Mann-Whitney AUC with half-credit ties: 2U is an exact BIGINT sum
+    // over per-score counts, then ONE division of exact ints rounds to
+    // 1e-4 identically in both engines
+    "q_auc" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+        |             sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS n
+        |           FROM events GROUP BY 1),
+        |o AS (SELECT p, n,
+        |        sum(n) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ncum
+        |      FROM c)
+        |SELECT round(CAST(sum(p * (2 * (ncum - n) + n)) AS DOUBLE) /
+        |             CAST(2 * sum(p) * sum(n) AS DOUBLE), 4) AS auc,
+        |       CAST(sum(p) AS BIGINT) AS pos_n,
+        |       CAST(sum(n) AS BIGINT) AS neg_n
+        |FROM o""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
     // exactly what the stream's result is missing

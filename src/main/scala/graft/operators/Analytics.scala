@@ -896,6 +896,38 @@ object Analytics {
       .select(col("peak_open"), col("peak_day"))
   }
 
+  /** Global ROC AUC (ClickHouse `arrayAUC`): does an event's value
+    * predict that it is a purchase — the model-evaluation aggregate a
+    * training pipeline runs over scored corpora, computed as the
+    * Mann-Whitney U statistic WITHOUT materializing per-row ranks:
+    * `U = sum over scores of pos(s) * (neg_below(s) + neg(s)/2)`, and
+    * `AUC = U / (P*N)` (ties get half credit — the trapezoid rule).
+    *
+    * Scale shape: one (score -> pos, neg) count aggregation is the only
+    * row-scaled shuffle (the score domain — distinct cent values — is
+    * price-domain-bounded); the cumulative negative count below each
+    * score runs through [[GlobalRank.prefixSummed]] (range-partitioned,
+    * P collected longs, no single-task window); the finish is one
+    * scalar aggregate. Cross-engine float contract: ties contribute
+    * halves, so 2U is an exact BIGINT sum; AUC is then ONE IEEE
+    * division of exact integers (identical in any engine) rounded to
+    * 1e-4 — no distributed double addition anywhere. */
+  def auc(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = Tables(spark, dir).events
+      .select(expr("cast(round(value * 100) as bigint)").as("score"),
+        (col("event_type") === "purchase").cast("long").as("is_pos"))
+      .groupBy("score")
+      .agg(sum("is_pos").as("p"), sum(lit(1L) - col("is_pos")).as("n"))
+    // ncum includes the current score's negatives; below = ncum - n
+    GlobalRank.prefixSummed(perScore, col("n"), "ncum", col("score"))
+      .agg(sum(col("p") * (lit(2L) * (col("ncum") - col("n")) + col("n"))).as("u2"),
+        sum("p").as("pos_n"), sum("n").as("neg_n"))
+      .select(
+        round(col("u2").cast("double") /
+          (lit(2L) * col("pos_n") * col("neg_n")).cast("double"), 4).as("auc"),
+        col("pos_n"), col("neg_n"))
+  }
+
   /** Shannon entropy of a value distribution (ClickHouse `entropy`):
     * how concentrated each event type's traffic is across users — the
     * diversity gauge next to [[distinctUsers]]'s plain count.

@@ -335,6 +335,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(joins.length == 1, s"expected 1 join, plan has ${joins.length}")
   }
 
+  test("auc equals the brute-force pairwise win/half-tie count") {
+    val r = Analytics.auc(spark, sf).collect().head
+    val rows = graft.Tables(spark, sf).events
+      .selectExpr("cast(round(value * 100) as bigint) as s",
+        "event_type = 'purchase' as l")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    // the definitional O(P*N) comparison: a pair scores 1 when the
+    // positive outranks the negative, 0.5 on a tie
+    var wins2 = 0L
+    pos.foreach { p =>
+      neg.foreach { n => if (p > n) wins2 += 2 else if (p == n) wins2 += 1 }
+    }
+    val brute = wins2.toDouble / (2.0 * pos.length * neg.length)
+    assert(r.getLong(1) == pos.length.toLong && r.getLong(2) == neg.length.toLong)
+    assert(math.abs(r.getDouble(0) - brute) < 1e-4,
+      s"auc ${r.getDouble(0)} vs brute $brute")
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+  }
+
   test("entropy matches the plain-double Shannon recount and its bounds") {
     val got = Analytics.entropy(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
