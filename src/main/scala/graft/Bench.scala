@@ -27,7 +27,12 @@ object Bench {
     // round-4 widening (incl. the streaming MV run and the in-query
     // bucketize+join — both do real work and both get timed)
     "streaming_points_by_type", "q_semi_join", "q_distinct_users",
-    "q_moving_sum", "wh_colocated_join", "q_ntile", "multimodal_audio_windows",
+    // the colocated key is split into its two phases (r8 probe couldn't
+    // adjudicate a write-vs-join regression while one number timed both):
+    // wh_bucketize_write pays the layout, wh_colocated_join reuses it and
+    // times ONLY the exchange-free join
+    "q_moving_sum", "wh_bucketize_write", "wh_colocated_join",
+    "q_ntile", "multimodal_audio_windows",
     "jdbc_sink_roundtrip",
     // round-5 widening
     "text_repetition", "q_corr", "pipeline_decontaminate",
@@ -128,6 +133,19 @@ object Bench {
     // AUC: one score-count shuffle + the prefix sum over the score domain
     "q_auc")
 
+  /** Bench-only phase keys layered over [[SparkEntry.queries]]:
+    * `wh_bucketize_write` pays the colocated layout write so the
+    * `wh_colocated_join` entry that follows times ONLY the exchange-free
+    * join (the returned DF is a 1-row marker for the shared count()
+    * harness). These are timing phases, not checkable operators — they
+    * deliberately do NOT appear in the driver's correctness surface. */
+  val benchQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries +
+      ("wh_bucketize_write" -> ((s: SparkSession, d: String) => {
+        operators.Warehouse.bucketizeOrders(s, d, buckets = 8, prefix = "whq")
+        s.range(1).toDF("ok")
+      }))
+
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:
     *
@@ -208,34 +226,47 @@ object Bench {
 
   private def r2(d: Double): Double = math.rint(d * 100) / 100
 
-  /** The driver-facing line. KEPT COMPACT ON PURPOSE: the driver captures a
-    * bounded tail of stdout and parses the JSON line out of it — round 6
-    * embedded the per-query probe objects here, the line grew past the
-    * capture window, and the official artifact recorded `parsed: null`.
-    * Probe evidence now goes to its own file ([[renderProbeJson]]). */
+  /** The driver-facing line. KEPT SMALL AND CONSTANT-SIZE ON PURPOSE: the
+    * driver captures a ~2 KB bounded tail of stdout and parses the JSON
+    * line out of it. Round 6 embedded per-query probe objects and the line
+    * overflowed; round 7 fixed the sbt log prefix; round 8's 106-entry
+    * per-query map (~4 KB) overflowed AGAIN — the tail began mid-line. The
+    * durable contract is therefore: NO per-query map here at all. The
+    * headline line carries the total, the query/error counts, and where
+    * the per-key evidence lives ([[renderProbeJson]]'s sidecar, which has
+    * wallS per key and is committed every round). Errors are summarized
+    * (count + up to three names, messages truncated) so even a
+    * catastrophic run stays within the window. */
   def renderJson(timings: Seq[(String, Double)], errors: Seq[(String, String)],
       sfDir: String): String = {
-    // Round the per-query timings FIRST and sum the rounded values, so
-    // `value` equals sum(queries) exactly for a consumer cross-checking.
-    val rounded = timings.map { case (k, v) => k -> r2(v) }
-    val qs = rounded.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
-    val total = r2(rounded.map(_._2).sum)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    val total = r2(timings.map { case (_, v) => r2(v) }.sum)
+    val es = errors.take(3)
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(60)) + "\"" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},""" +
+      s""""n_errors":${errors.size},"errors":$es,""" +
+      s""""queries_file":"bench_probe.json","sf":"$sfDir"}"""
   }
 
   /** Per-query noise evidence (wall + [[QueryProbe]] columns), written to a
-    * sidecar file so the stdout contract stays one short line. */
+    * sidecar file so the stdout contract stays one short line. Since the
+    * stdout line no longer carries a per-query map AT ALL, every timed key
+    * appears here — keys without task-metric probes (e.g. the one-time
+    * shingle layout build) still record their wallS. */
   def renderProbeJson(timings: Seq[(String, Double)],
       probes: Seq[(String, QueryProbe)], sfDir: String): String = {
-    val wall = timings.toMap
-    val ps = probes.map { case (k, p) =>
-      "\"" + k + "\":{" +
-        s""""wallS":${r2(wall.getOrElse(k, 0.0))},""" +
-        s""""cpuS":${r2(p.cpuS)},"runS":${r2(p.runS)},"gcS":${r2(p.gcS)},""" +
-        s""""shufMB":${r2(p.shufMB)},"spillMB":${r2(p.spillMB)},""" +
-        s""""busyS":${r2(p.busyS)},"stealS":${r2(p.stealS)},"iowaitS":${r2(p.iowaitS)},""" +
-        s""""blkFiles":${p.blkFiles},"blkMB":${r2(p.blkMB)}}"""
+    val probeMap = probes.toMap
+    val ps = timings.map { case (k, w) =>
+      val body = probeMap.get(k) match {
+        case Some(p) =>
+          s""""wallS":${r2(w)},""" +
+            s""""cpuS":${r2(p.cpuS)},"runS":${r2(p.runS)},"gcS":${r2(p.gcS)},""" +
+            s""""shufMB":${r2(p.shufMB)},"spillMB":${r2(p.spillMB)},""" +
+            s""""busyS":${r2(p.busyS)},"stealS":${r2(p.stealS)},"iowaitS":${r2(p.iowaitS)},""" +
+            s""""blkFiles":${p.blkFiles},"blkMB":${r2(p.blkMB)}"""
+        case None => s""""wallS":${r2(w)}"""
+      }
+      "\"" + k + "\":{" + body + "}"
     }.mkString("{", ",", "}")
     s"""{"probe":$ps,"sf":"$sfDir"}"""
   }
@@ -270,14 +301,15 @@ object Bench {
       Seq.empty
     }
     val cpu0 = ProcStat.read()
-    val (timings, errors, probes) = run(spark, sfDir, headline, instrument = true)
+    val (timings, errors, probes) =
+      run(spark, sfDir, headline, queries = benchQueries, instrument = true)
     reportEnv(ProcStat.read() - cpu0)
     // Sidecar evidence file (committed next snapshot → readable per round);
     // never let a diagnostics write break the stdout contract.
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "bench_probe.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (renderProbeJson(timings, probes, sfDir) + "\n").getBytes("UTF-8"))
+        (renderProbeJson(layout ++ timings, probes, sfDir) + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] probe evidence written to $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] probe evidence write failed: ${e.getMessage}")

@@ -53,8 +53,15 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.clusters _),
     // Similarity search
     "ann_topk" -> (Similarity.topK _),
-    "ann_lsh" -> (Similarity.lshTopK _),
-    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // the driver-checked ANN configs are the EXHAUSTIVE calibration
+    // points (probe all buckets / all cells): the full index machinery
+    // runs — hashing, bucket equi-joins, centroid assignment, rerank —
+    // and the result is provably equal to brute force, so both keys
+    // share ann_topk's engine-independent SQL oracle. The production
+    // pruned configs (own buckets, nprobe=2) keep their recall-floor
+    // specs in SimilaritySpec.
+    "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, probeAll = true)),
+    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, nprobe = 8)),
     // Text analysis
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -351,6 +358,20 @@ object SparkEntry {
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
+  /** Exact cosine top-5 per query — the shared oracle for ann_topk AND
+    * the exhaustive-probe index configs (ann_lsh probe-all, ann_ivf
+    * nprobe=cells), whose candidate sets provably cover the corpus. */
+  private val annExactSql =
+    s"""$vecCtes,
+       |q AS (SELECT vec_id AS q_id, v AS va, nrm AS nrma FROM nv WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, v AS vb, nrm AS nrmb FROM nv WHERE vec_id >= 10),
+       |s AS (SELECT q_id, n_id,
+       |        list_sum(list_transform(va, (x, i) -> x * vb[i])) / (nrma * nrmb) AS cosine
+       |      FROM c, q)
+       |SELECT q_id, n_id, round(cosine, 4) AS score,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cosine, 6) DESC, n_id) AS BIGINT) AS rnk
+       |FROM s QUALIFY rnk <= 5""".stripMargin
+
   private val sessionWindowSql: String =
     """WITH e AS (SELECT user_id, event_id, value,
       |                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
@@ -479,16 +500,13 @@ object SparkEntry {
          |  round(list_sum(list_transform(a.v, (x, i) -> x * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
          |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
          |WHERE round(list_sum(list_transform(a.v, (x, i) -> x * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.42""".stripMargin,
-    "ann_topk" ->
-      s"""$vecCtes,
-         |q AS (SELECT vec_id AS q_id, v AS va, nrm AS nrma FROM nv WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS n_id, v AS vb, nrm AS nrmb FROM nv WHERE vec_id >= 10),
-         |s AS (SELECT q_id, n_id,
-         |        list_sum(list_transform(va, (x, i) -> x * vb[i])) / (nrma * nrmb) AS cosine
-         |      FROM c, q)
-         |SELECT q_id, n_id, round(cosine, 4) AS score,
-         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cosine, 6) DESC, n_id) AS BIGINT) AS rnk
-         |FROM s QUALIFY rnk <= 5""".stripMargin,
+    "ann_topk" -> annExactSql,
+    // the exhaustive-probe calibration configs provably equal brute
+    // force (every candidate reaches the rerank), so the index keys
+    // share the exact-top-k oracle — the q_heavy_hitters pattern:
+    // sketch == exact, checked, on the same data
+    "ann_lsh" -> annExactSql,
+    "ann_ivf" -> annExactSql,
     "text_tokens" ->
       s"""WITH t AS ($tokCte)
          |SELECT t.doc_id, len(tk) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars,
@@ -1502,8 +1520,10 @@ object SparkEntry {
         |        sum(n) OVER (ORDER BY score
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ncum
         |      FROM c)
-        |SELECT round(CAST(sum(p * (2 * (ncum - n) + n)) AS DOUBLE) /
-        |             CAST(2 * sum(p) * sum(n) AS DOUBLE), 4) AS auc,
+        |SELECT CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+        |         round(CAST(sum(p * (2 * (ncum - n) + n)) AS DOUBLE) /
+        |               (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 4)
+        |       END AS auc,
         |       CAST(sum(p) AS BIGINT) AS pos_n,
         |       CAST(sum(n) AS BIGINT) AS neg_n
         |FROM o""".stripMargin,

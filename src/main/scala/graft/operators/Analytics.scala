@@ -720,9 +720,15 @@ object Analytics {
     * frame and picks the pivot bucket containing the median plus the
     * weight strictly before it; (3) the exact scan then runs INSIDE the
     * pivot bucket only — per-task work bounded by one bucket's
-    * occupancy, not the group's domain. Adversarial concentration (all
-    * mass in one bucket) recurses on a narrower width; one level
-    * suffices for price-like domains. The median is the min value whose
+    * occupancy, not the group's domain. Limitation, stated plainly:
+    * the refine is SINGLE-LEVEL — adversarial concentration (all mass
+    * inside one 4096-cent bucket) degrades the in-bucket window to one
+    * task over that bucket's distinct values; a second refine level
+    * (re-bucketing the pivot at width/64) would bound that too, but
+    * price-like domains spread mass across buckets and don't need it,
+    * so the extra two stages are not paid here. Results stay exact
+    * either way — this is a performance envelope, not a correctness
+    * one. The median is the min value whose
     * doubled (before + in-bucket cumulative) weight reaches the group
     * total — pure BIGINT comparisons, no division, no quantization,
     * bit-identical anywhere (lower weighted median, the declared
@@ -909,22 +915,33 @@ object Analytics {
     * score runs through [[GlobalRank.prefixSummed]] (range-partitioned,
     * P collected longs, no single-task window); the finish is one
     * scalar aggregate. Cross-engine float contract: ties contribute
-    * halves, so 2U is an exact BIGINT sum; AUC is then ONE IEEE
-    * division of exact integers (identical in any engine) rounded to
-    * 1e-4 — no distributed double addition anywhere. */
+    * halves, so 2U is an exact integer sum — held as DECIMAL(38,0)
+    * because 2U is bounded by 2·P·N ≈ n²/2, which outgrows BIGINT past
+    * n ≈ 6e9 rows (inside the 100 TB envelope; DuckDB promotes its
+    * BIGINT sum to HUGEINT, so a Long accumulator here would diverge
+    * exactly at scale). AUC is then ONE IEEE division (identical in
+    * any engine) rounded to 1e-4 — no distributed double addition
+    * anywhere. A single-class corpus (no positives, or no negatives)
+    * has no defined AUC: both engines return NULL by contract rather
+    * than a 0/0 NaN. */
   def auc(spark: SparkSession, dir: String): DataFrame = {
     val perScore = Tables(spark, dir).events
       .select(expr("cast(round(value * 100) as bigint)").as("score"),
         (col("event_type") === "purchase").cast("long").as("is_pos"))
       .groupBy("score")
       .agg(sum("is_pos").as("p"), sum(lit(1L) - col("is_pos")).as("n"))
-    // ncum includes the current score's negatives; below = ncum - n
+    // ncum includes the current score's negatives; below = ncum - n.
+    // p is widened BEFORE the multiply so the per-row product is decimal
+    // (2*below + n alone is ≤ 2n — long-safe; the product is not)
     GlobalRank.prefixSummed(perScore, col("n"), "ncum", col("score"))
-      .agg(sum(col("p") * (lit(2L) * (col("ncum") - col("n")) + col("n"))).as("u2"),
+      .agg(sum(col("p").cast("decimal(38,0)") *
+          (lit(2L) * (col("ncum") - col("n")) + col("n"))).as("u2"),
         sum("p").as("pos_n"), sum("n").as("neg_n"))
       .select(
-        round(col("u2").cast("double") /
-          (lit(2L) * col("pos_n") * col("neg_n")).cast("double"), 4).as("auc"),
+        when(col("pos_n") > 0 && col("neg_n") > 0,
+          round(col("u2").cast("double") /
+            (lit(2d) * col("pos_n").cast("double") * col("neg_n").cast("double")), 4))
+          .as("auc"),
         col("pos_n"), col("neg_n"))
   }
 
@@ -993,9 +1010,12 @@ object Analytics {
     * spend differently, as a significance-scaled number.
     *
     * Exact integer moments per group (n, sum, sum of squares over
-    * cents — one filtered aggregation, map-side combined), then the
-    * whole statistic is a fixed IEEE sequence on those six BIGINTs:
-    * identical in any engine, rounded once to 1e-4. The p-value needs
+    * cents — one filtered aggregation, map-side combined; the squared
+    * sum is held as DECIMAL(38,0) since Σv² over ~1e9-cent values
+    * outgrows BIGINT well inside the 100 TB envelope, where DuckDB
+    * silently promotes to HUGEINT), then the whole statistic is a
+    * fixed IEEE sequence on those six exact integers: identical in
+    * any engine, rounded once to 1e-4. The p-value needs
     * the incomplete beta function (not expressible as a deterministic
     * cross-engine SQL contract) — consumers threshold on |t|, the
     * standard practice. */
@@ -1004,7 +1024,8 @@ object Analytics {
       .filter(col("event_type").isin("purchase", "view"))
       .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("v"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
     val p = m.filter(col("event_type") === "purchase")
       .select(col("n").as("n1"), col("s").as("s1"), col("ss").as("ss1"))
     val v = m.filter(col("event_type") === "view")

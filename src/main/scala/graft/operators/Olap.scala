@@ -172,7 +172,7 @@ object Olap {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(1) AS n_orders,
-        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         |FROM gs_orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
   }

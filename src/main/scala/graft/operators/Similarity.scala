@@ -102,8 +102,18 @@ object Similarity {
     * a bucket in ANY table (explode table-keyed buckets, equi-join,
     * de-dup), then exact cosine rerank inside the candidate set. At
     * billion-vector scale the equi-join on (table, bucket) replaces the
-    * cross join; recall is tuned via tables x planes. */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    * cross join; recall is tuned via tables x planes.
+    *
+    * `probeAll = true` is the exhaustive-multiprobe calibration config
+    * (every query probes all 2^6 buckets of every table): the CORPUS side
+    * keeps its real hashes — the indexed side, the one that matters at
+    * scale — so every candidate still arrives through the bucket
+    * equi-join + de-dup machinery, but none can be missed, making the
+    * result provably equal to brute-force top-k. That is the config the
+    * driver oracle checks against [[topK]]'s SQL (the engine-independent
+    * answer); the production pruned config (probe own buckets only) is
+    * what SimilaritySpec's recall floor tests. */
+  def lshTopK(spark: SparkSession, dir: String, probeAll: Boolean = false): DataFrame = {
     val pl = typedLit(planes(4, 6, 64))
     val e = vecs(spark, dir)
       .withColumn("pl", pl)
@@ -113,7 +123,12 @@ object Similarity {
           |    acc * 2 + CASE WHEN dot_product(v, element_at(element_at(pl, t + 1), p + 1)) > 0
           |                   THEN 1L ELSE 0L END))""".stripMargin))
     val keyed = e.select(col("vec_id"), col("v"), col("nrm"), explode(col("buckets")).as("bucket"))
-    val q = keyed.filter(col("vec_id") < 10)
+    val qSide =
+      if (probeAll) e.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(expr("sequence(0L, 255L)")).as("bucket"))
+      else keyed.filter(col("vec_id") < 10)
+    val q = qSide
       .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"), col("bucket"))
     val c = keyed.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"), col("bucket"))
@@ -487,6 +502,13 @@ object Similarity {
           floor(aggregate(zip_with(r, col("ctr"), (a, b) => a * b),
             lit(0.0), (acc, x) => acc + x) + lit(0.5)) / lit(10000.0))
           .as("pc"))
+      // scalar output contract: one row per (vector, component) — every
+      // column sortable/hashable, so generic row-comparison harnesses
+      // (and plain SQL consumers) can check the result without
+      // array-typed columns
+      .select(col("vec_id"), posexplode(col("pc")))
+      .select(col("vec_id"), col("pos").cast("int").as("component"),
+        col("col").as("value"))
   }
 
   /** EXACT covariance moments of the embedding corpus — the PCA /

@@ -29,6 +29,22 @@ class BenchSpec extends SparkSpec {
 
   test("headline JSON stays well-formed with no errors") {
     val json = Bench.renderJson(Seq("a" -> 1.5, "b" -> 0.5), Nil, "/x")
-    assert(json == """{"metric":"total","value":2.0,"unit":"sec","queries":{"a":1.5,"b":0.5},"errors":{},"sf":"/x"}""")
+    assert(json == """{"metric":"total","value":2.0,"unit":"sec","n_queries":2,""" +
+      """"n_errors":0,"errors":{},"queries_file":"bench_probe.json","sf":"/x"}""")
+  }
+
+  test("headline JSON stays under the driver's tail window even when everything fails") {
+    // r6 overflowed with probe objects, r8 overflowed with the 106-entry
+    // per-query map — the durable contract is a constant-size line: at
+    // most three error entries, messages truncated, never a per-query map
+    val manyErrors = (1 to 200).map(i =>
+      s"very_long_query_name_number_$i" -> ("SomeExceptionClass: " + "x" * 500))
+    val json = Bench.renderJson(
+      Bench.headline.map(_ -> 1.23), manyErrors, "/root/testdata/sf0.1")
+    assert(json.length < 600, s"line too long: ${json.length}")
+    assert(json.contains("\"n_errors\":200"))
+    assert(!json.contains("\"queries\":{"))
+    // still well-formed despite truncation (quotes/braces balanced)
+    assert(json.count(_ == '{') == json.count(_ == '}'))
   }
 }

@@ -21,7 +21,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // Bench.run silently skips unknown names (queries.get(...).foreach),
     // so a typo'd headline entry would drop a key from the official
     // timing without any error — pin the containment here instead
-    val unknown = Bench.headline.toSet.diff(SparkEntry.queries.keySet)
+    val unknown = Bench.headline.toSet.diff(Bench.benchQueries.keySet)
     assert(unknown.isEmpty, s"headline without query: $unknown")
     val dups = Bench.headline.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dups.isEmpty, s"duplicated headline entries: $dups")

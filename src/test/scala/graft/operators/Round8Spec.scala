@@ -275,7 +275,9 @@ class Round8Spec extends SparkSpec {
     }
     // the distributed projection: per-component empirical variance equals
     // the eigenvalue (in original units: eigenvalue / 1e8), descending
-    val pcs = Similarity.pcaProject(spark, sf).collect().map(_.getSeq[Double](1).toArray)
+    val pcs = Similarity.pcaProject(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3)).toArray
     assert(pcs.length == vecs.length && pcs.head.length == 8)
     val vars = (0 until 8).map { c =>
       val xs = pcs.map(_(c))
