@@ -115,8 +115,16 @@ object SparkEntry {
     "pipeline_decontaminate" -> (Pipeline.decontaminate _),
     "text_pii_redact" -> (TextAnalysis.pii _),
     "streaming_dedup" -> (RefPipeline.streamingDistinctUsers _),
-    "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
-    "ann_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    // exhaustive calibration configs (rerank bound off / probe all
+    // cells): every PQ/IVF stage still runs — codebook training, code
+    // table, broadcast-LUT ADC scoring, candidate generation — but the
+    // exact re-rank covers the full candidate set, so the output
+    // provably equals brute force and shares ann_topk's SQL oracle.
+    // The pruned/compressed production configs (rerank=64/32, nprobe=2)
+    // keep their recall-floor specs in SimilaritySpec.
+    "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d, rerank = Int.MaxValue)),
+    "ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(s, d, nprobe = 8, rerank = Int.MaxValue)),
     "pipeline_pack" -> ((s, d) => Pipeline.pack(s, d)),
     "wh_partition_prune" -> (Warehouse.partitionPrunedDaily _),
     "q_grouping_sets" -> (Olap.ordersGroupingSets _),
@@ -507,6 +515,8 @@ object SparkEntry {
     // sketch == exact, checked, on the same data
     "ann_lsh" -> annExactSql,
     "ann_ivf" -> annExactSql,
+    "ann_pq" -> annExactSql,
+    "ann_ivfpq" -> annExactSql,
     "text_tokens" ->
       s"""WITH t AS ($tokCte)
          |SELECT t.doc_id, len(tk) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars,
