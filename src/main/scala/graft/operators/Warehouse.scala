@@ -59,11 +59,20 @@ object Warehouse {
   def bucketizeOrders(spark: SparkSession, dir: String, buckets: Int = 8,
       prefix: String = "wh"): Unit = {
     val t = graft.Tables(spark, dir)
-    t.orders.write.mode("overwrite")
+    // pre-shuffle on the bucket key (same as materializeShingles): each
+    // task then owns whole buckets and the write emits ONE file per
+    // bucket instead of tasks x buckets — at 1000 executors the
+    // unrepartitioned write is a small-file explosion (32k files for a
+    // 32-bucket table), and locally the file churn was the bulk of the
+    // r8 wh_colocated_join "regression" (write-phase, per the r9 probe
+    // split)
+    t.orders.repartition(buckets, col("o_orderkey"))
+      .write.mode("overwrite")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable(s"${prefix}_orders")
     t.lineitem
       .select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(buckets, col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(s"${prefix}_lineitem")

@@ -37,6 +37,30 @@ class WarehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
 
+  test("bucketize write emits one file per bucket, and a same-dir rebuild is skipped") {
+    Warehouse.bucketizeOrders(spark, sf, buckets = 4, prefix = "whfiles")
+    // without the pre-repartition the write fans out tasks x buckets
+    // files (32k files for a 32-bucket table at 1000 executors); the
+    // repartition on the bucket key caps it at one data file per bucket
+    for (tbl <- Seq("whfiles_orders", "whfiles_lineitem")) {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+          .filter(col("col_name") === "Location").head().getString(1)))
+      val files = loc.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 4, s"$tbl wrote $files parquet files, want 4 (one per bucket)")
+    }
+    // colocatedRevenue must REUSE a registered same-dir layout (the bench
+    // phase-split and production amortization depend on it): drop one
+    // table behind the registry's back — a rebuild would recreate it,
+    // reuse would fail — then confirm the registry path rebuilds when the
+    // table is truly gone
+    Warehouse.bucketizeOrders(spark, sf, buckets = 8, prefix = "whq")
+    spark.sql("DROP TABLE whq_lineitem")
+    val df = Warehouse.colocatedRevenue(spark, sf) // tableExists false -> rebuilds
+    assert(df.count() == 5)
+    assert(spark.catalog.tableExists("whq_lineitem"), "rebuild did not recreate the layout")
+  }
+
   test("Dedup.shingled consumes the wh layout tokenizer-free with identical results") {
     // raw-path results first (no layout registered for the default prefix)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
