@@ -140,6 +140,61 @@ class DedupSpec extends SparkSpec {
     assert(dfc(999L) > capHard && gotCap.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("degenerate uniform-df corpus: PPJoin length+positional filters stay zero-miss") {
+    // Pin of the r9 sf5 failure mode: a FIXED tiny vocabulary where every
+    // shingle's df is (near-)uniform, so the rarity prefix stops pruning
+    // and the global (df, sh) order degenerates to ordering by shingle id
+    // (all df ties). The length and positional filters then carry all the
+    // pruning — and every df tie-break, prefix boundary, and positional
+    // bound edge is exercised. Docs are deterministic pseudo-random
+    // subsets of a 12-shingle vocab, with planted near-dup and subset
+    // pairs so the truth set is non-trivial at every threshold.
+    import org.apache.spark.sql.functions.{col, size}
+    val spark2 = spark; import spark2.implicits._
+    val vocab = (0L until 12L).toSeq
+    // deterministic "random" subsets: doc d keeps shingle v iff a fixed
+    // linear-congruential mix of (d, v) clears a modulus — no RNG
+    def keeps(d: Long, v: Long): Boolean = ((d * 2654435761L + v * 40503L) % 97) < 55
+    val organic = (1L to 30L).map(d => d -> vocab.filter(v => keeps(d, v)))
+      .filter(_._2.size >= 2)
+    val planted: Seq[(Long, Seq[Long])] = Seq(
+      101L -> Seq(0L, 1L, 2L, 3L, 4L, 5L),
+      102L -> Seq(0L, 1L, 2L, 3L, 4L, 6L),   // J(101,102)=5/7
+      103L -> Seq(0L, 1L, 2L, 3L),           // contained in 101 and 102
+      104L -> vocab,                         // container of everything
+      105L -> vocab)                         // exact dup of 104
+    val sets: Map[Long, Seq[Long]] = (organic ++ planted).toMap
+    val sgd = sets.toSeq.map { case (d, s) => (d, s) }.toDF("doc_id", "sg")
+      .withColumn("n", size(col("sg")).cast("long"))
+    val hard = 1000 // nothing excluded: uniform df means no ultra tier
+    def bruteJ(thr: Double): Set[(Long, Long, Double)] = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = sets(a).toSet.intersect(sets(b).toSet).size if c > 0
+      j = math.floor(c.toDouble / (sets(a).size + sets(b).size - c) * 1e4 + 0.5) / 1e4
+      if j >= thr
+    } yield (a, b, j)).toSet
+    def bruteC(thr: Double): Set[(Long, Long, Double)] = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = sets(a).toSet.intersect(sets(b).toSet).size if c > 0
+      cm = math.floor(c.toDouble / sets(a).size * 1e4 + 0.5) / 1e4
+      if cm >= thr
+    } yield (a, b, cm)).toSet
+    for (thr <- Seq(0.3, 0.5, 0.7, 0.9, 1.0)) {
+      val gotJ = Dedup.jaccardPairs(sgd, hard, thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotJ == bruteJ(thr), s"jaccard thr=$thr: got $gotJ want ${bruteJ(thr)}")
+      val gotC = Dedup.containmentPairs(sgd, hard, thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(gotC == bruteC(thr), s"containment thr=$thr: got $gotC want ${bruteC(thr)}")
+    }
+    // fixture sanity: df really is saturated-uniform (every shingle in
+    // >40% of docs) and the planted structure survives into the truth set
+    val df = sets.values.flatten.groupBy(identity).map(_._2.size)
+    assert(df.min > sets.size * 2 / 5, s"df not uniform-saturated: min ${df.min}")
+    assert(bruteJ(0.7).contains((101L, 102L, 0.7143)))
+    assert(bruteC(1.0).exists(p => p._1 == 103L) && bruteJ(1.0).contains((104L, 105L, 1.0)))
+  }
+
   test("containment dominates Jaccard: every corpus Jaccard pair appears in both directions") {
     // J(a,b) = c/(na+nb-c) <= c/na = C(a→b) pointwise (nb >= c always),
     // and round is monotone — so every round-4 Jaccard >= 0.9 pair must
