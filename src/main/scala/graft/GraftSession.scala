@@ -63,6 +63,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Shuffles PLAN at 512 partitions and AQE coalesces down (its
+      // parallelism-first default keeps >= the core count for small
+      // stages), so a data-heavy exchange gets many small per-task sorts
+      // instead of 32 huge ones. The r9 sf5 run is the motivating
+      // failure: a 19 GB verify-join shuffle at 32 static partitions
+      // meant 600 MB unsafe sorts per task, 32 concurrent, which spilled
+      // then OOM'd the spill-merge read-ahead in an 8 GiB heap; at 512
+      // initial partitions the same stage is ~40 MB per task and never
+      // spills. On a 1000-executor cluster this is the same 2-3x
+      // total-cores starting point the scaladoc above prescribes.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
