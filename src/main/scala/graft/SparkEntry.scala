@@ -242,6 +242,10 @@ object SparkEntry {
     "wh_mutation_delete" -> (Warehouse.mutationDelete _),
     // global ROC AUC via Mann-Whitney U — no per-row ranks materialized
     "q_auc" -> (Analytics.auc _),
+    // Round-9 widening: exact two-sample KS over one shared range
+    // exchange; LIMIT-n-BY-key through the bounded-heap TopKPerKeyExec
+    "q_ks_test" -> (Analytics.ksTest _),
+    "q_limit_by" -> (Olap.limitByCustomer _),
   )
 
   private val tokCte =
@@ -1537,6 +1541,38 @@ object SparkEntry {
         |       CAST(sum(p) AS BIGINT) AS pos_n,
         |       CAST(sum(n) AS BIGINT) AS neg_n
         |FROM o""".stripMargin,
+    // both empirical CDFs cumulate over the same score order; the gap
+    // argmax is decided on exact integers (DuckDB sums promote to
+    // HUGEINT, matching the Spark side's DECIMAL(38,0)) and D is one
+    // IEEE division rounded to 1e-4 — the q_auc drill
+    "q_ks_test" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+        |           FROM events WHERE event_type IN ('purchase', 'view')
+        |           GROUP BY 1),
+        |o AS (SELECT sum(np) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |        sum(nv) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        |      FROM c),
+        |t AS (SELECT max(cp) AS pos_n, max(cv) AS view_n FROM o)
+        |SELECT CASE WHEN t.pos_n > 0 AND t.view_n > 0 THEN
+        |         round(CAST(max(abs(o.cp * t.view_n - o.cv * t.pos_n)) AS DOUBLE) /
+        |               (CAST(t.pos_n AS DOUBLE) * CAST(t.view_n AS DOUBLE)), 4)
+        |       END AS ks_d,
+        |       CAST(t.pos_n AS BIGINT) AS pos_n,
+        |       CAST(t.view_n AS BIGINT) AS view_n
+        |FROM o, t GROUP BY t.pos_n, t.view_n""".stripMargin,
+    // row_number under the same (price desc, orderkey) total order the
+    // Spark side heaps by — tie-free, so heap == window == DuckDB
+    "q_limit_by" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
     // the watermark drop rule replayed in batch: the late slice
     // (event_id % 50 = 0, delivered behind a 2030 watermark) must be
     // exactly what the stream's result is missing

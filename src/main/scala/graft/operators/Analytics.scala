@@ -945,6 +945,51 @@ object Analytics {
         col("pos_n"), col("neg_n"))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic (ClickHouse
+    * `kolmogorovSmirnovTest`): the largest gap between the purchase and
+    * view empirical value-CDFs — "do purchases and views draw from the
+    * same spend distribution" as one number, the distribution-level
+    * sibling of [[auc]]'s rank-level Mann-Whitney U.
+    *
+    * `D = max over scores of |F_p(s) - F_v(s)|`, evaluated only at the
+    * observed scores (the sup of a difference of step functions is
+    * attained at a step). Scale shape mirrors [[auc]]: one
+    * (score -> purchase count, view count) aggregation is the only
+    * row-scaled shuffle (map-side combined, score domain =
+    * price-domain-bounded cent values); BOTH cumulative counts then ride
+    * ONE range exchange through [[GlobalRank.prefixSummedAll]] (per-slice
+    * offsets = P pairs of longs, never rows); the finish is one scalar
+    * max-aggregate. Cross-engine float contract: the per-score gap is
+    * compared as the EXACT integer `|cp*V - cv*P|` (cp, cv are long-safe
+    * counts; the cross product is held as DECIMAL(38,0) since P*V ~ n²
+    * outgrows BIGINT past n ~ 3e9 — DuckDB promotes to HUGEINT, same
+    * drill as [[auc]]'s u2), so the argmax is decided on integers; D is
+    * then ONE IEEE division rounded to 1e-4. A single-class corpus has no
+    * defined D: both engines return NULL by contract. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = Tables(spark, dir).events
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(expr("cast(round(value * 100) as bigint)").as("score"),
+        (col("event_type") === "purchase").cast("long").as("is_p"))
+      .groupBy("score")
+      .agg(sum("is_p").as("np"), sum(lit(1L) - col("is_p")).as("nv"))
+    val cum = GlobalRank.prefixSummedAll(perScore,
+      Seq(col("np") -> "cp", col("nv") -> "cv"), col("score"))
+    // totals = the last cumulative value of each CDF (cum is cached by
+    // prefixSummedAll, so this is a cheap re-read, not a recompute)
+    val tot = cum.agg(max("cp").as("pos_n"), max("cv").as("view_n"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("pos_n", "view_n")
+      .agg(max(abs(col("cp").cast("decimal(38,0)") * col("view_n") -
+        col("cv").cast("decimal(38,0)") * col("pos_n"))).as("m"))
+      .select(
+        when(col("pos_n") > 0 && col("view_n") > 0,
+          round(col("m").cast("double") /
+            (col("pos_n").cast("double") * col("view_n").cast("double")), 4))
+          .as("ks_d"),
+        col("pos_n"), col("view_n"))
+  }
+
   /** Shannon entropy of a value distribution (ClickHouse `entropy`):
     * how concentrated each event type's traffic is across users — the
     * diversity gauge next to [[distinctUsers]]'s plain count.

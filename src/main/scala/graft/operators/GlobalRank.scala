@@ -86,34 +86,56 @@ object GlobalRank {
     * the within-slice running sum (a window PARTITIONED by slice — never
     * a single-partition WindowExec). This is the scalable backbone for
     * sequence packing / byte-offset assignment over a whole corpus. */
-  def prefixSummed(df: DataFrame, value: Column, out: String, sortCols: Column*): DataFrame = {
+  def prefixSummed(df: DataFrame, value: Column, out: String, sortCols: Column*): DataFrame =
+    prefixSummedAll(df, Seq(value -> out), sortCols: _*)
+
+  /** Several prefix sums over ONE range exchange: each `(value, out)` pair
+    * gets its own global running sum, but the slicing, local sorts, and
+    * the per-slice-totals collect (P rows of k longs) are shared — the
+    * k-column generalization [[Analytics.ksTest]] needs (its two empirical
+    * CDFs must cumulate over the SAME score order; two prefixSummed calls
+    * would pay the range shuffle twice and could even sample different
+    * slice boundaries). */
+  def prefixSummedAll(df: DataFrame, values: Seq[(Column, String)],
+      sortCols: Column*): DataFrame = {
     require(sortCols.nonEmpty, "prefix sum needs a (total) sort order")
-    require(!df.columns.contains("__v") && !df.columns.contains("__pid"),
-      "prefix sum reserves the working columns __v/__pid; rename them in the input")
+    require(values.nonEmpty, "prefix sum needs at least one value column")
+    val work = values.indices.map(i => s"__v$i") :+ "__pid"
+    require(!work.exists(df.columns.contains),
+      s"prefix sum reserves the working columns ${work.mkString("/")}; rename them in the input")
     val p = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    val in = GraftSession.trackCache(df.withColumn("__v", value))
+    val in = GraftSession.trackCache(values.zipWithIndex.foldLeft(df) {
+      case (d, ((v, _), i)) => d.withColumn(s"__v$i", v)
+    })
     // the per-slice offsets are carried as exact longs; an integral value
     // column is a hard requirement, not a cast we can paper over (a double
     // prefix sum would also be order-sensitive and non-reproducible)
-    in.schema("__v").dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
-      case t => throw new IllegalArgumentException(
-        s"prefix sum needs an integral value column (sums read as long); got $t")
+    values.indices.foreach { i =>
+      in.schema(s"__v$i").dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+        case t => throw new IllegalArgumentException(
+          s"prefix sum needs an integral value column (sums read as long); got $t for ${values(i)._2}")
+      }
     }
     val sliced = GraftSession.trackCache(
       in.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
-    val totals = sliced.groupBy("__pid").agg(sum("__v").cast("long").as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
-    val offMap = map(offsets.flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
-    val local = sum(col("__v")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("__pid")
-        .orderBy(sortCols: _*).rowsBetween(Long.MinValue, 0))
-    sliced
-      .withColumn(out, element_at(offMap, col("__pid")) + local)
-      .drop("__pid", "__v")
+    val totals = sliced.groupBy("__pid")
+      .agg(sum(s"__v0").cast("long").as("t0"),
+        values.indices.tail.map(i => sum(s"__v$i").cast("long").as(s"t$i")): _*)
+      .collect()
+      .map(r => (r.getInt(0), values.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val summed = values.indices.foldLeft(sliced) { case (d, i) =>
+      val offsets = totals.map(_._1).zip(totals.map(_._2(i)).scanLeft(0L)(_ + _))
+      val offMap = map(offsets.flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
+      val local = sum(col(s"__v$i")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__pid")
+          .orderBy(sortCols: _*).rowsBetween(Long.MinValue, 0))
+      d.withColumn(values(i)._2, element_at(offMap, col("__pid")) + local)
+    }
+    summed.drop(work: _*)
   }
 
   private def ranked(df: DataFrame, out: String, sortCols: Seq[Column])(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -222,5 +223,27 @@ object Olap {
         .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
       .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** ClickHouse `LIMIT 3 BY o_custkey`: each customer's three priciest
+    * orders — per-key top-N as a QUERY shape, written as the declarative
+    * row_number-then-filter pattern so [[graft.plans.TopKPerKeyRewrite]]
+    * replaces the WindowExec sort with the bounded-heap
+    * [[graft.plans.TopKPerKeyExec]] (one custkey shuffle, O(n log k) per
+    * key, no partition sort — the custom physical operator under the
+    * driver's SQL oracle, not just the ANN rerank specs). The sort key
+    * (price desc, orderkey) is total, so heap output == window output
+    * row-for-row and DuckDB's row_number agrees. The rank column is cast
+    * to long AFTER the bound filter — the rewrite pattern matches the raw
+    * integer row_number attribute. */
+  def limitByCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk").cast("long").as("rnk"))
   }
 }
