@@ -74,6 +74,17 @@ object GraftSession {
       // spills. On a 1000-executor cluster this is the same 2-3x
       // total-cores starting point the scaladoc above prescribes.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // REQUIRED COMPANION of the 512 above: cached plans refuse AQE
+      // output-partitioning changes by default, so every trackCache'd
+      // aggregate was MATERIALIZING at 512 uncoalesced partitions and
+      // every downstream stage ran 512 tiny tasks — q_ntile went 1.1 s →
+      // 3.6 s (A/B, min of 3, fresh JVMs per config). With the flag on,
+      // AQE coalesces through InMemoryRelation too (512/true measures
+      // FASTER than the old static-32 on the GlobalRank family). Safe for
+      // the partition-id-dependent GlobalRank caches: both sit on
+      // explicit-count repartitionByRange (REPARTITION_BY_NUM), which
+      // coalescing never touches.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
