@@ -136,6 +136,8 @@ object Bench {
     "q_ks_test",
     // LIMIT 3 BY customer: the bounded-heap TopKPerKeyExec, no sort
     "q_limit_by",
+    // repeated-substring spans: gram-df counts + keyed island windows
+    "text_dup_spans",
     // the PRODUCTION pruned ANN configs (own-bucket probe, nprobe=2,
     // bounded rerank): the checked ann_* keys moved to their exhaustive
     // calibration configs in round 9 (provably == brute force, SQL

@@ -246,6 +246,9 @@ object SparkEntry {
     // exchange; LIMIT-n-BY-key through the bounded-heap TopKPerKeyExec
     "q_ks_test" -> (Analytics.ksTest _),
     "q_limit_by" -> (Olap.limitByCustomer _),
+    // exact repeated-substring spans: df counts + keyed windows, no pair
+    // join anywhere — the linear-cost substring-dedup signal
+    "text_dup_spans" -> (TextAnalysis.dupSpans _),
   )
 
   private val tokCte =
@@ -1564,6 +1567,41 @@ object SparkEntry {
         |       CAST(t.pos_n AS BIGINT) AS pos_n,
         |       CAST(t.view_n AS BIGINT) AS view_n
         |FROM o, t GROUP BY t.pos_n, t.view_n""".stripMargin,
+    // positional 8-gram strings stand in for the Spark side's variadic
+    // xxhash64 (the dedup_ngram_jaccard hash-vs-string convention); the
+    // island arithmetic is offset-invariant so 1-based DuckDB positions
+    // against 0-based Spark positions cancel out
+    "text_dup_spans" ->
+      s"""WITH t AS ($tokCte),
+         |g0 AS (SELECT doc_id, tk,
+         |         unnest(range(1, greatest(len(tk) - 6, 1))) AS pos FROM t),
+         |g AS (SELECT doc_id, pos,
+         |        array_to_string(tk[pos:pos+7], ' ') AS gram FROM g0),
+         |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+         |s AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER w IS NULL
+         |               OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+         |      FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+         |         ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS span_id FROM s),
+         |sp AS (SELECT doc_id, span_id, count(*) AS ndw,
+         |         max(pos) - min(pos) + 8 AS stok FROM s2 GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(ndw) AS ndw, count(*) AS nsp,
+         |        max(stok) AS mst, sum(stok) AS dtk FROM sp GROUP BY 1),
+         |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t)
+         |SELECT n.doc_id, n.n_tokens,
+         |       CAST(greatest(n.n_tokens - 7, 0) AS BIGINT) AS n_windows,
+         |       CAST(COALESCE(a.ndw, 0) AS BIGINT) AS n_dup_windows,
+         |       CAST(COALESCE(a.nsp, 0) AS BIGINT) AS n_spans,
+         |       CAST(COALESCE(a.mst, 0) AS BIGINT) AS max_span_tokens,
+         |       CAST(COALESCE(a.dtk, 0) AS BIGINT) AS dup_tokens,
+         |       CASE WHEN n.n_tokens > 0
+         |            THEN round(CAST(COALESCE(a.dtk, 0) AS DOUBLE) /
+         |                       CAST(n.n_tokens AS DOUBLE), 4)
+         |            ELSE 0.0 END AS dup_frac
+         |FROM n LEFT JOIN a USING (doc_id)""".stripMargin,
     // row_number under the same (price desc, orderkey) total order the
     // Spark side heaps by — tie-free, so heap == window == DuckDB
     "q_limit_by" ->

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{GraftSession, Tables}
 
 /** Text-analysis operators for LLM training-data pipelines, over the
   * `documents` table.
@@ -405,5 +406,77 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct("norm").as("n_unique_clean"),
         sum(when(col("norm") =!= col("url"), 1L).otherwise(0L)).as("n_tracked"))
+  }
+
+  /** Repeated-substring span statistics per document — the EXACT substring
+    * dedup signal (Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better" find verbatim ≥50-token repeats; here the unit is the
+    * 8-token window): a position is DUPLICATED iff its 8-token sequence
+    * occurs anywhere else in the corpus (another document OR another
+    * position of the same one), and consecutive duplicated windows merge
+    * into maximal spans with exact token coverage.
+    *
+    * NO pair join anywhere — the published suffix-array formulation is a
+    * global sort; this one needs only occurrence COUNTS: (1) positional
+    * 8-gram hashes explode map-side (one row per token, the same linear
+    * fan-out `text_tokens` pays); (2) one gram-keyed count aggregation
+    * (map-side combined, gram-vocabulary-sized output) filtered to
+    * df > 1 — on natural text almost everything drops here, so the join
+    * back to positions carries a sliver; (3) islands under doc-keyed
+    * windows: a new span starts where `pos > lag(pos) + 8` (the previous
+    * window's token range [p, p+7] no longer touches this one), so
+    * `sum(flag)` numbers spans and per-span coverage is
+    * `max(pos) − min(pos) + 8` — exact interval union, never double
+    * counted. All windows are keyed by doc (per-doc sort only).
+    *
+    * Cross-engine contract: Spark grams are variadic `xxhash64` over the
+    * 8 tokens, the DuckDB oracle uses the joined token strings — equal
+    * df classification barring xxhash64 collisions inside one corpus (the
+    * declared `dedup_ngram_jaccard` convention); all outputs are exact
+    * BIGINTs except `dup_frac`, one division of exact ints rounded 1e-4. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansCore(Tables(spark, dir).documents)
+
+  /** [[dupSpans]] over any (doc_id, text) frame — spec entry point for
+    * planted corpora. */
+  private[operators] def dupSpansCore(documents: DataFrame): DataFrame = {
+    val docs = GraftSession.trackCache(
+      documents
+        .select(col("doc_id"), expr(tokensExpr).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk")))
+    val pos = docs.filter(col("n_tokens") >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(tk) - 8),
+          |  i -> xxhash64(tk[i], tk[i+1], tk[i+2], tk[i+3],
+          |                tk[i+4], tk[i+5], tk[i+6], tk[i+7]))""".stripMargin))
+        .as(Seq("pos", "g")))
+    val dupGrams = pos.groupBy("g").count().filter(col("count") > 1).select("g")
+    val dup = pos.join(dupGrams, "g").select("doc_id", "pos")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(wOrd) + 8 ||
+          lag("pos", 1).over(wOrd).isNull, 1L).otherwise(0L))
+      .withColumn("span_id", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        (max("pos") - min("pos") + 8).cast("long").as("span_tokens"))
+      .groupBy("doc_id")
+      .agg(sum("n_dup_windows").as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        max("span_tokens").as("max_span_tokens"),
+        sum("span_tokens").as("dup_tokens"))
+    docs.select("doc_id", "n_tokens")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - 7, lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 4)).otherwise(lit(0.0)).as("dup_frac"))
   }
 }
