@@ -144,7 +144,18 @@ object Bench {
     // oracle), so the configs a user would actually ship get their own
     // bench-only timings here — the judge sees both the verified shape
     // and the pruned shape's cost, per round
-    "ann_lsh_pruned", "ann_ivf_pruned", "ann_pq_pruned", "ann_ivfpq_pruned")
+    "ann_lsh_pruned", "ann_ivf_pruned", "ann_pq_pruned", "ann_ivfpq_pruned",
+    // round-9 continuation: the -If battery / bit folds / capped
+    // distinct / Markov rollup (one or two small exchanges each)
+    "q_cond_agg", "q_bit_ops", "q_uniq_upto", "q_transition_matrix",
+    // UPDATE mutation: range layout write + stats pass + surgical rewrite
+    "wh_mutation_update",
+    // pow-2 batch-shape planning: one map-side token count + tiny agg
+    "pipeline_length_buckets",
+    // dimension-sized fuzzy match (300 pairs regardless of fact scale)
+    "text_edit_distance",
+    // hashing-trick vectorizer: token explode + (doc, dim) aggregate
+    "text_hashed_bow")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

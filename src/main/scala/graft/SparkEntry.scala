@@ -249,6 +249,19 @@ object SparkEntry {
     // exact repeated-substring spans: df counts + keyed windows, no pair
     // join anywhere — the linear-cost substring-dedup signal
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
+    // Round-9 continuation: the -If combinator battery, bitwise
+    // aggregates, capped distinct, and the Markov transition rollup
+    "q_cond_agg" -> (Analytics.condAgg _),
+    "q_bit_ops" -> (Analytics.bitOps _),
+    "q_uniq_upto" -> ((s, d) => Analytics.uniqUpTo(s, d)),
+    "q_transition_matrix" -> (Analytics.transitionMatrix _),
+    // ALTER TABLE UPDATE — the delete's sibling surgical-rewrite mutation
+    "wh_mutation_update" -> (Warehouse.mutationUpdate _),
+    // pow-2 batch-shape planning, dimension fuzzy matching, and the
+    // dictionary-free hashing-trick vectorizer
+    "pipeline_length_buckets" -> (Pipeline.lengthBuckets _),
+    "text_edit_distance" -> (TextAnalysis.editDistancePairs _),
+    "text_hashed_bow" -> (TextAnalysis.hashedBow _),
   )
 
   private val tokCte =
@@ -1660,5 +1673,83 @@ object SparkEntry {
         |                * (x - floor(x / scale + 0.5) * scale) * 1e12 + 0.5) AS BIGINT))) AS BIGINT)
         |  ELSE 0 END AS sse_q12
         |FROM s""".stripMargin,
+    // every conditional is a FILTER/CASE inside the aggregate — one scan;
+    // purchase revenue on the exact-cents contract (CAST AS DOUBLE before
+    // the /100.0 — the q_grouping_sets decimal-vs-double lesson)
+    "q_cond_agg" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |    / 100.0 AS purchase_value,
+        |  CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+        |  round(avg(value) FILTER (WHERE value > 50), 4) AS avg_high_value
+        |FROM events GROUP BY 1""".stripMargin,
+    // associative + commutative exact BIGINT folds — engine-agnostic
+    "q_bit_ops" ->
+      """SELECT event_type,
+        |  CAST(bit_and(user_id) AS BIGINT) AS users_bit_and,
+        |  CAST(bit_or(user_id) AS BIGINT) AS users_bit_or,
+        |  CAST(bit_xor(user_id) AS BIGINT) AS users_bit_xor,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    // uniqUpTo(50): exact while <= 50, the 51 sentinel beyond — the
+    // corpus' 42-67 per-slice spread exercises both branches
+    "q_uniq_upto" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(least(count(DISTINCT user_id), 51) AS BIGINT) AS uniq_upto
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // lag under the (epoch micros, event_id) total order both engines
+    // declare; p is one division of exact BIGINTs rounded once
+    "q_transition_matrix" ->
+      """WITH s AS (SELECT user_id, event_type AS to_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS from_type
+        |           FROM events),
+        |p AS (SELECT from_type, to_type, count(*) AS n_transitions
+        |      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+        |  round(CAST(n_transitions AS DOUBLE) /
+        |        CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+        |FROM p""".stripMargin,
+    // the same deterministic victim as wh_mutation_delete; the CASE
+    // replays the doubled-cents transform over the raw rows — equality
+    // proves the rewrite touched exactly the victim's rows
+    "wh_mutation_update" ->
+      """WITH v AS (SELECT min(user_id) AS victim FROM events WHERE user_id % 97 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN user_id IS NOT DISTINCT FROM v.victim
+        |                THEN CAST(round(value * 100) AS BIGINT) * 2
+        |                ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sum_cents
+        |FROM events, v GROUP BY 1""".stripMargin,
+    // ceil(log2(n)) over exact integers bins identically in any IEEE
+    // engine; everything after is BIGINT
+    "pipeline_length_buckets" ->
+      s"""WITH t AS ($tokCte),
+         |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+         |b AS (SELECT doc_id, n_tokens,
+         |        CAST(pow(2, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT) AS bucket_cap
+         |      FROM n)
+         |SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(bucket_cap - n_tokens) AS BIGINT) AS pad_waste
+         |FROM b GROUP BY 1""".stripMargin,
+    // unit-cost Levenshtein DP — exact integer in both engines
+    "text_edit_distance" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+        |FROM nation a, nation b WHERE a.n_name < b.n_name""".stripMargin,
+    // dim = (first two md5 hex nibbles of the TOKEN) mod 64 — the
+    // engine-portable hashing-trick contract (bucket256's idiom)
+    "text_hashed_bow" ->
+      s"""WITH t AS ($tokCte),
+         |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+         |d AS (SELECT doc_id,
+         |        CAST(((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         |            + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) % 64 AS BIGINT) AS dim
+         |      FROM e)
+         |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS n
+         |FROM d GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1166,4 +1166,96 @@ object Analytics {
         sum("n").as("n_events"))
       .select("event_type", "delta_sum_cents", "n_events")
   }
+
+  /** Conditional aggregates (ClickHouse `countIf`/`sumIf`/`avgIf` — the
+    * `-If` combinator family): one daily scan answering several filtered
+    * questions at once instead of one scan per filter. Every conditional
+    * is a `when` INSIDE the aggregate, so the whole battery is a single
+    * partial/final HashAggregate pair over one pass of the corpus — the
+    * reason the combinator family exists. `avgIf` over an empty slice is
+    * NULL (both engines' FILTER/if convention), not 0. Purchase revenue
+    * follows the exact-cents contract (its magnitude grows with the
+    * corpus; the per-day high-value average divides a bounded-magnitude
+    * sum and stays on the plain double contract like [[sample]]). */
+  def condAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"),
+        (sum(when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L)) / 100.0)
+          .as("purchase_value"),
+        count(when(col("value") > 50d, lit(1))).as("n_high"),
+        round(avg(when(col("value") > 50d, col("value"))), 4).as("avg_high_value"))
+
+  /** Bitwise aggregates (ClickHouse `groupBitAnd`/`groupBitOr`/
+    * `groupBitXor`): fold every user id of an event type through AND /
+    * OR / XOR — the flag-mask rollup (which permission bits are shared
+    * by ALL members, present in ANY, toggled an odd number of times).
+    * All three folds are associative and commutative over exact BIGINTs,
+    * so partial aggregation is free, the result is
+    * shuffle-order-independent, and any engine agrees bit-for-bit —
+    * the cheapest possible distributive aggregate: one scan, one
+    * type-keyed exchange of 5 rows. XOR folds every EVENT row (odd
+    * multiplicity parity); AND/OR are idempotent so duplicates are
+    * harmless either way. */
+  def bitOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(
+        expr("bit_and(user_id)").as("users_bit_and"),
+        expr("bit_or(user_id)").as("users_bit_or"),
+        expr("bit_xor(user_id)").as("users_bit_xor"),
+        count(lit(1)).as("n_events"))
+
+  /** Capped distinct count (ClickHouse `uniqUpTo(N)`): per (event type,
+    * day), the exact distinct-user count while it is ≤ N, and the
+    * sentinel N+1 once it exceeds N — "did this slice clear the
+    * threshold" without carrying unbounded distinct state. The engine's
+    * point is BOUNDED per-group state (it stops collecting at N+1
+    * elements); here the same contract rides the two-exchange exact
+    * shape [[distinctUsers]] uses — (key, user) collapse with partial
+    * aggregation, then a capped count — because Spark's sort-based
+    * distinct never holds a per-group set in memory at all, which is
+    * the stronger bound. The cap then matters only to the ANSWER (the
+    * engine-compatibility sentinel), not to feasibility. N = 50 sits
+    * inside this corpus' 42–67 per-slice spread, so both branches of
+    * the contract are exercised. */
+  def uniqUpTo(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("event_type", "day")
+      .agg(least(count(lit(1)), lit(n.toLong + 1L)).as("uniq_upto"))
+
+  /** Behavioral transition matrix (the Markov-chain rollup ClickHouse
+    * sites build from `neighbor()`/window chains): for each ordered pair
+    * of event types, how often does type A immediately precede type B in
+    * one user's timeline, and what fraction of A-transitions go to B —
+    * the session-model input for next-action prediction.
+    *
+    * Scale shape: the `lag` window is KEYED by user (task size = one
+    * user's history — the same per-entity bound every sessionize-family
+    * key rides), the pair aggregate collapses map-side to the |types|²
+    * key space, and the row-probability normalization is a window over
+    * the 25-row matrix frame, never raw rows. The declared total order
+    * is (epoch micros, event_id) — truncated-timestamp ties break
+    * identically in any engine. The probability is ONE division of two
+    * exact BIGINTs, rounded once. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pairs = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag("to_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val wRow = Window.partitionBy("from_type")
+    pairs.select(col("from_type"), col("to_type"), col("n_transitions"),
+      round(col("n_transitions").cast("double") /
+        sum("n_transitions").over(wRow).cast("double"), 4).as("p"))
+  }
 }

@@ -279,4 +279,28 @@ object Pipeline {
       .select(col("doc_id"), col("pred_lang"), col("n_copies"),
         explode(expr("sequence(1L, n_copies)")).as("copy_ord"))
   }
+
+  /** Power-of-two length bucketing (`pipeline_length_buckets`) — the
+    * batch-shape planning pass before [[pack]]: documents bin by
+    * token count into pow-2 capacity buckets (the padded-batch sizes a
+    * trainer actually allocates), and each bucket reports its document
+    * count, true token mass, and PADDING WASTE (capacity minus tokens,
+    * summed) — the number that decides whether sequence packing is
+    * worth running on a stratum. One map-side token count per doc (no
+    * tokens ever explode), one aggregate exchange over the ~log(max_len)
+    * bucket vocabulary. Cross-engine contract: `ceil(log2(n))` on exact
+    * integers — log2 of a power of two is IEEE-exact and ceil of the
+    * irrational remainder is unambiguous, so both engines bin
+    * identically; everything after is BIGINT. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir).documents
+      .select(col("doc_id"),
+        expr(s"cast(size(${TextAnalysis.tokensExpr}) as bigint)").as("n_tokens"))
+      .withColumn("bucket_cap",
+        expr("cast(pow(2, ceil(log2(greatest(n_tokens, 1)))) as bigint)"))
+      .groupBy("bucket_cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum(col("bucket_cap") - col("n_tokens")).as("pad_waste"))
 }

@@ -479,4 +479,53 @@ object TextAnalysis {
           round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
             col("n_tokens").cast("double"), 4)).otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Fuzzy dimension matching by edit distance (ClickHouse
+    * `editDistance`, `text_edit_distance`): every unordered pair of
+    * nation names with its Levenshtein distance — the
+    * dictionary-reconciliation shape (matching free-text country
+    * mentions against a canonical dimension; CHAD↔CHINA at distance 3,
+    * not a corpus-side near-dup pass — that is
+    * [[graft.operators.Dedup.ngramJaccard]]'s job at corpus width).
+    * Scale shape: DIMENSION-sized all-pairs — |dim|² of a 25-row
+    * broadcast table is 300 pairs no matter how big the fact data gets,
+    * so the cross join is the honest plan; a corpus-side fuzzy join
+    * would go through shingle candidates first. `levenshtein` is the
+    * standard unit-cost DP — exact integer, identical in any engine. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir).nation.select(col("n_name"))
+    val a = n.select(col("n_name").as("name_a"))
+    val b = n.select(col("n_name").as("name_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"))
+  }
+
+  /** Feature-hashing bag-of-words (`text_hashed_bow`) — the hashing
+    * trick: each token maps to one of 64 dimensions by a hash of the
+    * TOKEN (not a learned vocabulary), so the featurizer needs no
+    * dictionary pass, no driver state, and new tokens never resize
+    * anything — the classic streaming-friendly vectorizer
+    * (HashingVectorizer / Vowpal Wabbit). Emitted sparse as
+    * (doc_id, dim, n) rows — the layout a downstream trainer scans —
+    * rather than a dense array column (which the driver's comparator
+    * cannot hash, the `emb_pca` lesson).
+    *
+    * Scale shape: tokens explode map-side and collapse in ONE partial/
+    * final aggregate keyed by (doc_id, dim) — ≤64 rows per doc reach
+    * the exchange, the same per-doc-bounded shuffle every text key
+    * rides. Cross-engine hash contract: dim = (first two md5 hex
+    * nibbles of the token) mod 64 — the md5-based determinism
+    * [[graft.operators.Pipeline]] `bucket256` established, reproducible
+    * in any engine (Spark's `hash()` is Murmur3-with-Spark-seed and
+    * would pin the contract to one engine). */
+  def hashedBow(spark: SparkSession, dir: String): DataFrame =
+    withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % 64L)
+          .as("dim"))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("n"))
 }

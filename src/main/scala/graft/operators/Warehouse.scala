@@ -489,6 +489,12 @@ object Warehouse {
     p
   }
 
+  private lazy val updateDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-update")
+    graft.TempSweep.register(p)
+    p
+  }
+
   /** (gen0, gen1) of the last mutation — WarehouseSpec checks the
     * untouched-part carry-over really is a hard link (shared inode). */
   private[graft] def mutationGens: (java.nio.file.Path, java.nio.file.Path) =
@@ -519,8 +525,62 @@ object Warehouse {
     * deterministic (min user id divisible by 97), so both engines
     * target the same rows. */
   def mutationDelete(spark: SparkSession, dir: String): DataFrame = {
+    val (gen1, counts) = surgicalMutation(spark, dir, mutationDir) {
+      (affected, victim) => affected.filter(col("user_id") =!= victim)
+    }
+    mutationCounts = counts
+    spark.read.parquet(gen1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
+  }
+
+  /** (gen0, gen1) of the last update mutation + its (total, rewritten)
+    * file counts — WarehouseSpec asserts the update was surgical too. */
+  private[graft] def updateGens: (java.nio.file.Path, java.nio.file.Path) =
+    (updateDir.resolve("gen0"), updateDir.resolve("gen1"))
+  @volatile private[graft] var updateCounts: (Int, Int) = (0, 0)
+
+  /** Row-level UPDATE as a SURGICAL file rewrite (`wh_mutation_update`)
+    * — `ALTER TABLE ... UPDATE v = f(v) WHERE ...`, the delete's
+    * sibling mutation sharing the identical part discipline: per-file
+    * range statistics localize the predicate, only range-hit parts are
+    * rewritten (with the transform applied to matching rows and
+    * everything else carried verbatim), untouched parts hard-link over.
+    * The mutation doubles the victim user's value cents — a pure
+    * BIGINT transform, so the mutated table reproduces bit-for-bit and
+    * the oracle can replay it with a CASE over the raw rows. At 100 TB
+    * the shape is the point: an UPDATE's cost is proportional to the
+    * parts that CAN match, not to the table. */
+  def mutationUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val (gen1, counts) = surgicalMutation(spark, dir, updateDir) {
+      (affected, victim) => affected.withColumn("v_cents",
+        when(col("user_id") === victim, col("v_cents") * 2L)
+          .otherwise(col("v_cents")))
+    }
+    updateCounts = counts
+    spark.read.parquet(gen1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
+  }
+
+  /** The shared ALTER-TABLE mutation machinery behind [[mutationDelete]]
+    * and [[mutationUpdate]]: (1) write the user_id-range-clustered gen0
+    * layout (16 sorted parts — per-file min/max localize any point
+    * predicate to ~one file); (2) locate the deterministic victim (min
+    * user id divisible by 97) from the already-written layout — column-
+    * pruned, never a second raw-table scan, degrading to a sentinel
+    * no row carries when no user qualifies (tiny smoke slices), which
+    * makes the mutation a clean no-op matching the oracle's
+    * IS DISTINCT FROM convention; (3) stats-partition the files into
+    * range-hit vs untouched; (4) untouched parts carry over by HARD
+    * LINK — the metadata-only re-link a table format's manifest commit
+    * performs, never a byte copy (Files.copy only as the link-less-
+    * filesystem fallback); (5) `rewrite` runs over ONLY the range-hit
+    * files. Returns the gen1 path and (total, rewritten) file counts. */
+  private def surgicalMutation(
+      spark: SparkSession, dir: String, root: java.nio.file.Path)(
+      rewrite: (DataFrame, Long) => DataFrame): (String, (Int, Int)) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = mutationDir
     val gen0 = root.resolve("gen0").toString
     val gen1 = root.resolve("gen1")
     graft.Tables(spark, dir).events
@@ -529,11 +589,6 @@ object Warehouse {
       .repartitionByRange(16, col("user_id"))
       .sortWithinPartitions("user_id")
       .write.mode("overwrite").parquet(gen0)
-    // victim lookup reads the already-written gen0 layout (column-pruned,
-    // range-clustered), not the raw table — no second full-table scan.
-    // No qualifying user (possible on tiny smoke slices) degrades to a
-    // sentinel no row carries, so the delete is a clean no-op — matching
-    // the oracle's IS DISTINCT FROM against a NULL victim.
     val vrow = spark.read.parquet(gen0)
       .filter(col("user_id") % 97 === 0)
       .agg(min("user_id")).collect()(0)
@@ -544,13 +599,8 @@ object Warehouse {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val (affected, untouched) = stats.partition { case (_, lo, hi) =>
       lo <= victim && victim <= hi }
-    mutationCounts = (stats.length, affected.length)
     graft.TempSweep.deleteRecursively(gen1)
     Files.createDirectories(gen1)
-    // untouched parts carry over by reference: a HARD LINK (gen0 and
-    // gen1 share the temp filesystem) — true metadata-only re-link, no
-    // byte movement, standing in for the manifest commit a table format
-    // would do. Copy only as a fallback for link-less filesystems.
     untouched.foreach { case (f, _, _) =>
       val src = Paths.get(new java.net.URI(f))
       val dst = gen1.resolve(src.getFileName)
@@ -559,11 +609,9 @@ object Warehouse {
         Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    // affected parts: filtered rewrite of ONLY those files
     if (affected.nonEmpty) {
       val tmp = root.resolve("rewrite")
-      spark.read.parquet(affected.map(_._1): _*)
-        .filter(col("user_id") =!= victim)
+      rewrite(spark.read.parquet(affected.map(_._1): _*), victim)
         .write.mode("overwrite").parquet(tmp.toString)
       val rewritten = Files.list(tmp)
       try rewritten.forEach { p =>
@@ -573,9 +621,7 @@ object Warehouse {
       } finally rewritten.close()
       graft.TempSweep.deleteRecursively(tmp)
     }
-    spark.read.parquet(gen1.toString)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
+    (gen1.toString, (stats.length, affected.length))
   }
 
   private lazy val summingDir: java.nio.file.Path = {
