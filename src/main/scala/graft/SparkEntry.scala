@@ -262,6 +262,16 @@ object SparkEntry {
     "pipeline_length_buckets" -> (Pipeline.lengthBuckets _),
     "text_edit_distance" -> (TextAnalysis.editDistancePairs _),
     "text_hashed_bow" -> (TextAnalysis.hashedBow _),
+    // Round-9 wave 15: closed-form regression, robust spread, the
+    // asymmetric association coefficient, parallel LTTB downsampling
+    "q_linreg" -> (Analytics.linReg _),
+    "q_mad" -> (Analytics.mad _),
+    "q_theils_u" -> (Analytics.theilsU _),
+    "q_lttb" -> (Analytics.lttb _),
+    // partition lifecycle DDL as metadata-only directory renames
+    "wh_partition_ops" -> (Warehouse.partitionOps _),
+    // deterministic weight-proportional Poisson sample, RNG-free
+    "pipeline_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
   )
 
   private val tokCte =
@@ -1751,5 +1761,123 @@ object SparkEntry {
          |      FROM e)
          |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS n
          |FROM d GROUP BY 1, 2""".stripMargin,
+    // closed-form least squares on exact HUGEINT sums; every statistic
+    // is one fixed IEEE sequence on exactly-converted integers
+    "q_linreg" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(hour(ts)) AS HUGEINT) AS sx,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sy,
+        |  CAST(sum(hour(ts) * hour(ts)) AS HUGEINT) AS sxx,
+        |  sum(CAST(hour(ts) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS sxy,
+        |  sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(value * 100) AS BIGINT)) AS syy
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |        n * sxy - sx * sy AS num, n * sxx - sx * sx AS den_x,
+        |        n * syy - sy * sy AS den_y, sy * sxx - sx * sxy AS inum
+        |      FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den_x > 0
+        |    THEN round(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE), 6) END AS slope,
+        |  CASE WHEN den_x > 0
+        |    THEN round(CAST(inum AS DOUBLE) / CAST(den_x AS DOUBLE), 4) END AS intercept,
+        |  CASE WHEN den_x > 0 AND den_y > 0
+        |    THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |               / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 4) END AS r2
+        |FROM d""".stripMargin,
+    // both medians on the declared lower-median convention: min v whose
+    // doubled cumulative count reaches the group total — pure BIGINT
+    "q_mad" ->
+      """WITH coll AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |                count(*) AS c
+        |              FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(c) AS n FROM coll GROUP BY 1),
+        |cum AS (SELECT event_type, v,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+        |        FROM coll),
+        |med AS (SELECT event_type, min(v) AS median_cents
+        |        FROM cum JOIN tot USING (event_type)
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |dev AS (SELECT coll.event_type, abs(v - median_cents) AS v2, sum(c) AS c
+        |        FROM coll JOIN med USING (event_type) GROUP BY 1, 2),
+        |dtot AS (SELECT event_type, sum(c) AS n FROM dev GROUP BY 1),
+        |dcum AS (SELECT event_type, v2,
+        |           sum(c) OVER (PARTITION BY event_type ORDER BY v2) AS cum
+        |         FROM dev),
+        |mad AS (SELECT event_type, min(v2) AS mad_cents
+        |        FROM dcum JOIN dtot USING (event_type)
+        |        WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT event_type, CAST(median_cents AS BIGINT) AS median_cents,
+        |       CAST(mad_cents AS BIGINT) AS mad_cents
+        |FROM med JOIN mad USING (event_type)""".stripMargin,
+    // U = (T - Sx - Sy + Sxy) / (T - Sx) on exact integers: the N in
+    // both entropy scalings cancels; quantized log2 is the entropy drill
+    "q_theils_u" ->
+      """WITH cells AS (SELECT event_type, dayofweek(ts) AS dow, count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |q AS (SELECT sum(CAST(c AS HUGEINT)
+        |        * CAST(floor(log2(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sxy,
+        |        sum(c) AS n
+        |      FROM cells),
+        |mx AS (SELECT sum(CAST(cx AS HUGEINT)
+        |         * CAST(floor(log2(CAST(cx AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sx
+        |       FROM (SELECT event_type, sum(c) AS cx FROM cells GROUP BY 1)),
+        |my AS (SELECT sum(CAST(cy AS HUGEINT)
+        |         * CAST(floor(log2(CAST(cy AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sy
+        |       FROM (SELECT dow, sum(c) AS cy FROM cells GROUP BY 1)),
+        |f AS (SELECT n, sxy, sx, sy,
+        |        CAST(n AS HUGEINT)
+        |        * CAST(floor(log2(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS t
+        |      FROM q, mx, my)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN t - sx > 0
+        |    THEN round(CAST(t - sx - sy + sxy AS DOUBLE)
+        |               / CAST(t - sx AS DOUBLE), 4) END AS theils_u
+        |FROM f""".stripMargin,
+    // anchors quantized once to the integer grid by exact division; the
+    // area argmax decided on exact integers with a declared total-order
+    // tiebreak — row_number here == the bounded max_by there
+    "q_lttb" ->
+      """WITH pts AS (SELECT event_type, event_id, epoch_us(ts) AS tus,
+        |               CAST(round(value * 100) AS BIGINT) AS cents,
+        |               epoch_us(ts) // 43200000000 AS bucket
+        |             FROM events),
+        |a0 AS (SELECT event_type, bucket, sum(CAST(tus AS HUGEINT)) AS st,
+        |         sum(CAST(cents AS HUGEINT)) AS sc, count(*) AS n
+        |       FROM pts GROUP BY 1, 2),
+        |a1 AS (SELECT event_type, bucket, CAST(st // n AS BIGINT) AS ax,
+        |         CAST((sc * 100) // n AS BIGINT) AS ay
+        |       FROM a0),
+        |a2 AS (SELECT event_type, bucket,
+        |         lag(ax) OVER w AS ax_prev, lag(ay) OVER w AS ay_prev,
+        |         lead(ax) OVER w AS ax_next, lead(ay) OVER w AS ay_next
+        |       FROM a1 WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |c AS (SELECT p.event_type, p.bucket, p.event_id, p.cents, p.tus,
+        |        abs(CAST(p.tus - ax_prev AS HUGEINT) * (ay_next - ay_prev)
+        |            - CAST(ax_next - ax_prev AS HUGEINT) * (p.cents * 100 - ay_prev)) AS area2
+        |      FROM pts p JOIN a2 USING (event_type, bucket)
+        |      WHERE ax_prev IS NOT NULL AND ax_next IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+        |        ORDER BY area2 DESC, tus, event_id) AS rn FROM c)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, event_id,
+        |       cents AS sel_cents
+        |FROM r WHERE rn = 1""".stripMargin,
+    // visibility replay: dropped (01-20) + still-detached (01-12) days
+    // absent, the reattached day (01-05) present
+    "wh_partition_ops" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE CAST(ts AS DATE) NOT IN (DATE '2024-01-12', DATE '2024-01-20')
+        |GROUP BY 1""".stripMargin,
+    // the same md5-derived 24-bit uniform (hex CAST here, conv there)
+    // under the same integer threshold — deterministic Poisson inclusion
+    "pipeline_weighted_sample" ->
+      """WITH t AS (SELECT sum(n_chars) AS w_total FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS h24
+        |FROM documents, t
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      < (CAST(16777216 AS BIGINT) * 100 * n_chars) // w_total""".stripMargin,
   )
 }

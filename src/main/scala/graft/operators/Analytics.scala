@@ -1258,4 +1258,200 @@ object Analytics {
       round(col("n_transitions").cast("double") /
         sum("n_transitions").over(wRow).cast("double"), 4).as("p"))
   }
+
+  /** Per-group simple least squares (ClickHouse
+    * `simpleLinearRegression`): regress spend cents on hour-of-day per
+    * event type — slope (cents per hour), intercept, and r² from ONE
+    * scan of closed-form sums, the classic distributive-statistics
+    * shape ([[corr]]'s sibling with a fitted line instead of a
+    * coefficient).
+    *
+    * Scale shape: n, Σx, Σy, Σx², Σxy, Σy² are all
+    * associative-commutative folds — one partial/final HashAggregate
+    * pair, a |types|-row exchange, nothing else. Cross-engine float
+    * contract (the [[welchTTest]] drill): x ≤ 23 keeps Σx² long-safe
+    * at any corpus size, but Σxy and Σy² outgrow BIGINT inside the
+    * 100 TB envelope, so both accumulate as DECIMAL(38,0) (DuckDB
+    * promotes to HUGEINT); the slope/intercept numerators and the
+    * shared denominator n·Σx²−(Σx)² are then EXACT integers, and each
+    * statistic is one fixed IEEE sequence on their exactly-converted
+    * doubles, rounded once. r²'s denominator product n·den_x·den_y
+    * would outgrow even DECIMAL(38), so it multiplies as doubles —
+    * still a fixed sequence on exact inputs. Degenerate slices (one
+    * distinct x, or zero y-variance) yield NULL by contract, not 0/0. */
+  def linReg(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables(spark, dir).events
+      .select(col("event_type"),
+        hour(col("ts")).cast("long").as("x"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .withColumn("num",
+        col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy"))
+      .withColumn("den_x",
+        col("n").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx"))
+      .withColumn("den_y",
+        col("n").cast("decimal(38,0)") * col("syy") -
+          col("sy").cast("decimal(38,0)") * col("sy"))
+    m.select(col("event_type"), col("n"),
+      when(col("den_x") > 0,
+        round(col("num").cast("double") / col("den_x").cast("double"), 6))
+        .as("slope"),
+      when(col("den_x") > 0,
+        round((col("sy").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sxy")).cast("double") /
+          col("den_x").cast("double"), 4))
+        .as("intercept"),
+      when(col("den_x") > 0 && col("den_y") > 0,
+        round(col("num").cast("double") * col("num").cast("double") /
+          (col("den_x").cast("double") * col("den_y").cast("double")), 4))
+        .as("r2"))
+  }
+
+  /** Exact median absolute deviation per group (ClickHouse
+    * `medianExact` composed into the robust-spread statistic): the
+    * lower median m of spend cents per event type, then the lower
+    * median of |v − m| — the outlier-immune alternative to stddev a
+    * quality pipeline thresholds on.
+    *
+    * Scale shape: the corpus collapses ONCE to (group, value, count) —
+    * the only row-scaled shuffle (map-side combined, value domain =
+    * price-bounded cents); both median passes then run windows over
+    * that COLLAPSED domain keyed by group ([[quantilesExactWeighted]]'s
+    * argument: per-task work is bounded by the group's distinct-value
+    * count, never its row count — and the deviation re-collapse can
+    * only shrink the frame). Both medians use the declared lower-median
+    * convention — min v whose doubled cumulative count reaches the
+    * group total — pure BIGINT comparisons, no interpolation, no
+    * floats anywhere, bit-identical in any engine. */
+  def mad(spark: SparkSession, dir: String): DataFrame = {
+    val coll = graft.GraftSession.trackCache(
+      Tables(spark, dir).events
+        .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("c")))
+    def lowerMedian(df: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = df.groupBy("event_type").agg(sum("c").as("n"))
+      df.withColumn("cum", sum("c").over(w))
+        .join(tot, Seq("event_type"))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("event_type").agg(min("v").as(out))
+    }
+    val med = lowerMedian(coll, "median_cents")
+    val devs = coll.join(med, Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("v") - col("median_cents")).as("v"), col("c"))
+      .groupBy("event_type", "v").agg(sum("c").as("c"))
+    med.join(lowerMedian(devs, "mad_cents"), Seq("event_type"))
+      .select("event_type", "median_cents", "mad_cents")
+  }
+
+  /** Theil's uncertainty coefficient U(type | weekday) (ClickHouse
+    * `theilsU`): the fraction of event-type entropy explained by the
+    * day of week — [[cramersV]]'s information-theoretic sibling on the
+    * SAME contingency table, asymmetric by design (knowing the weekday
+    * narrows the type; the reverse question is a different number).
+    *
+    * U = (H(X) − H(X|Y)) / H(X) algebraically rearranged so that both
+    * numerator and denominator are EXACT integers:
+    * N·1e6·H(X) = N·q(log₂N) − Σₓ nₓ·q(log₂nₓ) and
+    * N·1e6·H(X|Y) = Σ_y n_y·q(log₂n_y) − Σ_xy c·q(log₂c), where q is
+    * the [[entropy]] drill's quantize-once-to-1e-6 log. The N in both
+    * scalings cancels, so U = (T − Sx − Sy + Sxy) / (T − Sx) — one
+    * division of exact integers rounded once, no distributed double
+    * addition anywhere. Each term is bounded by N·q(log₂N) ~ 4e19 at
+    * 100 TB — past BIGINT, so the weighted sums accumulate as
+    * DECIMAL(38,0) (DuckDB promotes to HUGEINT). Scale shape: one
+    * (type, weekday) count aggregation is the only row-scaled shuffle;
+    * everything after is arithmetic on the ≤ 7·|types| cell frame.
+    * H(X) = 0 (a single-type corpus) → NULL by contract. */
+  def theilsU(spark: SparkSession, dir: String): DataFrame = {
+    def q(c: Column): Column =
+      expr(s"cast(floor(log2(cast(${c.toString} as double)) * 1e6 + 0.5) as bigint)")
+    val cells = graft.GraftSession.trackCache(
+      Tables(spark, dir).events
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("c")))
+    val sxy = cells.agg(
+      sum(col("c").cast("decimal(38,0)") * q(col("c"))).as("sxy"),
+      sum("c").as("n"))
+    val sx = cells.groupBy("event_type").agg(sum("c").as("cx"))
+      .agg(sum(col("cx").cast("decimal(38,0)") * q(col("cx"))).as("sx"))
+    val sy = cells.groupBy("dow").agg(sum("c").as("cy"))
+      .agg(sum(col("cy").cast("decimal(38,0)") * q(col("cy"))).as("sy"))
+    sxy.crossJoin(sx).crossJoin(sy)
+      .withColumn("t", col("n").cast("decimal(38,0)") * q(col("n")))
+      .select(col("n"),
+        when(col("t") - col("sx") > 0,
+          round((col("t") - col("sx") - col("sy") + col("sxy")).cast("double") /
+            (col("t") - col("sx")).cast("double"), 4))
+          .as("theils_u"))
+  }
+
+  /** Parallel largest-triangle-three-buckets downsampling (ClickHouse
+    * `largestTriangleThreeBuckets`): one visually-representative point
+    * per (event type, 12-hour bucket) — the point maximizing the
+    * triangle area against the NEIGHBOR BUCKETS' average points. The
+    * published LTTB chains on the previously-SELECTED point, which
+    * serializes the whole series; anchoring on the previous bucket's
+    * AVERAGE instead (the standard parallel variant) makes every
+    * bucket's argmax independent — the selection is embarrassingly
+    * parallel and, per series, a pure aggregation.
+    *
+    * Scale shape: one (type, bucket) partial/final aggregate builds the
+    * anchor frame (Σt, Σcents, n — time-range-bounded row count); lag/
+    * lead over that TINY frame attach neighbor anchors; candidates join
+    * the broadcast anchor frame and the per-bucket argmax is a map-side
+    * `max_by` — no window over raw rows, no sort, one exchange.
+    * Cross-engine exactness: anchors quantize ONCE to the integer grid
+    * (micros via `div`, centi-cents via `100·Σy div n` — exact integer
+    * division in any engine), the doubled triangle area is then a
+    * cross product of exact integers held as DECIMAL(38,0), and the
+    * argmax tie-breaks by (earliest micros, event id) — a total order,
+    * so the selected point is bit-identical anywhere. First/last
+    * buckets have no interior triangle and are excluded by contract. */
+  def lttb(spark: SparkSession, dir: String): DataFrame = {
+    val width = 43200000000L // 12 h in micros
+    val pts = graft.GraftSession.trackCache(
+      Tables(spark, dir).events
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tus"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("bucket", expr(s"tus div ${width}L")))
+    val wSeq = Window.partitionBy("event_type").orderBy("bucket")
+    val anchors = pts.groupBy("event_type", "bucket")
+      // Σmicros outgrows BIGINT past ~5e3 rows/bucket · 1e15 µs —
+      // decimal accumulators, HUGEINT in the oracle (the welch drill)
+      .agg(sum(col("tus").cast("decimal(38,0)")).as("st"),
+        sum(col("cents").cast("decimal(38,0)")).as("sc"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        expr("cast(st div n as bigint)").as("ax"),
+        expr("cast((sc * 100) div n as bigint)").as("ay"))
+      .withColumn("ax_prev", lag("ax", 1).over(wSeq))
+      .withColumn("ay_prev", lag("ay", 1).over(wSeq))
+      .withColumn("ax_next", lead("ax", 1).over(wSeq))
+      .withColumn("ay_next", lead("ay", 1).over(wSeq))
+      .filter(col("ax_prev").isNotNull && col("ax_next").isNotNull)
+    pts.join(broadcast(anchors), Seq("event_type", "bucket"))
+      .withColumn("area2", abs(
+        (col("tus") - col("ax_prev")).cast("decimal(38,0)") *
+          (col("ay_next") - col("ay_prev")) -
+          (col("ax_next") - col("ax_prev")).cast("decimal(38,0)") *
+            (col("cents") * 100L - col("ay_prev"))))
+      .groupBy("event_type", "bucket")
+      .agg(max_by(
+        struct(col("event_id"), col("cents")),
+        struct(col("area2"), (-col("tus")).as("nt"), (-col("event_id")).as("ne")))
+        .as("sel"))
+      .select(col("event_type"), col("bucket"),
+        col("sel.event_id").as("event_id"), col("sel.cents").as("sel_cents"))
+  }
 }

@@ -303,4 +303,35 @@ object Pipeline {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("sum_tokens"),
         sum(col("bucket_cap") - col("n_tokens")).as("pad_waste"))
+
+  /** Deterministic weight-proportional sampling
+    * (`pipeline_weighted_sample`) — the tokenizer-training /
+    * eval-subset draw: include each document with probability
+    * ~ k·w/W (w = its char mass, W = the corpus total, k = the target
+    * expected size), so the sample holds ~k docs whose selection is
+    * length-proportional — long documents that dominate the token
+    * budget are proportionally represented, the property a
+    * tokenizer-training subsample needs.
+    *
+    * No RNG anywhere (the [[split]] discipline): each doc's 24-bit
+    * uniform comes from md5 hex digits of its id (`conv` here, a hex
+    * CAST in the oracle — same integer), and inclusion is the pure
+    * integer compare `h24 < (2²⁴·k·w) div W` — Poisson sampling with
+    * deterministic coins, reproducible row-for-row on any engine, and
+    * a doc's verdict never changes when the corpus grows only if W is
+    * pinned; here W recomputes per corpus (one scalar aggregate
+    * broadcast back), which is the declared semantics: the RATE adapts
+    * so the sample stays ~k. Docs with w ≥ W/k saturate at
+    * probability 1 (the Poisson cap). Map-side everything: one
+    * broadcast scalar, one per-row hash + compare, no shuffle at
+    * corpus width. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val d = graft.Tables(spark, dir).documents.select(col("doc_id"), col("n_chars"))
+    val tot = d.agg(sum("n_chars").as("w_total"))
+    d.crossJoin(broadcast(tot))
+      .withColumn("h24",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint)"))
+      .filter(col("h24") < expr(s"(16777216L * ${k}L * n_chars) div w_total"))
+      .select("doc_id", "n_chars", "h24")
+  }
 }

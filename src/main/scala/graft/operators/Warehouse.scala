@@ -1064,4 +1064,78 @@ object Warehouse {
       .groupBy("o_orderpriority")
       .agg(Olap.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
+
+  private lazy val partOpsDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-partops")
+    graft.TempSweep.register(p)
+    p
+  }
+
+  /** The table root and detached/ area of the last partition-ops run +
+    * the part-file inode observed before the detach→attach round trip —
+    * WarehouseSpec asserts the reattached file is the SAME inode (the
+    * ops never read or copied data). */
+  private[graft] def partOpsPaths: (java.nio.file.Path, java.nio.file.Path) =
+    (partOpsDir.resolve("table"), partOpsDir.resolve("detached"))
+  @volatile private[graft] var partOpsInodes: (Object, Object) = (null, null)
+
+  /** Partition lifecycle DDL (`wh_partition_ops`) — the reference
+    * engine's `ALTER TABLE ... DETACH / ATTACH / DROP PARTITION`: at
+    * 100 TB these are METADATA operations — a partition leaves or joins
+    * the table by directory rename, never by reading a byte of data
+    * (ClickHouse moves the part dir to `detached/`; lakehouse formats
+    * flip manifest entries).
+    *
+    * The run writes events day-partitioned (one file per day — the
+    * writer pre-repartitions by the partition key so tasks own whole
+    * partitions, the [[bucketizeOrders]] small-files lesson), then:
+    * DETACHes two days out to `detached/`, DROPs one day outright, and
+    * re-ATTACHes the first detached day — all four ops are directory
+    * renames (`Files.move` within one filesystem), so the reattached
+    * day returns with its original inode, which the spec checks. The
+    * checked query aggregates the surviving table; the oracle replays
+    * the visibility rules on raw rows (dropped + still-detached days
+    * absent, reattached day present). Partition discovery re-infers
+    * the `day` column from directory names — the read needs no state
+    * beyond the directory tree, exactly how an engine's parts list
+    * works. */
+  def partitionOps(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val (table, detached) = partOpsPaths
+    graft.TempSweep.deleteRecursively(partOpsDir.resolve("table"))
+    graft.TempSweep.deleteRecursively(partOpsDir.resolve("detached"))
+    Files.createDirectories(detached)
+    val e = graft.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v_cents"),
+        to_date(col("ts")).as("day"))
+    e.repartition(32, col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(table.toString)
+    def part(d: String) = table.resolve(s"day=$d")
+    def detach(d: String): Unit =
+      if (Files.exists(part(d)))
+        Files.move(part(d), detached.resolve(s"day=$d"), StandardCopyOption.ATOMIC_MOVE)
+    def inodeOf(p: java.nio.file.Path): Object =
+      if (!Files.exists(p)) null
+      else {
+        val s = Files.list(p)
+        try s.filter(f => f.getFileName.toString.startsWith("part-")).findFirst
+          .map[Object](f => Files.readAttributes(f, "unix:ino").get("ino"))
+          .orElse(null)
+        finally s.close()
+      }
+    // DETACH 01-05 and 01-12; DROP 01-20; ATTACH 01-05 back
+    val inode0 = inodeOf(part("2024-01-05"))
+    detach("2024-01-05")
+    detach("2024-01-12")
+    graft.TempSweep.deleteRecursively(part("2024-01-20"))
+    if (Files.exists(detached.resolve("day=2024-01-05")))
+      Files.move(detached.resolve("day=2024-01-05"), part("2024-01-05"),
+        StandardCopyOption.ATOMIC_MOVE)
+    val inode1 = inodeOf(part("2024-01-05"))
+    partOpsInodes = (inode0, inode1)
+    spark.read.parquet(table.toString)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum("v_cents").as("sum_cents"))
+  }
 }
