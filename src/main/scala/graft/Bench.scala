@@ -155,7 +155,22 @@ object Bench {
     // dimension-sized fuzzy match (300 pairs regardless of fact scale)
     "text_edit_distance",
     // hashing-trick vectorizer: token explode + (doc, dim) aggregate
-    "text_hashed_bow")
+    "text_hashed_bow",
+    // round-10: the headline now times the FULL query surface — the 35
+    // keys below were previously unbenched (mostly cheap scans and the
+    // r9 snapshot-commit late wave); no exclusion rule remains, every
+    // SparkEntry.queries key gets a per-round number (BenchSpec asserts
+    // the coverage stays total)
+    "attendance_granular", "dedup_cdc", "dedup_exact", "events_count",
+    "ingest_events_typed", "latest_event", "multimodal_embed_join",
+    "multimodal_framesample", "multimodal_meta", "multimodal_patches",
+    "multimodal_resize", "pipeline_train_mix", "pipeline_weighted_sample",
+    "points_by_type", "q_anti_join", "q_approx_distinct",
+    "q_approx_quantile", "q_funnel", "q_heavy_hitters", "q_linreg",
+    "q_lttb", "q_mad", "q_part_stats", "q_quantiles", "q_rollup",
+    "q_running_total", "q_sample", "q_theils_u", "q_top_spenders",
+    "ref_ingest_kafka", "text_bigrams", "text_langid", "text_tokens",
+    "text_topterms", "wh_partition_ops")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

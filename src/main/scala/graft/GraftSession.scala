@@ -60,6 +60,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the driver's parquet writer stores `ts` as timestamp[us] with
+      // isAdjustedToUTC=false; Spark 4 would infer TIMESTAMP_NTZ from
+      // that and NTZ breaks the instant functions (unix_micros & co).
+      // With inference off the column reads as a plain UTC TIMESTAMP —
+      // identical values under the UTC session zone above, and the same
+      // naive reading the DuckDB oracle uses
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -154,6 +154,11 @@ object SparkEntry {
     // format legs: ORC storage round-trip; CSV wire ingestion
     "wh_orc_roundtrip" -> (Warehouse.orcRoundtrip _),
     "ref_ingest_csv" -> (graft.sources.EventsSource.refIngestCsv _),
+    // the Kafka record frame (key/value/topic/partition/offset/timestamp)
+    // generated deterministically in-query, consumed through the SAME
+    // typed projection the broker path takes — reference Step 1's wire
+    // shape as a checked leg
+    "ref_ingest_kafka" -> (graft.sources.EventsSource.refIngestKafka _),
     // Round-8 continuation: the ReplacingMergeTree version-wins merge,
     // small-file compaction, WITH-FILL gap filling, and the LAG/
     // runningDifference window surface
@@ -168,8 +173,9 @@ object SparkEntry {
     "q_percent_rank" -> (Analytics.percentRank _),
     "q_skew_join" -> (Analytics.skewJoin _),
     "q_range_join" -> (Analytics.rangeJoin _),
-    // rows-only by design (the hash depends on the decode stub, which SQL
-    // cannot replay); MultimodalSpec proves the band join misses nothing
+    // SQL-oracled since r10: the decode stub is a pure function of the
+    // utf-8 bytes, so DuckDB replays the dHash arithmetic byte-for-byte;
+    // MultimodalSpec additionally proves the band join misses nothing
     // vs brute-force Hamming <= 3 over all pairs
     "multimodal_phash" -> (Multimodal.imageNearDup _),
     "pipeline_curriculum" -> (Pipeline.curriculum _),
@@ -193,7 +199,7 @@ object SparkEntry {
     // the stream-stream interval join (EventPipeline.purchaseAttribution,
     // previously spec-only) checked against the batch join oracle
     "streaming_interval_join" -> (RefPipeline.streamingIntervalJoin _),
-    // rows-only by design (frame hashes depend on the decode stub);
+    // SQL-oracled since r10 (the per-frame dHash replayed in DuckDB);
     // MultimodalSpec proves brute-force equality of the cut detection
     "multimodal_scene_cuts" -> (Multimodal.sceneCuts _),
     // the JSONEachRow export/import round-trip next to the CSV/ORC legs
@@ -377,6 +383,33 @@ object SparkEntry {
        |FROM p JOIN meta x ON contained = x.doc_id
        |WHERE round(CAST(c AS DOUBLE) / x.n_eff, 4) >= 0.9""".stripMargin
   }
+
+  /** DuckDB replay of [[operators.Multimodal.dHash]] — the
+    * same-arithmetic-both-sides discipline (text_fingerprint precedent)
+    * that turns the "rows-only, the hash depends on the decode stub"
+    * multimodal keys into full SQL-oracled ones: the stub is a pure
+    * function of the utf-8 bytes, and DuckDB can address those bytes as
+    * `CAST('0x' || substr(hex(encode(text)), 2*i + 1, 2) AS BIGINT)`.
+    * `baseExpr` is the per-frame sampling offset (0 for the still-image
+    * hash, `(f // 4) * 97` for video frames); the 64 bit terms accumulate
+    * as HUGEINT and wrap to the signed BIGINT Spark's Long holds. Expects
+    * CTE columns `h` = hex(encode(text)), `n` = octet_length. */
+  private def dhashSumSql(baseExpr: String): String = {
+    def byteAt(idx: String) = s"CAST(('0x' || substr(h, 2 * ($idx) + 1, 2)) AS BIGINT)"
+    val terms = (0 until 64).map { bit =>
+      val cell = (bit / 8) * 9 + (bit % 8)
+      val i1 = s"((${cell * 31} + $baseExpr) % n)"
+      val i2 = s"((${(cell + 1) * 31} + $baseExpr) % n)"
+      s"(CASE WHEN ${byteAt(i2)} > ${byteAt(i1)} THEN ${BigInt(1) << bit}::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    s"CASE WHEN n = 0 THEN 0::HUGEINT ELSE ($terms) END"
+  }
+
+  /** Wraps [[dhashSumSql]]'s unsigned HUGEINT into the signed BIGINT
+    * Spark's Long holds (bit 63 set -> negative, two's complement). */
+  private val dhashWrapSql: String =
+    s"CAST(CASE WHEN s64 >= ${BigInt(1) << 63}::HUGEINT " +
+      s"THEN s64 - ${BigInt(1) << 64}::HUGEINT ELSE s64 END AS BIGINT)"
 
   private val replacingMergeSql =
     """WITH base AS (SELECT o_orderkey, o_orderstatus,
@@ -781,6 +814,34 @@ object SparkEntry {
     "jdbc_sink_roundtrip" ->
       """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    // the dHash replayed byte-for-byte in SQL (same-arithmetic-both-
+    // sides, the text_fingerprint precedent): pairs at Hamming <= 3 via
+    // brute force over the signed 64-bit hashes — equality proves the
+    // banded candidate generator zero-miss AND the hash arithmetic
+    "multimodal_phash" ->
+      s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+        |             octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT doc_id, ${dhashSumSql("0")} AS s64 FROM d),
+        |hs AS (SELECT doc_id, $dhashWrapSql AS phash FROM s)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+    // per-frame dHash with the 4-frame-group sampling base, then the
+    // same lag/threshold cut detection over the frame sequence
+    "multimodal_scene_cuts" ->
+      s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+        |             octet_length(encode(text)) AS n,
+        |             1 + doc_id % 16 AS nf FROM documents),
+        |fr AS (SELECT doc_id, h, n, unnest(generate_series(0, nf - 1)) AS f FROM d),
+        |fh AS (SELECT doc_id, f, ${dhashSumSql("(f // 4) * 97")} AS s64 FROM fr),
+        |fb AS (SELECT doc_id, f, $dhashWrapSql AS fh64 FROM fh),
+        |lg AS (SELECT doc_id, fh64,
+        |         lag(fh64) OVER (PARTITION BY doc_id ORDER BY f) AS ph FROM fb)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(CASE WHEN ph IS NOT NULL AND bit_count(xor(fh64, ph)) > 10
+        |                     THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes
+        |FROM lg GROUP BY 1""".stripMargin,
     "multimodal_audio_windows" ->
       """WITH m AS (SELECT doc_id,
         |             CAST(octet_length(encode(text)) AS BIGINT) // 2 AS n_samples
@@ -1099,6 +1160,20 @@ object SparkEntry {
         |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM g GROUP BY 1""".stripMargin,
+    // Kafka wire leg: the record frame is a pure function of the row
+    // index (round-robin partition, per-partition monotone offset,
+    // student-keyed, NDJSON value), so the oracle replays the identical
+    // arithmetic from range() — frame metadata AND parsed payload both
+    // checked per (topic, partition)
+    "ref_ingest_kafka" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i))
+        |SELECT 'entry-events' AS topic,
+        |       CAST(i % 16 AS INT) AS "partition",
+        |       CAST(count(*) AS BIGINT) AS n_records,
+        |       CAST(max(i // 16) AS BIGINT) AS last_offset,
+        |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points,
+        |       CAST(count(DISTINCT 'S' || CAST(i % 50 AS VARCHAR)) AS BIGINT) AS n_keys
+        |FROM g GROUP BY 1, 2""".stripMargin,
     // the update stream is a pure function of the base table (every 10th
     // order: status 'F', +500 exact cents, version 2), so the oracle
     // replays it and resolves version-wins with arg_max — no side channel

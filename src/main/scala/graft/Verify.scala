@@ -11,11 +11,11 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // the SHARED session builder — same extensions (TopKPerKey), same
+    // parquet/timestamp semantics (incl. inferTimestampNTZ=false, which
+    // the r10 driver testdata regeneration made load-bearing), same AQE
+    // configs the bench runs under: verify what you bench
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       // saveAsTable output (the shingle layout below) stays out of the repo
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft-verify-warehouse").toString)

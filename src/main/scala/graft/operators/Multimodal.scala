@@ -152,12 +152,26 @@ object Multimodal {
     * documents (shared vocabulary drags every sketch the same way), so
     * its 16-bit bands collide en masse. dHash bits are signs of local
     * pixel differences — near-independent across unrelated images — so
-    * band buckets stay near-uniform (~n/65536 per band) and the join's
-    * quadratic term is negligible at any corpus size. MultimodalSpec
-    * proves the band generator misses nothing: brute-force Hamming <= 3
-    * over all pairs equals the banded result exactly. Rows-only by
-    * design: the hash depends on the decode stub, which SQL cannot
-    * replay. */
+    * band buckets stay near-uniform per DISTINCT hash at any corpus
+    * size.
+    *
+    * DUPLICATE-DENSITY DEFENSE (the r9 sf5 finding — 37 s, 58.7x for
+    * 50x data): a corpus with d copies of one image put d rows in the
+    * same bucket in ALL FOUR bands, so the candidate join emitted
+    * 4·d²/2 rows per dup cluster before the distinct — candidate volume
+    * grew with the SQUARE of duplicate density while the true answer
+    * (the pair list) grows only with the cluster sizes. The fix
+    * collapses the corpus to DISTINCT hash values first: the band join
+    * runs over one row per distinct hash (bucket sizes now scale with
+    * hash diversity, which banding keeps near-uniform), and doc pairs
+    * are re-expanded afterwards by two output-sized equi-joins — the
+    * within-cluster (identical hash, Hamming 0) pairs from one
+    * phash-keyed self-join, the cross-cluster pairs from the verified
+    * distinct-hash pairs. Every stage is now bounded by
+    * O(distinct-hash band collisions + true output), never by
+    * duplicate-density². MultimodalSpec proves the band generator
+    * misses nothing: brute-force Hamming <= 3 over all pairs equals the
+    * banded result exactly. */
   def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.GraftSession.registerFunctions(spark) // hamming64
@@ -166,21 +180,35 @@ object Multimodal {
       .as[RawMedia]
     val hashed = graft.GraftSession.trackCache(
       raw.mapPartitions(it => it.map(r => MediaHash(r.doc_id, dHash(r.blob)))).toDF())
-    val banded = hashed.select(col("doc_id"), col("phash"),
+    val distinctHash = hashed.select("phash").distinct()
+    val banded = distinctHash.select(col("phash"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bkey",
         expr("shiftrightunsigned(phash, cast(band * 16 as int)) & 65535"))
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+    // distinct-hash pairs at Hamming 1..3 (0 = identical, handled below):
+    // pigeonhole still zero-miss, buckets one-row-per-distinct-hash
+    val candH = banded.select(col("phash").as("pa"), col("band"), col("bkey"))
+      .join(banded.select(col("phash").as("pb"), col("band"), col("bkey")),
         Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(hashed.select(col("doc_id").as("doc_a"), col("phash").as("pa")), Seq("doc_a"))
-      .join(hashed.select(col("doc_id").as("doc_b"), col("phash").as("pb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("hamming64(pa, pb)").cast("long").as("hamming"))
+      .filter(col("pa") < col("pb"))
+      .select("pa", "pb").distinct()
+      .withColumn("hamming", expr("hamming64(pa, pb)").cast("long"))
       .filter(col("hamming") <= 3)
+    // cross-cluster doc pairs: expand each qualifying hash pair to its
+    // doc-id cross product (output-sized by definition), normalizing to
+    // doc_a < doc_b (pa != pb, so each doc pair appears exactly once)
+    val cross = candH
+      .join(hashed.select(col("phash").as("pa"), col("doc_id").as("da")), Seq("pa"))
+      .join(hashed.select(col("phash").as("pb"), col("doc_id").as("db")), Seq("pb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    // within-cluster pairs: identical hash, Hamming 0 — one phash-keyed
+    // self-join, emits exactly the true pair list
+    val same = hashed.select(col("phash"), col("doc_id").as("doc_a"))
+      .join(hashed.select(col("phash"), col("doc_id").as("doc_b")), Seq("phash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    cross.unionByName(same)
   }
 
   private[graft] final case class FrameHash(doc_id: Long, frame_idx: Long, fhash: Long)

@@ -67,16 +67,16 @@ object EventsSource {
     * (`JSONExtract(message, 'student', 'Tuple(String,String)')`) and the
     * Int8 narrowing (`toInt8(JSONExtractInt(...))`). Works on batch and
     * streaming frames alike. */
-  def parseReference(raw: DataFrame): DataFrame =
+  def parseReference(raw: DataFrame, keep: Seq[String] = Nil): DataFrame =
     raw
-      .select(from_json(col("message"), referenceSchema).as("e"))
-      .select(
+      .select(keep.map(col) :+ from_json(col("message"), referenceSchema).as("e"): _*)
+      .select(keep.map(col) ++ Seq(
         timestamp_millis(col("e.timestamp")).as("timestamp"),
         col("e.subject").as("subject"),
         col("e.teacher").as("teacher"),
         col("e.room").as("room"),
         col("e.points").cast("tinyint").as("points"),
-        col("e.student").as("student"))
+        col("e.student").as("student")): _*)
 
   /** README.rst Step 2.4's ad-hoc query: total points per house, read from
     * the nested tuple (`student.house`). One partial-aggregated shuffle on
@@ -100,15 +100,20 @@ object EventsSource {
     * nested-tuple extraction the file/Kafka stream takes. Being a pure
     * function of the index, a SQL oracle replays the identical
     * arithmetic from `range()` with no file side channel. */
-  def syntheticReferenceLines(spark: SparkSession, n: Long): DataFrame =
-    spark.range(0, n).select(format_string(
+  /** The i-th reference wire line as a pure expression of the row index —
+    * shared by the NDJSON text leg and the Kafka record-frame leg so both
+    * provably carry the same payload arithmetic. */
+  private def referenceLineExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    format_string(
       """{"timestamp": %d, "subject": "%s", "teacher": "T%d", "room": "R%d", """ +
         """"points": %d, "student": {"name": "S%d", "house": "%s"}}""",
-      lit(1378022400000L) + col("id") * 3600000L,
-      element_at(array(referenceSubjects.map(lit): _*), (col("id") % 4 + 1).cast("int")),
-      col("id") % 7, col("id") % 9, col("id") % 21 - 10, col("id") % 50,
-      element_at(array(referenceHouses.map(lit): _*), (col("id") % 4 + 1).cast("int")))
-      .as("message"))
+      lit(1378022400000L) + id * 3600000L,
+      element_at(array(referenceSubjects.map(lit): _*), (id % 4 + 1).cast("int")),
+      id % 7, id % 9, id % 21 - 10, id % 50,
+      element_at(array(referenceHouses.map(lit): _*), (id % 4 + 1).cast("int")))
+
+  def syntheticReferenceLines(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).select(referenceLineExpr(col("id")).as("message"))
 
   /** The reference's literal Step-2.4 `student.house` query as a CHECKED
     * key (`ref_points_by_house`): generated wire lines → Step-2.3 nested
@@ -172,6 +177,52 @@ object EventsSource {
         sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"),
         max("ts_us").as("last_us"))
   }
+
+  /** A deterministic Kafka RECORD FRAME generated in-query — the exact
+    * seven-column shape `spark.readStream.format("kafka")` yields
+    * (key/value binary, topic, partition int, offset long, timestamp,
+    * timestampType), so every downstream stage consumes the true wire
+    * schema even though the offline build has no broker. Records are
+    * keyed by student (per-key ordering is what a keyed Kafka producer
+    * guarantees), offsets are per-partition monotone (`id div P` under
+    * round-robin `id % P` partitioning — exactly a P-partition topic fed
+    * by one producer), and the value bytes are the SAME
+    * [[referenceLineExpr]] NDJSON the text leg ships. */
+  def syntheticKafkaFrame(spark: SparkSession, n: Long, nPartitions: Int): DataFrame =
+    spark.range(0, n).select(
+      encode(format_string("S%d", col("id") % 50), "utf-8").as("key"),
+      encode(referenceLineExpr(col("id")), "utf-8").as("value"),
+      lit("entry-events").as("topic"),
+      (col("id") % nPartitions).cast("int").as("partition"),
+      expr(s"id div $nPartitions").as("offset"),
+      timestamp_millis(lit(1378022400000L) + col("id") * 3600000L).as("timestamp"),
+      lit(0).as("timestampType"))
+
+  /** Kafka-shaped ingestion as a CHECKED key (`ref_ingest_kafka`) — the
+    * reference's Step 1 (kcat -> topic `entry-events` -> engine table,
+    * README.rst, kcat.config) with the record frame itself under test:
+    * [[syntheticKafkaFrame]] -> `CAST(value AS STRING)` -> the SAME
+    * [[parseReference]] typed projection the file and broker paths take
+    * (the `keep` columns carry the frame metadata through), then a
+    * per-(topic, partition) rollup proving all four record dimensions
+    * survive ingestion: row counts, the last committed offset (what a
+    * checkpoint would store), the payload aggregate parsed out of the
+    * value bytes, and the distinct key count. The oracle replays the
+    * index arithmetic from `range()` — no file or broker side channel.
+    * At 100 TB the only change is the source: `format("kafka")` yields
+    * this exact frame with one Spark input partition per topic
+    * partition ([[kafkaOptions]] bounds micro-batches via
+    * maxOffsetsPerTrigger). */
+  def refIngestKafka(spark: SparkSession, dir: String): DataFrame =
+    parseReference(
+      syntheticKafkaFrame(spark, 100000L, 16)
+        .withColumn("message", col("value").cast("string")),
+      keep = Seq("topic", "partition", "offset", "key"))
+      .groupBy("topic", "partition")
+      .agg(count(lit(1)).as("n_records"),
+        max("offset").as("last_offset"),
+        sum(col("points").cast("long")).as("total_points"),
+        countDistinct(col("key").cast("string")).as("n_keys"))
 
   /** The reference topology's Kafka reader (kcat -> topic `entry-events` ->
     * engine table, README.rst Step 1-2), as a compiled code path: the

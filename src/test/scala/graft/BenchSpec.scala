@@ -27,6 +27,17 @@ class BenchSpec extends SparkSpec {
     assert(math.abs(value - timings.map(_._2).sum) < 0.01)
   }
 
+  test("the headline covers the FULL query surface: every SparkEntry key is benched") {
+    val missing = SparkEntry.queries.keySet -- Bench.headline.toSet
+    assert(missing.isEmpty,
+      s"unbenched keys (add them to Bench.headline): ${missing.toSeq.sorted.mkString(", ")}")
+    // and the headline never names a query that doesn't exist
+    val phantom = Bench.headline.toSet -- Bench.benchQueries.keySet
+    assert(phantom.isEmpty, s"headline names unknown keys: ${phantom.toSeq.sorted.mkString(", ")}")
+    // no duplicate timings
+    assert(Bench.headline.distinct.size == Bench.headline.size)
+  }
+
   test("headline JSON stays well-formed with no errors") {
     val json = Bench.renderJson(Seq("a" -> 1.5, "b" -> 0.5), Nil, "/x")
     assert(json == """{"metric":"total","value":2.0,"unit":"sec","n_queries":2,""" +

@@ -189,6 +189,11 @@ class WarehouseSpec extends SparkSpec {
       s"stream diverged from batch: extra=${streamed.diff(batch).take(3)} missing=${batch.diff(streamed).take(3)}")
     // the fold really ran incrementally: updates won over their base rows
     assert(streamed.exists(_._2 == 2L), "no version-2 row survived — updates batch never folded")
+    // carry-forward evidence: the base batch touches all 8 key buckets,
+    // the %10-keyed update batch only the 4 even ones (10k mod 8 cycles
+    // over {0,2,4,6}) — half the state moved ZERO bytes in batch 2
+    assert(RefPipeline.lastReplacingMergeRewrites == Seq(8, 4),
+      s"expected bucket rewrites Seq(8, 4), got ${RefPipeline.lastReplacingMergeRewrites}")
   }
 
   test("version-wins collapse is replay-idempotent: a duplicated batch changes nothing") {
