@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunks, CharStats, DotProduct, GramStats, HammingDistance64, MinHash32, SimHash64}
+import graft.functions.{CdcChunks, CharStats, DotProduct, GramStats, HammingDistance64, MinHash32, SimHash64, SortedIntersectCount}
 import graft.plans.{TopKPerKeyExtension, TopKPerKeyRewrite, TopKPerKeyStrategy}
 
 /** Session factory for the graft engine.
@@ -48,6 +48,10 @@ object GraftSession {
         (new FunctionIdentifier("char_stats"),
           new ExpressionInfo(classOf[CharStats].getName, "char_stats"),
           (children: Seq[Expression]) => CharStats(children.head)))
+      ext.injectFunction(
+        (new FunctionIdentifier("sorted_intersect_count"),
+          new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+          (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
       ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
       ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     }
@@ -176,6 +180,13 @@ object GraftSession {
         charId,
         new ExpressionInfo(classOf[CharStats].getName, "char_stats"),
         (children: Seq[Expression]) => CharStats(children.head))
+    }
+    val sicId = new FunctionIdentifier("sorted_intersect_count")
+    if (!reg.functionExists(sicId)) {
+      reg.registerFunction(
+        sicId,
+        new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+        (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
     }
     TopKPerKeyExtension.install(spark)
   }
