@@ -123,4 +123,33 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(Option(e.getMessage).exists(_.toLowerCase.contains("kafka")),
       s"expected the missing kafka source to be named, got: ${e.getMessage}")
   }
+
+  test("synthetic kafka frame has the exact format(\"kafka\") schema and offset discipline") {
+    val frame = EventsSource.syntheticKafkaFrame(spark, 1000L, 4)
+    // the seven columns spark-sql-kafka yields, same names, same types —
+    // downstream code written against this frame runs unchanged on the
+    // real connector
+    assert(frame.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "key" -> "binary", "value" -> "binary", "topic" -> "string",
+      "partition" -> "int", "offset" -> "bigint",
+      "timestamp" -> "timestamp", "timestampType" -> "int"))
+    // offsets are per-partition monotone AND dense from 0 — what a real
+    // broker hands a consumer, and what a checkpoint can commit
+    import org.apache.spark.sql.functions._
+    val perPart = frame.groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
+        countDistinct("offset").as("d"))
+      .collect()
+    assert(perPart.length == 4)
+    perPart.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1 &&
+        r.getLong(4) == r.getLong(1),
+        s"offsets not dense-from-zero in partition ${r.getInt(0)}: $r")
+    }
+    // the value bytes ARE the shared wire line — parseReference round-trips
+    val parsed = EventsSource.parseReference(
+      frame.withColumn("message", col("value").cast("string")))
+    assert(parsed.filter(col("subject").isNull).count() == 0)
+    assert(parsed.count() == 1000L)
+  }
 }
