@@ -135,6 +135,24 @@ class Round10Spec extends SparkSpec {
     assert(got.nonEmpty, "expected a non-empty sample at k=100")
   }
 
+  test("round-10 plan shapes: broadcast interval dim, native merge verify in the dedup plans") {
+    // q_range_join: the interval dim is a driver literal now — the join
+    // must be a broadcast hash join (the r9 shape planned SMJ against a
+    // fact-rooted dim lineage; the r9 spec only asserted no-BNLJ)
+    val rj = Analytics.rangeJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(rj.contains("BroadcastHashJoin"),
+      s"interval dim not broadcast:\n${rj.take(600)}")
+    // both shingle verifies run the native sorted_intersect_count — if a
+    // refactor fell back to array_intersect's hash-set verify, the top
+    // CPU sink of the sf5 bench would silently return
+    val cj = Dedup.containment(spark, sf).queryExecution.optimizedPlan.toString
+    assert(cj.contains("sorted_intersect_count"),
+      "containment verify lost the native merge-walk expression")
+    val jj = Dedup.ngramJaccard(spark, sf).queryExecution.optimizedPlan.toString
+    assert(jj.contains("sorted_intersect_count"),
+      "jaccard verify lost the native merge-walk expression")
+  }
+
   test("wh_partition_ops: visibility rules replayed on raw rows, reattach preserves data") {
     val got = Warehouse.partitionOps(spark, sf).collect()
       .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
