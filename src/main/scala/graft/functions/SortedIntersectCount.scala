@@ -23,7 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * branch-predictable long compares inside whole-stage codegen.
   *
   * Both inputs MUST be sorted ascending with no duplicates (the shingle
-  * arrays are `array_distinct` products); the count is then exact. */
+  * arrays are `array_distinct` products); the count is then exact.
+  * Null ELEMENTS are skipped (a null is not a value and never matches
+  * anything — the walk checks isNullAt before reading, because
+  * ArrayData.getLong on a null slot would silently read 0 and inflate
+  * the count). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -44,10 +48,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0L
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
-      val vx = x.getLong(i); val vy = y.getLong(j)
-      if (vx == vy) { c += 1L; i += 1; j += 1 }
-      else if (vx < vy) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val vx = x.getLong(i); val vy = y.getLong(j)
+        if (vx == vy) { c += 1L; i += 1; j += 1 }
+        else if (vx < vy) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -62,9 +70,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $i = 0; int $j = 0; long $c = 0L;
          |final int $nx = $a.numElements(); final int $ny = $b.numElements();
          |while ($i < $nx && $j < $ny) {
-         |  final long $vx = $a.getLong($i); final long $vy = $b.getLong($j);
-         |  if ($vx == $vy) { $c++; $i++; $j++; }
-         |  else if ($vx < $vy) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    final long $vx = $a.getLong($i); final long $vy = $b.getLong($j);
+         |    if ($vx == $vy) { $c++; $i++; $j++; }
+         |    else if ($vx < $vy) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

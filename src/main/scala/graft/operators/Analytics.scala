@@ -604,6 +604,12 @@ object Analytics {
     // local relation Spark broadcasts outright.
     val perType = e.groupBy("event_type")
       .agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1")).collect()
+    // an empty (or fully-filtered) corpus has no bounds to build
+    // intervals from — return the empty frame with the output schema
+    // instead of dying in empty.min below
+    if (perType.isEmpty)
+      return e.select(col("event_type"), lit(0L).as("promo_id"),
+        lit(0L).as("n_events"), lit(0L).as("sum_cents")).limit(0)
     val types = perType.map(_.getString(0)).toSeq.sorted
     val d0 = perType.map(_.getDate(1).toLocalDate).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
     val d1 = perType.map(_.getDate(2).toLocalDate).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))

@@ -254,10 +254,12 @@ object Multimodal {
     * (one doc_id shuffle, per-video sort of its own ≤16 rows — SURVEY
     * §4's WindowExec rule), the verify arithmetic is the native codegen'd
     * `hamming64`, and the per-video rollup is the same keyed aggregation.
-    * Rows-only by design (the hash depends on the decode stub);
-    * MultimodalSpec proves the operator equals a driver-side brute-force
-    * recompute and that the stub's 4-frame groups yield exactly
-    * ceil(n_frames/4) scenes. */
+    * SQL-oracled since r10: the per-frame dHash is a pure function of
+    * the utf-8 bytes, so DuckDB replays it byte-for-byte (the
+    * (f div 4)·97 frame base included); MultimodalSpec additionally
+    * proves the operator equals a driver-side brute-force recompute and
+    * that the stub's 4-frame groups yield exactly ceil(n_frames/4)
+    * scenes. */
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.GraftSession.registerFunctions(spark) // hamming64

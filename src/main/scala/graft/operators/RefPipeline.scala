@@ -629,8 +629,7 @@ object RefPipeline {
     // untouched bucket keeps its old pointer and its files never move.
     val buckets = 8
     val manifest = scala.collection.concurrent.TrieMap.empty[Int, String]
-    val rewrites = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rewrites = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
     val raw = spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$stage/*.[p]arquet")
@@ -638,15 +637,20 @@ object RefPipeline {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = raw.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        // n is Spark's OWN batchId — a replayed micro-batch (checkpoint
+        // recovery) reuses its id, overwrites its own batch$n dirs, and
+        // re-advances the pointers to the same places: idempotent by
+        // construction, not by counter luck
+        .foreachBatch { (batch: DataFrame, n: Long) =>
           val s = batch.sparkSession
-          val n = batchNo.getAndIncrement()
           val bb = batch.withColumn("bucket",
             pmod(col("o_orderkey"), lit(buckets)).cast("int"))
           // touched-bucket list: bounded collect (<= `buckets` rows)
           val touched = bb.select("bucket").distinct().collect()
             .map(_.getInt(0)).toSeq.sorted
-          rewrites.synchronized { rewrites += touched.size }
+          // keyed by batchId: a replayed batch OVERWRITES its own entry
+          // instead of appending a duplicate observation
+          rewrites.synchronized { rewrites.put(n, touched.size) }
           // existing state FOR THE TOUCHED BUCKETS ONLY, via the manifest
           val existing = touched.flatMap(b => manifest.get(b).map(s.read.parquet(_)))
             .reduceOption(_ unionByName _)
@@ -667,7 +671,7 @@ object RefPipeline {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    lastReplacingMergeRewrites = rewrites.toSeq
+    lastReplacingMergeRewrites = rewrites.toSeq.sortBy(_._1).map(_._2)
     // assemble the final table from the manifest: each bucket's latest
     // generation, read once — partition-dir reads drop the bucket column
     // (it lives in the dir name), so the schema is the state schema

@@ -17,8 +17,13 @@ class DocsSpec extends AnyFunSuite {
     // the index block: every `key`(SQL) / `key`(rows) token between the
     // "Complete key index" header and the first "###" section below it
     val block = survey.split("\\*\\*Complete key index\\*\\*")(1).split("###")(0)
-    val listed = "`([a-z0-9_]+)`\\((SQL|rows)\\)".r
-      .findAllMatchIn(block).map(m => m.group(1) -> m.group(2)).toMap
+    val tokens = "`([a-z0-9_]+)`\\((SQL|rows)\\)".r
+      .findAllMatchIn(block).map(m => m.group(1) -> m.group(2)).toSeq
+    // a key listed twice (possibly with contradictory flags) is itself
+    // drift — catch it before toMap silently keeps the last entry
+    val dupKeys = tokens.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupKeys.isEmpty, s"SURVEY §2 lists keys more than once: ${dupKeys.toSeq.sorted}")
+    val listed = tokens.toMap
     val actual = SparkEntry.queries.keySet.map(k =>
       k -> (if (SparkEntry.oracleSql.contains(k)) "SQL" else "rows")).toMap
     val missing = actual.keySet -- listed.keySet
@@ -27,10 +32,13 @@ class DocsSpec extends AnyFunSuite {
     assert(phantom.isEmpty, s"SURVEY §2 lists unknown keys: ${phantom.toSeq.sorted}")
     val wrongFlag = actual.filter { case (k, f) => listed(k) != f }
     assert(wrongFlag.isEmpty, s"oracle flag drift (code vs SURVEY): $wrongFlag")
-    // the header's counts match reality
+    // the header states the exact key count as its own number token
+    // ("...— 151\nkeys, 145 SQL-oracled..."), not as a substring of some
+    // other number
     val header = survey.split("\\*\\*Complete key index\\*\\*")(1).take(200)
-    assert(header.contains(s"${actual.size}"),
-      s"SURVEY §2 header does not state the true key count ${actual.size}")
+    val headerCount = "(\\d+)\\s+keys".r.findFirstMatchIn(header).map(_.group(1).toInt)
+    assert(headerCount.contains(actual.size),
+      s"SURVEY §2 header count $headerCount != true key count ${actual.size}")
   }
 
   test("every query key has either a SQL oracle or a declared rows-only rationale") {

@@ -21,6 +21,11 @@ class SortedIntersectCountSpec extends SparkSpec {
       .select(expr("sorted_intersect_count(a, b)").as("got"),
         size(array_intersect(col("a"), col("b"))).cast("long").as("want"))
     assert(df.filter(col("got") =!= col("want")).count() == 0)
+    // null ELEMENTS are skipped, never read as 0 (the ArrayData.getLong
+    // trap): [null, 1] ∩ [0, 1] = {1}, not {0, 1}
+    val withNulls = spark.sql(
+      "SELECT sorted_intersect_count(array(CAST(NULL AS BIGINT), 1L), array(0L, 1L)) AS c")
+    assert(withNulls.collect().head.getLong(0) == 1L)
     // the interpreted path (eval without codegen) agrees too
     rows.take(20).foreach { case (a, b) =>
       val e = SortedIntersectCount(
