@@ -283,13 +283,18 @@ object Bench {
     * (count + up to three names, messages truncated) so even a
     * catastrophic run stays within the window. */
   def renderJson(timings: Seq[(String, Double)], errors: Seq[(String, String)],
-      sfDir: String): String = {
+      sfDir: String, hostCpu: Option[ProcStat.Cpu] = None): String = {
     val total = r2(timings.map { case (_, v) => r2(v) }.sum)
     val es = errors.take(3)
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(60)) + "\"" }
       .mkString("{", ",", "}")
+    // whole-run host accounting ON the parsed line (r10 advice): a driver
+    // total that moved round-over-round is attributable without re-running
+    // — high stealS says "contended sandbox", not "plan regression"
+    val host = hostCpu.map(d =>
+      s""""busyS":${r2(d.busyS)},"stealS":${r2(d.stealS)},""").getOrElse("")
     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},""" +
-      s""""n_errors":${errors.size},"errors":$es,""" +
+      s""""n_errors":${errors.size},"errors":$es,$host""" +
       s""""queries_file":"bench_probe.json","sf":"$sfDir"}"""
   }
 
@@ -348,7 +353,8 @@ object Bench {
     val cpu0 = ProcStat.read()
     val (timings, errors, probes) =
       run(spark, sfDir, headline, queries = benchQueries, instrument = true)
-    reportEnv(ProcStat.read() - cpu0)
+    val hostCpu = ProcStat.read() - cpu0
+    reportEnv(hostCpu)
     // Sidecar evidence file (committed next snapshot → readable per round);
     // never let a diagnostics write break the stdout contract.
     try {
@@ -359,7 +365,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] probe evidence write failed: ${e.getMessage}")
     }
-    println(renderJson(layout ++ timings, errors, sfDir))
+    println(renderJson(layout ++ timings, errors, sfDir, Some(hostCpu)))
     spark.stop()
   }
 }

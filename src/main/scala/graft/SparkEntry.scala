@@ -49,7 +49,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
-    "dedup_embedding" -> (Dedup.embeddingCosine _),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> (Dedup.clusters _),
     // Similarity search
     "ann_topk" -> (Similarity.topK _),
@@ -332,10 +332,13 @@ object SparkEntry {
        |FROM b LEFT JOIN s ON b.doc_id = s.doc_id
        |WHERE b.bucket <> 15""".stripMargin
 
+  // acceptance on the EXACT ratio (r11): the rounded column is display-only
+  // — mirrors the Spark verifies, whose candidate gates are derived from
+  // the exact o >= ceil(t·n) bound (see Dedup.jaccardPairs)
   private def jaccardSql(threshold: String): String =
     s"""$shingleCtes
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard FROM p
-       |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= $threshold""".stripMargin
+       |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= $threshold""".stripMargin
 
   /** ngram oracle: exact Jaccard over the df <= hard shingle universe,
     * every qualifying pair. Dedup.jaccardPairs reaches the same result via
@@ -358,7 +361,7 @@ object SparkEntry {
        |SELECT doc_a, doc_b,
        |  round(CAST(c AS DOUBLE) / (x.n_eff + y.n_eff - c), 4) AS jaccard
        |FROM p JOIN meta x ON doc_a = x.doc_id JOIN meta y ON doc_b = y.doc_id
-       |WHERE round(CAST(c AS DOUBLE) / (x.n_eff + y.n_eff - c), 4) >= 0.9""".stripMargin
+       |WHERE CAST(c AS DOUBLE) / (x.n_eff + y.n_eff - c) >= 0.9""".stripMargin
   }
 
   /** Containment oracle: the direct asymmetric definition over the same
@@ -381,7 +384,7 @@ object SparkEntry {
        |SELECT contained, container, CAST(x.n_eff AS BIGINT) AS na,
        |  round(CAST(c AS DOUBLE) / x.n_eff, 4) AS containment
        |FROM p JOIN meta x ON contained = x.doc_id
-       |WHERE round(CAST(c AS DOUBLE) / x.n_eff, 4) >= 0.9""".stripMargin
+       |WHERE CAST(c AS DOUBLE) / x.n_eff >= 0.9""".stripMargin
   }
 
   /** DuckDB replay of [[operators.Multimodal.dHash]] — the
@@ -559,7 +562,7 @@ object SparkEntry {
          |             any_value(a.n) AS na, any_value(b.n) AS nb
          |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |e0 AS (SELECT doc_a, doc_b FROM p
-         |       WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.8),
+         |       WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
          |e AS (SELECT doc_a AS a, doc_b AS b FROM e0
          |      UNION SELECT doc_b, doc_a FROM e0),
          |reach(a, b) AS (SELECT a, b FROM e
@@ -918,7 +921,7 @@ object SparkEntry {
          |             any_value(a.n) AS na, any_value(b.n) AS nb
          |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |e0 AS (SELECT doc_a, doc_b FROM p
-         |       WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.8),
+         |       WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
          |e AS (SELECT doc_a AS a, doc_b AS b FROM e0
          |      UNION SELECT doc_b, doc_a FROM e0),
          |reach(a, b) AS (SELECT a, b FROM e

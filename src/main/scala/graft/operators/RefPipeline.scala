@@ -596,12 +596,26 @@ object RefPipeline {
     * batch writes into its own fresh `batch{N}/bucket=B/` dirs (never
     * overwriting a path mid-read — the self-overwrite trap), then the
     * manifest pointer advances per touched bucket. Work per batch =
-    * O(batch + state of touched buckets), never O(full state): the
-    * update batch here touches only the even buckets (10k mod 8 cycles
-    * over {0,2,4,6}), so half the state moves zero bytes — the spec
-    * asserts exactly that via [[lastReplacingMergeRewrites]]. The
+    * O(batch + state of touched buckets), never O(full state).
+    *
+    * Since round 11 the BASE generation never rides the stream at all:
+    * it is seeded as a plain bucket-partitioned batch write (the
+    * warehouse backfill that precedes any real CDC subscription), the
+    * manifest starts from the seed layout, and only DELTAS flow through
+    * micro-batches — the r10 shape's necessarily-full first batch
+    * (stage base → stream base → collapse base against empty state) is
+    * gone. The update batch touches only the even buckets (10k mod 8
+    * cycles over {0,2,4,6}), so half the state moves zero bytes — the
+    * spec asserts exactly that via [[lastReplacingMergeRewrites]]. The
     * COLLAPSE ITSELF is unchanged: one algebraic max_by per touched
-    * key, batch-sized not state-sized work on the update side. */
+    * key, batch-sized not state-sized work on the update side.
+    *
+    * Every generation (seed and each batch) persists a `manifest.tsv`
+    * snapshot of the full pointer map next to its bucket dirs, so the
+    * carry-forward state is reconstructable from disk — a restarted job
+    * resumes from the newest snapshot ([[reloadReplacingMergeManifest]],
+    * spec-exercised) instead of depending on driver memory (r10 advice:
+    * the recovery claim previously assumed exactly that). */
   def streamingReplacingMerge(spark: SparkSession, dir: String): DataFrame = {
     val (base, updates) = Warehouse.replacingFrames(spark, dir)
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
@@ -620,15 +634,28 @@ object RefPipeline {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetMs))
     }
-    stageFile(base, "a_base", 0L)
-    stageFile(updates, "b_updates", 60000L) // strictly later: its own batch
+    stageFile(updates, "b_updates", 0L) // only the delta ever streams
     val stateRoot = java.nio.file.Files.createTempDirectory("graft-cdc-state")
     registerTempCleanup(stateRoot)
     // the manifest: bucket -> path of that bucket's latest generation.
     // Bounded at `buckets` entries; this map IS the carry-forward — an
     // untouched bucket keeps its old pointer and its files never move.
+    // It lives ON DISK (one manifest.tsv snapshot per generation): each
+    // batch folds against the newest snapshot STRICTLY OLDER than its own
+    // id, so a replayed batch n sees pre-n state — never its own previous
+    // attempt's dirs (the self-overwrite trap), and never driver memory.
     val buckets = 8
-    val manifest = scala.collection.concurrent.TrieMap.empty[Int, String]
+    // seed generation: base is one-version-per-key BY CONSTRUCTION
+    // (replacingFrames assigns version = 1), so the backfill needs no
+    // collapse pass — one bucket-partitioned write, pointers, snapshot
+    base.withColumn("bucket", pmod(col("o_orderkey"), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(stateRoot.resolve("seed").toString)
+    persistManifest(stateRoot.resolve("seed"),
+      (0 until buckets).flatMap { b =>
+        val d = stateRoot.resolve(s"seed/bucket=$b")
+        if (java.nio.file.Files.isDirectory(d)) Some(b -> d.toString) else None
+      }.toMap)
     val rewrites = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
     val raw = spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", "1")
@@ -637,10 +664,6 @@ object RefPipeline {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = raw.writeStream
-        // n is Spark's OWN batchId — a replayed micro-batch (checkpoint
-        // recovery) reuses its id, overwrites its own batch$n dirs, and
-        // re-advances the pointers to the same places: idempotent by
-        // construction, not by counter luck
         .foreachBatch { (batch: DataFrame, n: Long) =>
           val s = batch.sparkSession
           val bb = batch.withColumn("bucket",
@@ -651,20 +674,25 @@ object RefPipeline {
           // keyed by batchId: a replayed batch OVERWRITES its own entry
           // instead of appending a duplicate observation
           rewrites.synchronized { rewrites.put(n, touched.size) }
+          // pointer source: newest on-disk snapshot older than this batch
+          // (n is Spark's OWN batchId, so a checkpoint-recovery replay of
+          // batch n reconstructs exactly the state its first attempt saw)
+          val ptrs = reloadReplacingMergeManifest(stateRoot.toString, beforeBatch = n)
           // existing state FOR THE TOUCHED BUCKETS ONLY, via the manifest
-          val existing = touched.flatMap(b => manifest.get(b).map(s.read.parquet(_)))
+          val existing = touched.flatMap(b => ptrs.get(b).map(s.read.parquet(_)))
             .reduceOption(_ unionByName _)
             .getOrElse(batch.limit(0))
           val merged = Warehouse.versionWinsCollapse(existing.unionByName(batch))
             .withColumn("bucket", pmod(col("o_orderkey"), lit(buckets)).cast("int"))
           // one fresh dir per (batch, bucket): partitionBy routes rows,
           // and DISTINCT paths mean a replayed batch id is idempotent
-          // (it overwrites its own batch{n} dirs, pointers re-advance to
-          // the same places)
+          // (it overwrites its own batch{n} dirs and re-persists the same
+          // snapshot, computed from the same pre-n pointers)
           merged.write.mode("overwrite").partitionBy("bucket")
             .parquet(stateRoot.resolve(s"batch$n").toString)
-          touched.foreach(b =>
-            manifest.put(b, stateRoot.resolve(s"batch$n/bucket=$b").toString))
+          persistManifest(stateRoot.resolve(s"batch$n"),
+            ptrs ++ touched.map(b =>
+              b -> stateRoot.resolve(s"batch$n/bucket=$b").toString))
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -672,18 +700,64 @@ object RefPipeline {
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     lastReplacingMergeRewrites = rewrites.toSeq.sortBy(_._1).map(_._2)
-    // assemble the final table from the manifest: each bucket's latest
-    // generation, read once — partition-dir reads drop the bucket column
-    // (it lives in the dir name), so the schema is the state schema
-    manifest.values.toSeq.sorted.map(spark.read.parquet(_))
+    lastReplacingMergeStateRoot = stateRoot.toString
+    // assemble the final table from the newest snapshot: each bucket's
+    // latest generation, read once — partition-dir reads drop the bucket
+    // column (it lives in the dir name), so the schema is the state schema
+    reloadReplacingMergeManifest(stateRoot.toString)
+      .values.toSeq.sorted.map(spark.read.parquet(_))
       .reduce(_ unionByName _)
+  }
+
+  /** Writes the full pointer map as `<genDir>/manifest.tsv` (bucket TAB
+    * path, sorted) — the durable form of the carry-forward state. Tiny
+    * (<= buckets lines), written once per generation AFTER its bucket
+    * dirs are complete and its pointers advanced, so the newest snapshot
+    * on disk always describes a fully-materialized state. */
+  private def persistManifest(genDir: java.nio.file.Path,
+      manifest: scala.collection.Map[Int, String]): Unit = {
+    val lines = manifest.toSeq.sortBy(_._1)
+      .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(genDir.resolve("manifest.tsv"),
+      lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Reconstructs the pointer map from the NEWEST persisted manifest
+    * snapshot under a state root whose generation is < `beforeBatch`
+    * (the seed counts as generation -1) — what both the per-batch fold
+    * and a restarted job do instead of trusting driver memory.
+    * Spec-exercised against [[lastReplacingMergeStateRoot]]. */
+  private[graft] def reloadReplacingMergeManifest(stateRoot: String,
+      beforeBatch: Long = Long.MaxValue): Map[Int, String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(stateRoot)
+    def gen(p: java.nio.file.Path): Long = {
+      val n = p.getFileName.toString
+      if (n == "seed") -1L else n.stripPrefix("batch").toLong
+    }
+    val gens = {
+      val ls = java.nio.file.Files.list(root)
+      try ls.iterator().asScala.filter(p =>
+        java.nio.file.Files.exists(p.resolve("manifest.tsv")) &&
+          gen(p) < beforeBatch).toSeq
+      finally ls.close()
+    }
+    val newest = gens.maxBy(gen)
+    java.nio.file.Files.readAllLines(newest.resolve("manifest.tsv")).asScala
+      .filter(_.nonEmpty)
+      .map { l => val Array(b, p) = l.split("\t", 2); b.toInt -> p }
+      .toMap
   }
 
   /** Touched-bucket count per micro-batch of the LAST
     * [[streamingReplacingMerge]] run — the carry-forward evidence the
-    * spec asserts (base batch touches all 8 buckets, the %10 update
-    * batch only the 4 even ones). */
+    * spec asserts (the base never streams; the single %10 update batch
+    * touches only the 4 even buckets). */
   @volatile private[graft] var lastReplacingMergeRewrites: Seq[Int] = Nil
+
+  /** State root of the LAST [[streamingReplacingMerge]] run, for the
+    * manifest-recovery spec. */
+  @volatile private[graft] var lastReplacingMergeStateRoot: String = ""
 
   /** Gap-based sessionization (30-min inactivity): the batch twin of the
     * streaming `flatMapGroupsWithState` session operator. One shuffle on

@@ -92,7 +92,7 @@ object Similarity {
 
   /** Deterministic random hyperplanes (fixed seed, JVM-stable LCG),
     * flattened as `tables x planesPerTable` rows of dim doubles. */
-  private def planes(nTables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+  private[operators] def planes(nTables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nTables, planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -166,18 +166,28 @@ object Similarity {
       .withColumn("cid", expr("array_min(dists).cid"))
       .drop("cs", "dists")
 
-  /** Lloyd-trained coarse centroids over the full-vector frame; hash-sampled
-    * init, [[graft.functions.VectorMeanAgg]] means, only k x dim collected. */
+  /** Lloyd-trained coarse centroids. Training runs on a bounded
+    * deterministic hash-sample (first `max(64*k, 512)` vectors in xxhash64
+    * order), NOT the corpus — the same regime [[pqCodebook]] uses, for the
+    * same reason: `iters` Lloyd passes over the full frame would be
+    * `iters` complete corpus scans at 100 TB, while coarse-quantizer
+    * quality only needs a representative sample. The full corpus is
+    * touched exactly once, by the caller's final [[assignedTo]] pass.
+    * (At test SFs <= the sample size this trains on everything, so the
+    * recall specs exercise identical arithmetic.) Hash-sampled init,
+    * [[graft.functions.VectorMeanAgg]] means, only k x dim collected. */
   private def kmeans(e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
-    var centroids: Array[(Int, Array[Double])] = e
+    val train = GraftSession.trackCache(e
       .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(k)
-      .select("vec_id", "v").collect()
+      .orderBy("h").limit(math.max(64 * k, 512))
+      .select("vec_id", "v"))
+    var centroids: Array[(Int, Array[Double])] = train
+      .limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     val vmean = udaf(graft.functions.VectorMeanAgg)
     for (_ <- 1 to iters) {
-      val means = assignedTo(e, centroids)
+      val means = assignedTo(train, centroids)
         .groupBy("cid").agg(vmean(col("v")).as("m"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)

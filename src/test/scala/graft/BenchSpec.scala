@@ -39,6 +39,32 @@ class BenchSpec extends SparkSpec {
     val json = Bench.renderJson(Seq("a" -> 1.5, "b" -> 0.5), Nil, "/x")
     assert(json == """{"metric":"total","value":2.0,"unit":"sec","n_queries":2,""" +
       """"n_errors":0,"errors":{},"queries_file":"bench_probe.json","sf":"/x"}""")
+    // host-CPU accounting rides the line when provided (r10 advice #6)
+    val withHost = Bench.renderJson(Seq("a" -> 1.5), Nil, "/x",
+      Some(ProcStat.Cpu(busyS = 12.345, idleS = 1.0, iowaitS = 0.5, stealS = 6.789)))
+    assert(withHost.contains("\"busyS\":12.34") && withHost.contains("\"stealS\":6.79"),
+      withHost)
+  }
+
+  test("committed probe sidecars cover every headline key at every committed sf") {
+    // r10 advice #8: the full-surface guarantee must extend to the probe
+    // evidence — a future partial probe (or a sidecar from an older,
+    // smaller headline) must fail loudly here, not ship silently.
+    val expected = ("shingle_layout_build" +: Bench.headline).toSet
+    val sidecars = Seq("bench_probe.json", "bench_probe_sf1.json", "bench_probe_sf5.json")
+      .map(n => java.nio.file.Paths.get("/root/repo", n))
+      .filter(java.nio.file.Files.exists(_))
+    assert(sidecars.nonEmpty, "no committed probe sidecar found")
+    sidecars.foreach { p =>
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      // keys appear as "name":{"wallS": — extract without a JSON lib
+      val keys = "\"([A-Za-z0-9_]+)\":\\{\"wallS\"".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet
+      val missing = expected -- keys
+      assert(missing.isEmpty,
+        s"$p missing probe entries for: ${missing.toSeq.sorted.take(10).mkString(", ")}" +
+          (if (missing.size > 10) s" (+${missing.size - 10} more)" else ""))
+    }
   }
 
   test("headline JSON stays under the driver's tail window even when everything fails") {

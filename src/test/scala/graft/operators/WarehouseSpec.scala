@@ -189,11 +189,27 @@ class WarehouseSpec extends SparkSpec {
       s"stream diverged from batch: extra=${streamed.diff(batch).take(3)} missing=${batch.diff(streamed).take(3)}")
     // the fold really ran incrementally: updates won over their base rows
     assert(streamed.exists(_._2 == 2L), "no version-2 row survived — updates batch never folded")
-    // carry-forward evidence: the base batch touches all 8 key buckets,
-    // the %10-keyed update batch only the 4 even ones (10k mod 8 cycles
-    // over {0,2,4,6}) — half the state moved ZERO bytes in batch 2
-    assert(RefPipeline.lastReplacingMergeRewrites == Seq(8, 4),
-      s"expected bucket rewrites Seq(8, 4), got ${RefPipeline.lastReplacingMergeRewrites}")
+    // carry-forward evidence: the base never streams (it seeds the state
+    // as a plain bucket-partitioned backfill), so the ONLY micro-batch is
+    // the %10-keyed update batch touching the 4 even buckets (10k mod 8
+    // cycles over {0,2,4,6}) — half the state moved ZERO bytes
+    assert(RefPipeline.lastReplacingMergeRewrites == Seq(4),
+      s"expected bucket rewrites Seq(4), got ${RefPipeline.lastReplacingMergeRewrites}")
+    // recovery: the persisted manifest.tsv snapshots alone reconstruct the
+    // final table — the carry-forward state survives a driver restart
+    val reloaded = RefPipeline.reloadReplacingMergeManifest(
+      RefPipeline.lastReplacingMergeStateRoot)
+    assert(reloaded.keySet == (0 until 8).toSet, s"manifest buckets: ${reloaded.keySet}")
+    val fromDisk = reloaded.values.toSeq.sorted.map(spark.read.parquet(_))
+      .reduce(_ unionByName _).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("version"),
+        r.getAs[String]("o_orderstatus"), r.getAs[Long]("total_cents"))).toSet
+    assert(fromDisk == batch, "manifest-reconstructed state diverged from the batch table")
+    // and the pre-batch snapshot really is the seed: version-1 rows only
+    val preBatch = RefPipeline.reloadReplacingMergeManifest(
+      RefPipeline.lastReplacingMergeStateRoot, beforeBatch = 0L)
+    assert(preBatch.values.forall(_.contains("seed")),
+      s"beforeBatch=0 must resolve to the seed generation: $preBatch")
   }
 
   test("version-wins collapse is replay-idempotent: a duplicated batch changes nothing") {

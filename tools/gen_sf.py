@@ -10,7 +10,17 @@ documents 50k/sf, embeddings 20k/sf) — so per-key timings are comparable
 with the sf0.1 bench, just bigger. NOT part of the shipped library; NOT a
 replacement for the driver's data (correctness still gates on sf0.01).
 
-Usage: python3 tools/gen_sf.py <sf> <outdir>     e.g. 1 /root/repo/data/sf1
+Usage: python3 tools/gen_sf.py <sf> <outdir> [--zipf]
+       e.g. 1 /root/repo/data/sf1
+
+--zipf: write ONLY the documents table, drawn from a 50k-word Zipfian
+(power-law) vocabulary instead of the driver's fixed 31 words, same
+length/near-dup/exact-dup structure. Purpose (SURVEY §6): the shingle
+dedups' sf5 superlinearity is diagnosed as a uniform-df artifact of the
+31-word vocabulary (every shingle's df ≈ 450, so ANY single-shingle
+candidate scheme eats the Σ cdf·fdf posting-collision stream); a natural
+corpus has power-law df, almost all shingles rare, and the same plans
+should scale ~linearly. The zipf dirs exist to measure exactly that.
 """
 import sys, json
 import numpy as np
@@ -19,6 +29,7 @@ import pyarrow.parquet as pq
 
 sf = float(sys.argv[1])
 out = sys.argv[2]
+zipf = "--zipf" in sys.argv[3:]
 rng = np.random.default_rng(42)
 import os
 os.makedirs(out, exist_ok=True)
@@ -37,6 +48,39 @@ n_vecs = max(500, int(20_000 * sf))
 def write(name, table):
     pq.write_table(table, f"{out}/{name}.parquet")
     print(name, table.num_rows)
+
+if zipf:
+    # Zipfian vocabulary: 50k words, p(rank k) ∝ 1/k^1.1 — the standard
+    # natural-text shape. Document structure (lengths, 2.5% mutated
+    # near-dups, 0.2% exact dups) matches the default mode exactly, so a
+    # probe on this dir isolates ONE variable: the vocabulary's df curve.
+    V = 50_000
+    zvocab = np.array([f"w{i:05d}" for i in range(V)])
+    zp = 1.0 / np.arange(1, V + 1) ** 1.1
+    zp /= zp.sum()
+    texts = []
+    lens = rng.integers(10, 101, n_docs)
+    for i in range(n_docs):
+        r = rng.random()
+        if i > 10 and r < 0.002:
+            texts.append(texts[rng.integers(0, i)])
+        elif i > 10 and r < 0.025:
+            w = texts[rng.integers(0, i)].split(" ")
+            for _ in range(2):
+                w[rng.integers(0, len(w))] = zvocab[rng.choice(V, p=zp)]
+            texts.append(" ".join(w))
+        else:
+            texts.append(" ".join(zvocab[rng.choice(V, lens[i], p=zp)]))
+    write("documents", pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": texts,
+        "lang": pa.array(rng.choice(np.array(["en", "zh", "fr", "es", "de"]),
+                                    n_docs, p=[0.41, 0.15, 0.15, 0.15, 0.14])),
+        "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
+    }))
+    print("done (zipf documents only)", out)
+    sys.exit(0)
 
 # region / nation: copy the driver's literal tables (fixed at every sf)
 for t in ("region", "nation"):
