@@ -37,13 +37,20 @@ object Probe {
     try operators.Warehouse.materializeShingles(spark, dir, buckets = cpus.toInt)
     catch { case e: Throwable => System.err.println(s"[probe] shingle layout skipped: ${e.getMessage}") }
     println(f"PROBE shingle_layout_build   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    val layoutTiming = Seq("shingle_layout_build" -> (System.nanoTime() - t0) / 1e9)
     val names = if (names0.nonEmpty) names0.toSeq else Bench.headline
     val unknown = names.filterNot(SparkEntry.queries.keySet)
     unknown.foreach(n => println(s"UNKNOWN $n (not a SparkEntry.queries key)"))
     println("pass query                      wall    cpuS    runS     gcS  shufMB spillMB   busyS  stealS iowaitS blkFiles   blkMB")
     val runCpu0 = ProcStat.read()
+    // first-pass evidence, optionally written as a bench_probe-style
+    // sidecar (SPARK_GRAFT_PROBE_OUT) — how the zipf-fixture scale
+    // probes (SURVEY §6) are committed without a full Bench run
+    var sidecar: Option[String] = None
     (1 to passes).foreach { pass =>
       val (timings, errors, probes) = Bench.run(spark, dir, names, instrument = true)
+      if (pass == 1) sidecar = Some(
+        Bench.renderProbeJson(layoutTiming ++ timings, probes, dir))
       val probeMap = probes.toMap
       timings.foreach { case (name, wall) =>
         probeMap.get(name) match {
@@ -62,6 +69,13 @@ object Probe {
     val d = ProcStat.read() - runCpu0
     println(f"host over the whole probe: busy=${d.busyS}%.1fs idle=${d.idleS}%.1fs " +
       f"iowait=${d.iowaitS}%.1fs steal=${d.stealS}%.1fs")
+    for (out <- sys.env.get("SPARK_GRAFT_PROBE_OUT"); json <- sidecar)
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+        System.err.println(s"[probe] evidence written to $out")
+      } catch { case e: Throwable =>
+        System.err.println(s"[probe] evidence write failed: ${e.getMessage}")
+      }
     GraftSession.sweepCaches(spark)
     spark.stop()
   }
