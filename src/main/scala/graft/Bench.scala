@@ -321,9 +321,12 @@ object Bench {
     s"""{"probe":$ps,"sf":"$sfDir"}"""
   }
 
-  /** Whole-run machine CPU accounting, appended to stderr (not the JSON
-    * line, which some consumers parse strictly): total steal across the
-    * pass is the single number that says "the host was/wasn't contended". */
+  /** Whole-run machine CPU accounting, echoed to stderr for humans
+    * tailing a run. The same two totals ALSO ride the stdout JSON line
+    * since r11 (verdict item: driver deltas must be attributable under
+    * sandbox steal) — as two fixed scalar keys, so the line stays
+    * constant-size (the BenchSpec tail-window guard covers the
+    * with-host shape). */
   private def reportEnv(d: ProcStat.Cpu): Unit =
     System.err.println(
       f"[bench] host cpu over the run: busy=${d.busyS}%.1fs idle=${d.idleS}%.1fs " +

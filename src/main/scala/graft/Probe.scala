@@ -34,10 +34,17 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$dir/region.parquet").count() // JVM/codegen warmup
     val t0 = System.nanoTime()
-    try operators.Warehouse.materializeShingles(spark, dir, buckets = cpus.toInt)
-    catch { case e: Throwable => System.err.println(s"[probe] shingle layout skipped: ${e.getMessage}") }
-    println(f"PROBE shingle_layout_build   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    val layoutTiming = Seq("shingle_layout_build" -> (System.nanoTime() - t0) / 1e9)
+    // sidecar omits the key when the build failed (Bench.main discipline:
+    // committed evidence must never claim a layout that never built)
+    val layoutTiming = try {
+      operators.Warehouse.materializeShingles(spark, dir, buckets = cpus.toInt)
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE shingle_layout_build   $w%8.2f s")
+      Seq("shingle_layout_build" -> w)
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] shingle layout skipped: ${e.getMessage}")
+      Seq.empty[(String, Double)]
+    }
     val names = if (names0.nonEmpty) names0.toSeq else Bench.headline
     val unknown = names.filterNot(SparkEntry.queries.keySet)
     unknown.foreach(n => println(s"UNKNOWN $n (not a SparkEntry.queries key)"))

@@ -51,8 +51,10 @@ class BenchSpec extends SparkSpec {
     // evidence — a future partial probe (or a sidecar from an older,
     // smaller headline) must fail loudly here, not ship silently.
     val expected = ("shingle_layout_build" +: Bench.headline).toSet
+    // cwd-relative like DocsSpec's SURVEY.md resolution (sbt runs tests
+    // from the repo root)
     val sidecars = Seq("bench_probe.json", "bench_probe_sf1.json", "bench_probe_sf5.json")
-      .map(n => java.nio.file.Paths.get("/root/repo", n))
+      .map(n => java.nio.file.Paths.get(n))
       .filter(java.nio.file.Files.exists(_))
     assert(sidecars.nonEmpty, "no committed probe sidecar found")
     sidecars.foreach { p =>
@@ -73,8 +75,10 @@ class BenchSpec extends SparkSpec {
     // most three error entries, messages truncated, never a per-query map
     val manyErrors = (1 to 200).map(i =>
       s"very_long_query_name_number_$i" -> ("SomeExceptionClass: " + "x" * 500))
+    // worst-case shape INCLUDING the host-CPU fields main always sends
     val json = Bench.renderJson(
-      Bench.headline.map(_ -> 1.23), manyErrors, "/root/testdata/sf0.1")
+      Bench.headline.map(_ -> 1.23), manyErrors, "/root/testdata/sf0.1",
+      Some(ProcStat.Cpu(busyS = 1234567.89, idleS = 0, iowaitS = 0, stealS = 999999.99)))
     assert(json.length < 600, s"line too long: ${json.length}")
     assert(json.contains("\"n_errors\":200"))
     assert(!json.contains("\"queries\":{"))

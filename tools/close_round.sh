@@ -1,15 +1,21 @@
 #!/bin/bash
 # Round-close checklist (VERDICT r8-r10 repeatedly flagged a dirty
-# snapshot): stage every per-round judged artifact plus any stray tracked
-# modifications, then show what would ship. Run BEFORE the turn budget
-# ends; the driver snapshots whatever state it finds.
+# snapshot): stage the judged artifacts and every tracked modification,
+# then show what would ship. Run BEFORE the turn budget ends; the driver
+# snapshots whatever state it finds.
 #
+# NOT staged on purpose: PROGRESS.jsonl and COPYCHECK.json are
+# .gitignore'd driver-owned logs (git add would refuse without -f; they
+# are regenerated every round and were never part of the judged tree).
 # The r{N} correctness/bench files for the CURRENT round are written by
 # the driver AFTER the snapshot — they can only ever be committed by the
 # NEXT round's session (so each round must stage the previous round's).
 set -e
 cd "$(dirname "$0")/.."
-git add -A BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json \
-  bench_probe*.json BENCH_sf1.json PROGRESS.jsonl 2>/dev/null || true
-echo "--- staged/unstaged state (must be empty before snapshot): ---"
+for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json \
+         bench_probe*.json BENCH_sf1.json; do
+  [ -e "$f" ] && git add -- "$f"
+done
+git add -u   # every tracked modification, wherever it lives
+echo "--- remaining unstaged/untracked (must be empty before snapshot): ---"
 git status --short

@@ -57,7 +57,11 @@ if zipf:
     V = 50_000
     zvocab = np.array([f"w{i:05d}" for i in range(V)])
     zp = 1.0 / np.arange(1, V + 1) ** 1.1
-    zp /= zp.sum()
+    zcdf = np.cumsum(zp / zp.sum())
+    # one inverse-CDF lookup per word via searchsorted (rng.choice(p=...)
+    # would rebuild the 50k-entry CDF per call — O(n_docs x V))
+    def zdraw(k):
+        return zvocab[np.searchsorted(zcdf, rng.random(k), side="right")]
     texts = []
     lens = rng.integers(10, 101, n_docs)
     for i in range(n_docs):
@@ -66,11 +70,11 @@ if zipf:
             texts.append(texts[rng.integers(0, i)])
         elif i > 10 and r < 0.025:
             w = texts[rng.integers(0, i)].split(" ")
-            for _ in range(2):
-                w[rng.integers(0, len(w))] = zvocab[rng.choice(V, p=zp)]
+            for wd in zdraw(2):
+                w[rng.integers(0, len(w))] = wd
             texts.append(" ".join(w))
         else:
-            texts.append(" ".join(zvocab[rng.choice(V, lens[i], p=zp)]))
+            texts.append(" ".join(zdraw(lens[i])))
     write("documents", pa.table({
         "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,
