@@ -170,7 +170,10 @@ object Bench {
     "q_lttb", "q_mad", "q_part_stats", "q_quantiles", "q_rollup",
     "q_running_total", "q_sample", "q_theils_u", "q_top_spenders",
     "ref_ingest_kafka", "text_bigrams", "text_langid", "text_tokens",
-    "text_topterms", "wh_partition_ops")
+    "text_topterms", "wh_partition_ops",
+    // round-11: the README's literal ClickHouse-SQL scripts through the
+    // dialect front-end (Step 2 house rollup; the full Step 3+4 MV chain)
+    "ref_ch_points_by_house", "ref_ch_attendance_daily")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

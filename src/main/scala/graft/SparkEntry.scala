@@ -159,6 +159,11 @@ object SparkEntry {
     // typed projection the broker path takes — reference Step 1's wire
     // shape as a checked leg
     "ref_ingest_kafka" -> (graft.sources.EventsSource.refIngestKafka _),
+    // Round-11: the README's ClickHouse-SQL scripts run VERBATIM through
+    // the dialect front-end (DDL + MVs + *State/*Merge), checked against
+    // the same wire-arithmetic oracles the native keys use
+    "ref_ch_points_by_house" -> (graft.sources.ClickHouseDemo.refChPointsByHouse _),
+    "ref_ch_attendance_daily" -> (graft.sources.ClickHouseDemo.refChAttendanceDaily _),
     // Round-8 continuation: the ReplacingMergeTree version-wins merge,
     // small-file compaction, WITH-FILL gap filling, and the LAG/
     // runningDifference window surface
@@ -1177,6 +1182,28 @@ object SparkEntry {
         |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points,
         |       CAST(count(DISTINCT 'S' || CAST(i % 50 AS VARCHAR)) AS BIGINT) AS n_keys
         |FROM g GROUP BY 1, 2""".stripMargin,
+    // dialect front-end keys: the same wire-index arithmetic as the
+    // native ref_ keys — equality proves the VERBATIM README scripts
+    // produce the oracle numbers through the translation layer
+    "ref_ch_points_by_house" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i))
+        |SELECT ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
+        |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points
+        |FROM g GROUP BY 1""".stripMargin,
+    // coarse frame: 40 events per hourly slot; granular = count per
+    // (slot ms, subject); daily = max/min/avg of those counts with the
+    // day bucket computed in pure epoch arithmetic (UTC both sides);
+    // avg is ONE division of exact integer sums (the avgMerge contract)
+    "ref_ch_attendance_daily" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
+        |e AS (SELECT 1378022400000 + (i // 40) * 3600000 AS ms,
+        |             ['Potions','Charms','Herbology','Transfiguration'][CAST(i % 4 AS INT) + 1] AS subject
+        |      FROM g),
+        |gr AS (SELECT ms, subject, count(*) AS sc FROM e GROUP BY 1, 2)
+        |SELECT CAST(epoch_ms(ms - ms % 86400000) AS DATE) AS day, subject,
+        |       CAST(max(sc) AS INT) AS max, CAST(min(sc) AS INT) AS min,
+        |       CAST(sum(sc) AS DOUBLE) / count(*) AS avg
+        |FROM gr GROUP BY 1, 2""".stripMargin,
     // the update stream is a pure function of the base table (every 10th
     // order: status 'F', +500 exact cents, version 2), so the oracle
     // replays it and resolves version-wins with arg_max — no side channel

@@ -103,14 +103,18 @@ object EventsSource {
   /** The i-th reference wire line as a pure expression of the row index —
     * shared by the NDJSON text leg and the Kafka record-frame leg so both
     * provably carry the same payload arithmetic. */
-  private def referenceLineExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def referenceLineExprAt(ts: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     format_string(
       """{"timestamp": %d, "subject": "%s", "teacher": "T%d", "room": "R%d", """ +
         """"points": %d, "student": {"name": "S%d", "house": "%s"}}""",
-      lit(1378022400000L) + id * 3600000L,
+      ts,
       element_at(array(referenceSubjects.map(lit): _*), (id % 4 + 1).cast("int")),
       id % 7, id % 9, id % 21 - 10, id % 50,
       element_at(array(referenceHouses.map(lit): _*), (id % 4 + 1).cast("int")))
+
+  private def referenceLineExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    referenceLineExprAt(lit(1378022400000L) + id * 3600000L, id)
 
   def syntheticReferenceLines(spark: SparkSession, n: Long): DataFrame =
     spark.range(0, n).select(referenceLineExpr(col("id")).as("message"))
@@ -197,6 +201,27 @@ object EventsSource {
       expr(s"id div $nPartitions").as("offset"),
       timestamp_millis(lit(1378022400000L) + col("id") * 3600000L).as("timestamp"),
       lit(0).as("timestampType"))
+
+  /** [[syntheticKafkaFrame]] with COARSE timestamps: `perSlot` consecutive
+    * events share one hourly class slot (`ts = epoch + (id div perSlot) h`),
+    * matching the reference corpus's real shape — many students entering
+    * the same class at the same time — where the default frame's
+    * per-event-unique timestamps would make Step 3's per-(timestamp,
+    * subject) attendance counts degenerate to 1. Payload arithmetic is
+    * otherwise identical (same subjects/houses/points index functions), so
+    * a DuckDB oracle replays it from `range()` the same way. */
+  def syntheticKafkaFrameCoarse(spark: SparkSession, n: Long, perSlot: Int,
+      nPartitions: Int): DataFrame = {
+    val ts = lit(1378022400000L) + expr(s"id div $perSlot") * 3600000L
+    spark.range(0, n).select(
+      encode(format_string("S%d", col("id") % 50), "utf-8").as("key"),
+      encode(referenceLineExprAt(ts, col("id")), "utf-8").as("value"),
+      lit("entry-events").as("topic"),
+      (col("id") % nPartitions).cast("int").as("partition"),
+      expr(s"id div $nPartitions").as("offset"),
+      timestamp_millis(ts).as("timestamp"),
+      lit(0).as("timestampType"))
+  }
 
   /** Kafka-shaped ingestion as a CHECKED key (`ref_ingest_kafka`) — the
     * reference's Step 1 (kcat -> topic `entry-events` -> engine table,
