@@ -172,8 +172,10 @@ object Bench {
     "ref_ingest_kafka", "text_bigrams", "text_langid", "text_tokens",
     "text_topterms", "wh_partition_ops",
     // round-11: the README's literal ClickHouse-SQL scripts through the
-    // dialect front-end (Step 2 house rollup; the full Step 3+4 MV chain)
-    "ref_ch_points_by_house", "ref_ch_attendance_daily")
+    // dialect front-end (Step 2 house rollup; the full Step 3+4 MV chain),
+    // cluster-representative selection, and the MRL truncation QA pass
+    "ref_ch_points_by_house", "ref_ch_attendance_daily",
+    "pipeline_keep_best", "emb_matryoshka")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

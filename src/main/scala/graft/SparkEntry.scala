@@ -283,6 +283,9 @@ object SparkEntry {
     "wh_partition_ops" -> (Warehouse.partitionOps _),
     // deterministic weight-proportional Poisson sample, RNG-free
     "pipeline_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
+    // Round-11 widening: cluster-representative selection and MRL QA
+    "pipeline_keep_best" -> (Pipeline.keepBest _),
+    "emb_matryoshka" -> (Similarity.matryoshkaRetention _),
   )
 
   private val tokCte =
@@ -1190,13 +1193,15 @@ object SparkEntry {
         |SELECT ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
         |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points
         |FROM g GROUP BY 1""".stripMargin,
-    // coarse frame: 40 events per hourly slot; granular = count per
-    // (slot ms, subject); daily = max/min/avg of those counts with the
-    // day bucket computed in pure epoch arithmetic (UTC both sides);
-    // avg is ONE division of exact integer sums (the avgMerge contract)
+    // coarse frame: 37 events per hourly slot (NOT divisible by the
+    // 4-subject cycle, so slot counts vary and max/min/avg really
+    // discriminate); granular = count per (slot ms, subject); daily =
+    // max/min/avg of those counts with the day bucket computed in pure
+    // epoch arithmetic (UTC both sides); avg is ONE division of exact
+    // integer sums (the avgMerge contract)
     "ref_ch_attendance_daily" ->
       """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
-        |e AS (SELECT 1378022400000 + (i // 40) * 3600000 AS ms,
+        |e AS (SELECT 1378022400000 + (i // 37) * 3600000 AS ms,
         |             ['Potions','Charms','Herbology','Transfiguration'][CAST(i % 4 AS INT) + 1] AS subject
         |      FROM g),
         |gr AS (SELECT ms, subject, count(*) AS sc FROM e GROUP BY 1, 2)
@@ -1984,5 +1989,53 @@ object SparkEntry {
         |FROM documents, t
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
         |      < (CAST(16777216 AS BIGINT) * 100 * n_chars) // w_total""".stripMargin,
+    // cluster-representative selection: the dedup_clusters recursive-CTE
+    // components joined to text_quality's score formula; the winner is
+    // the (score, doc_id)-lexicographic max per cluster (total order ->
+    // same winner in any engine)
+    "pipeline_keep_best" ->
+      s"""WITH RECURSIVE tkt AS ($tokCte),
+         |sgt AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+         |                                      for i in range(1, len(tk) - 1)]) AS sg FROM tkt),
+         |ex AS (SELECT doc_id, len(sg) AS n, unnest(sg) AS sh FROM sgt WHERE len(sg) > 0),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+         |             any_value(a.n) AS na, any_value(b.n) AS nb
+         |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |e0 AS (SELECT doc_a, doc_b FROM p
+         |       WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM e0
+         |      UNION SELECT doc_b, doc_a FROM e0),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+         |m AS (SELECT doc_id, len(tk) AS n_tok,
+         |        len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is'))) AS n_stop
+         |      FROM tkt),
+         |q AS (SELECT doc_id,
+         |        CASE WHEN n_tok > 0 THEN round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+         |               (1.0 - n_stop / CAST(n_tok AS DOUBLE)), 4) ELSE 0.0 END AS quality_score
+         |      FROM m),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, q.quality_score
+         |      FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT cluster_id, kept_doc, n_members, best_quality FROM (
+         |  SELECT cluster_id, doc_id AS kept_doc, quality_score AS best_quality,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY quality_score DESC, doc_id DESC) AS rn
+         |  FROM j) WHERE rn = 1""".stripMargin,
+    // retained-norm fractions: same sequential fold + single-division +
+    // 1e-4 HALF-UP-floor contract as the dedup_embedding cosine oracle
+    "emb_matryoshka" ->
+      """WITH v AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  floor(sqrt(list_sum(list_transform(v[1:16], x -> x * x)))
+        |    / sqrt(list_sum(list_transform(v, x -> x * x))) * 1e4 + 0.5) / 1e4 AS retain_16,
+        |  floor(sqrt(list_sum(list_transform(v[1:32], x -> x * x)))
+        |    / sqrt(list_sum(list_transform(v, x -> x * x))) * 1e4 + 0.5) / 1e4 AS retain_32,
+        |  floor(sqrt(list_sum(list_transform(v[1:48], x -> x * x)))
+        |    / sqrt(list_sum(list_transform(v, x -> x * x))) * 1e4 + 0.5) / 1e4 AS retain_48
+        |FROM v""".stripMargin,
   )
 }

@@ -334,4 +334,30 @@ object Pipeline {
       .filter(col("h24") < expr(s"(16777216L * ${k}L * n_chars) div w_total"))
       .select("doc_id", "n_chars", "h24")
   }
+
+  /** Cluster-representative selection (`pipeline_keep_best`) — the
+    * production "which duplicate survives" decision: for every near-dup
+    * cluster, keep the HIGHEST-quality member instead of
+    * [[cleanCorpus]]'s min-id representative (real pipelines keep the
+    * best copy of syndicated/boilerplate-wrapped text, not an arbitrary
+    * one). One row per non-singleton cluster: the kept doc, the member
+    * count, and the winning score.
+    *
+    * Composition, not new machinery: [[Dedup.clusters]]' verified
+    * components join [[TextAnalysis.quality]]'s scores; the selection is
+    * ONE algebraic `max(struct(quality, doc_id))` per cluster —
+    * partial-aggregated, no window, no sort, and deterministic (score
+    * ties break on the higher doc_id; a TOTAL order, so any engine picks
+    * the same winner). Scale shape: the only shuffle beyond the cluster
+    * machinery is the doc_id equi-join and a cluster-keyed aggregate
+    * whose key count is the number of clusters, not documents. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(spark, dir)
+      .join(TextAnalysis.quality(spark, dir).select("doc_id", "quality_score"),
+        Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score"), col("doc_id"))).as("b"))
+      .select(col("cluster_id"), col("b.doc_id").as("kept_doc"),
+        col("n_members"), col("b.quality_score").as("best_quality"))
 }

@@ -564,6 +564,31 @@ object Similarity {
                 / cast(n as double)) * 1e4 + 0.5) / 1e4""").as("cov"))
   }
 
+  /** Matryoshka (MRL) truncation QA (`emb_matryoshka`) — the decision
+    * statistic for serving embeddings at reduced width: for prefix widths
+    * 16/32/48 of the 64-dim vector, the retained norm fraction
+    * `sqrt(Σ_{i<w} v_i²) / sqrt(Σ v_i²)`, which IS the cosine between the
+    * full vector and its truncated-renormalized prefix — what an MRL
+    * pipeline thresholds on before switching an index to the narrow
+    * width. One map-side pass of builtin HOFs, no shuffle at any scale.
+    *
+    * Exactness (SURVEY §5): float→double widening is exact, each sum is
+    * one sequential fold in dimension order (`aggregate`, matching the
+    * oracle's `list_sum`), sqrt/division are single IEEE ops, and the
+    * ratio is HALF-UP-floor-quantized once to 1e-4 — bit-identical
+    * cross-engine. */
+  def matryoshkaRetention(spark: SparkSession, dir: String): DataFrame = {
+    def retained(w: Int) = expr(
+      s"""floor(sqrt(aggregate(slice(v, 1, $w), 0.0d, (a, x) -> a + x * x))
+         |  / sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x)) * 1e4 + 0.5) / 1e4""".stripMargin)
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"),
+        retained(16).as("retain_16"),
+        retained(32).as("retain_32"),
+        retained(48).as("retain_48"))
+  }
+
   /** Symmetric int8 vector quantization (`emb_int8_quantize`) — the
     * embedding STORAGE compression every large vector store runs before
     * (or instead of) PQ: per vector, scale = max|x|/127, code_i =

@@ -169,10 +169,7 @@ object ClickHouseDemo {
     * own wire format. */
   def refChPointsByHouse(spark: SparkSession, dir: String): DataFrame = {
     val ch = session(spark, EventsSource.syntheticKafkaFrame(spark, 100000L, 16))
-    ch.execute(queueDdl)
-    ch.execute(eventsDdl)
-    ch.execute(eventsMv)
-    ch.execute(pointsByHouseQuery).get
+    ch.executeAll(Seq(queueDdl, eventsDdl, eventsMv, pointsByHouseQuery)).get
       .withColumnRenamed("sum(points)", "total_points")
   }
 
@@ -180,9 +177,14 @@ object ClickHouseDemo {
     * extraction MV, the granular attendance MV + its INSERT backfill split
     * at the README's future-timestamp cutover, the SummingMergeTree-style
     * daily state table (maxState/minState/avgState), and the final
-    * *Merge select. Runs on the COARSE wire frame (40 students per class
-    * slot — the default frame's unique-per-event timestamps would make
-    * Step 3's per-(timestamp, subject) counts degenerate to 1). The `day`
+    * *Merge select. Runs on the COARSE wire frame — 37 students per
+    * class slot: coarse because the default frame's unique-per-event
+    * timestamps would make Step 3's per-(timestamp, subject) counts
+    * degenerate to 1, and 37 because it is NOT divisible by the
+    * 4-subject cycle, so slot counts VARY ({10, 9, 9, 9} rotating with
+    * slot phase) and the daily max/min/avg genuinely discriminate — at
+    * perSlot 40 every count is the constant 10 and a swapped
+    * maxMerge/minMerge translation would pass every check. The `day`
     * column is date-normalized for the cross-engine harness (timestamp
     * hashing is timezone-fragile between engines; ClickHouseSqlSpec
     * asserts the verbatim select in-engine instead). */
@@ -190,17 +192,12 @@ object ClickHouseDemo {
     // midday on purpose: the cutover day gets state rows from BOTH legs,
     // so the final *Merge select must really merge two partial states
     val cutoff = "2013-10-15 12:00:00"
-    val ch = session(spark, EventsSource.syntheticKafkaFrameCoarse(spark, 100000L, 40, 16))
-    ch.execute(queueDdl)
-    ch.execute(eventsDdl)
-    ch.execute(eventsMv)
-    ch.execute(granularDdl)
-    ch.execute(granularMv(cutoff))
-    ch.execute(granularBackfill(cutoff))
-    ch.execute(dailyDdl)
-    ch.execute(dailyMv(cutoff))
-    ch.execute(dailyBackfill(cutoff))
-    ch.execute(dailyMergeQuery).get
+    val ch = session(spark, EventsSource.syntheticKafkaFrameCoarse(spark, 100000L, 37, 16))
+    ch.executeAll(Seq(
+      queueDdl, eventsDdl, eventsMv,
+      granularDdl, granularMv(cutoff), granularBackfill(cutoff),
+      dailyDdl, dailyMv(cutoff), dailyBackfill(cutoff),
+      dailyMergeQuery)).get
       .withColumn("day", to_date(col("day")))
   }
 }

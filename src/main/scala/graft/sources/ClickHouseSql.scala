@@ -90,13 +90,20 @@ final class ClickHouseSql(
   def executeAll(statements: Seq[String]): Option[DataFrame] =
     statements.map(execute).last
 
-  private def registerViews(): Unit =
+  /** Registers the catalog as session temp views ONLY for the duration of
+    * one spark.sql call — `Dataset.ofRows` analyzes eagerly, so the
+    * returned frame is bound to the underlying plans and the views can be
+    * dropped immediately. Nothing session-global leaks across keys/tests
+    * (the demo's generic table names would otherwise clobber, and be
+    * clobbered by, any same-named view elsewhere in the shared session). */
+  private def withViews[T](body: => T): T = {
     tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-
-  private def runSelect(s: String): DataFrame = {
-    registerViews()
-    spark.sql(translateQuery(s))
+    try body
+    finally tables.keys.foreach(spark.catalog.dropTempView(_))
   }
+
+  private def runSelect(s: String): DataFrame =
+    withViews { spark.sql(translateQuery(s)) }
 
   private def createTable(s: String): Unit = {
     val (name, colsBlock, tail) = splitDdl(s, "CREATE TABLE")
@@ -140,15 +147,20 @@ final class ClickHouseSql(
   }
 
   /** Appends a select's rows to a declared table, aligned by name with
-    * casts to the declared column types (CH inserts coerce the same way). */
+    * casts to the declared column types (CH inserts coerce the same way).
+    * The new table state is CACHED (tracked for the shared sweep): a CH
+    * MV target IS a materialized table, and without the cache each
+    * downstream leg would lazily recompute its whole upstream chain —
+    * the Step-3/4 cascade re-runs the JSON extraction 2^depth times. */
   private def appendTo(target: String, chSelect: String): Unit = {
     val existing = tables.getOrElse(target,
       throw new IllegalArgumentException(s"unknown destination table $target"))
-    registerViews()
-    val rows = spark.sql(translateQuery(chSelect, tupleOwner = Some(target)))
+    val rows = withViews {
+      spark.sql(translateQuery(chSelect, tupleOwner = Some(target)))
+    }
     val aligned = rows.select(existing.schema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    tables(target) = existing.unionByName(aligned)
+    tables(target) = graft.GraftSession.trackCache(existing.unionByName(aligned))
   }
 
   /** Dialect → Spark SQL. `tupleOwner` is the destination table whose

@@ -193,23 +193,20 @@ object EventsSource {
     * by one producer), and the value bytes are the SAME
     * [[referenceLineExpr]] NDJSON the text leg ships. */
   def syntheticKafkaFrame(spark: SparkSession, n: Long, nPartitions: Int): DataFrame =
-    spark.range(0, n).select(
-      encode(format_string("S%d", col("id") % 50), "utf-8").as("key"),
-      encode(referenceLineExpr(col("id")), "utf-8").as("value"),
-      lit("entry-events").as("topic"),
-      (col("id") % nPartitions).cast("int").as("partition"),
-      expr(s"id div $nPartitions").as("offset"),
-      timestamp_millis(lit(1378022400000L) + col("id") * 3600000L).as("timestamp"),
-      lit(0).as("timestampType"))
+    syntheticKafkaFrameCoarse(spark, n, perSlot = 1, nPartitions)
 
-  /** [[syntheticKafkaFrame]] with COARSE timestamps: `perSlot` consecutive
-    * events share one hourly class slot (`ts = epoch + (id div perSlot) h`),
-    * matching the reference corpus's real shape — many students entering
-    * the same class at the same time — where the default frame's
-    * per-event-unique timestamps would make Step 3's per-(timestamp,
-    * subject) attendance counts degenerate to 1. Payload arithmetic is
-    * otherwise identical (same subjects/houses/points index functions), so
-    * a DuckDB oracle replays it from `range()` the same way. */
+  /** [[syntheticKafkaFrame]]'s generator: `perSlot` consecutive events
+    * share one hourly class slot (`ts = epoch + (id div perSlot) h`).
+    * perSlot = 1 is the default per-event-unique-timestamp frame;
+    * perSlot > 1 matches the reference corpus's real shape — many
+    * students entering the same class at the same time — where unique
+    * timestamps would make Step 3's per-(timestamp, subject) attendance
+    * counts degenerate to 1. Callers should pick perSlot NOT divisible
+    * by the 4-subject cycle, or every (slot, subject) count is the same
+    * constant and downstream max/min/avg aggregates lose their checking
+    * power. Payload arithmetic is identical at any perSlot (same
+    * subjects/houses/points index functions), so a DuckDB oracle replays
+    * it from `range()` the same way. */
   def syntheticKafkaFrameCoarse(spark: SparkSession, n: Long, perSlot: Int,
       nPartitions: Int): DataFrame = {
     val ts = lit(1378022400000L) + expr(s"id div $perSlot") * 3600000L

@@ -48,6 +48,37 @@ class Round11Spec extends SparkSpec {
     assert(recall < 0.8, f"expected sub-0.8 banding recall on borderline pairs, got $recall%.2f")
   }
 
+  test("pipeline_keep_best picks the true quality-max member of every cluster") {
+    val clusters = Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = TextAnalysis.quality(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (cid, members) =>
+      val docs = members.map(_._1)
+      // the declared total order: (score, doc_id) lexicographic max
+      val kept = docs.maxBy(d => (quality(d), d))
+      (cid, kept, docs.length.toLong, quality(kept))
+    }.toSet
+    val got = Pipeline.keepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected, s"diff: ${got.diff(expected).take(3)} / ${expected.diff(got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("matryoshka retention is monotone in width and reaches 1.0 at full width") {
+    val rows = Similarity.matryoshkaRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (r16, r32, r48) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(r16 <= r32 + 1e-9 && r32 <= r48 + 1e-9, s"non-monotone: $r")
+      assert(r16 >= 0.0 && r48 <= 1.0 + 1e-9)
+    }
+    // unit-norm corpus: retained fraction at width 64 would be exactly 1;
+    // widths below keep strictly less for at least some vectors
+    assert(rows.exists(_.getDouble(1) < 0.999))
+  }
+
   test("banded embedding tier finds every planted high-cosine near-dup (its intended regime)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-emb-planted").toString
     val rnd = new scala.util.Random(7)

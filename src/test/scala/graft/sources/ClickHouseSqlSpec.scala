@@ -75,17 +75,14 @@ class ClickHouseSqlSpec extends SparkSpec {
     // split state rows — so the result must be independent of t
     def runAt(cutoff: String): Set[(java.sql.Date, String, Int, Int, Double)] = {
       val c = new ClickHouseSql(spark,
-        _ => EventsSource.syntheticKafkaFrameCoarse(spark, 5000L, 40, 4))
-      c.execute(ClickHouseDemo.queueDdl)
-      c.execute(ClickHouseDemo.eventsDdl)
-      c.execute(ClickHouseDemo.eventsMv)
-      c.execute(ClickHouseDemo.granularDdl)
-      c.execute(ClickHouseDemo.granularMv(cutoff))
-      c.execute(ClickHouseDemo.granularBackfill(cutoff))
-      c.execute(ClickHouseDemo.dailyDdl)
-      c.execute(ClickHouseDemo.dailyMv(cutoff))
-      c.execute(ClickHouseDemo.dailyBackfill(cutoff))
-      c.execute(ClickHouseDemo.dailyMergeQuery).get
+        _ => EventsSource.syntheticKafkaFrameCoarse(spark, 5000L, 37, 4))
+      c.executeAll(Seq(
+        ClickHouseDemo.queueDdl, ClickHouseDemo.eventsDdl, ClickHouseDemo.eventsMv,
+        ClickHouseDemo.granularDdl, ClickHouseDemo.granularMv(cutoff),
+        ClickHouseDemo.granularBackfill(cutoff),
+        ClickHouseDemo.dailyDdl, ClickHouseDemo.dailyMv(cutoff),
+        ClickHouseDemo.dailyBackfill(cutoff),
+        ClickHouseDemo.dailyMergeQuery)).get
         .withColumn("day", to_date(col("day")))
         .collect()
         .map(r => (r.getDate(0), r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
@@ -97,7 +94,11 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(mid == early && mid == late,
       s"cutover leaked into the final table: mid/early diff ${mid.diff(early).take(3)}")
     assert(mid.nonEmpty)
-    // the coarse frame really is non-degenerate: counts above 1 exist
+    // the coarse frame really is non-degenerate: counts above 1 exist,
+    // AND max != min on some day — a swapped maxMerge/minMerge (or an
+    // avgMerge that averaged per-leg averages) cannot pass this corpus
     assert(mid.exists(_._3 > 1), "expected class slots with >1 student")
+    assert(mid.exists(r => r._3 != r._4),
+      "expected days where max != min — the frame lost its checking power")
   }
 }
