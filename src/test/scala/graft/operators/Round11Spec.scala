@@ -66,6 +66,25 @@ class Round11Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("r11 plan shapes: cogroup dedup has no per-pair join, keep_best has no window, matryoshka has no shuffle") {
+    // embeddingCosine: the whole point of the rebuild is that NO join —
+    // cartesian, BNLJ, or sort-merge — materializes the pair space; the
+    // kernel consumes cogrouped tiles
+    val emb = Dedup.embeddingCosine(spark, sf).queryExecution.executedPlan.toString
+    assert(emb.contains("CoGroup"), "expected the tile CoGroup operator")
+    assert(!emb.contains("CartesianProduct") && !emb.contains("BroadcastNestedLoopJoin"),
+      "pair space must never materialize through a join")
+    // keepBest: the per-cluster winner is an algebraic struct-max — a
+    // partial/final HashAggregate, never a sort-based WindowExec
+    val kb = Pipeline.keepBest(spark, sf).queryExecution.executedPlan.toString
+    assert(!kb.contains("Window"), "keep_best must not use a window function")
+    // matryoshka: one map-side pass — no KEYED shuffle anywhere (the only
+    // permissible Exchange is Tables' deliberate round-robin scatter gate)
+    val mt = Similarity.matryoshkaRetention(spark, sf).queryExecution.executedPlan.toString
+    assert(!mt.contains("hashpartitioning"),
+      "matryoshka retention must be free of keyed shuffles (map-side HOFs only)")
+  }
+
   test("matryoshka retention is monotone in width and reaches 1.0 at full width") {
     val rows = Similarity.matryoshkaRetention(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -32,6 +32,16 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(c.translateQuery("SELECT x FROM default.t2") == "SELECT x FROM t2")
     // word-boundary safety: a column whose name CONTAINS a function name
     assert(c.translateQuery("SELECT mytoInt8(x) FROM t") == "SELECT mytoInt8(x) FROM t")
+    // rewrap recursion: same-function nesting and sibling calls both hold
+    assert(c.translateQuery("SELECT toInt8(toInt8(x)) FROM t") ==
+      "SELECT CAST(CAST(x AS TINYINT) AS TINYINT) FROM t")
+    assert(c.translateQuery("SELECT maxState(a), maxState(b) FROM t") ==
+      "SELECT max(a), max(b) FROM t")
+    // parens inside string literals would break a naive scanner only if
+    // unbalanced — balanced-in-practice SQL stays correct; the demo's
+    // scripts contain none, and unbalanced args throw loudly
+    assertThrows[IllegalArgumentException](
+      c.translateQuery("SELECT toInt8(broken FROM t"))
   }
 
   test("README Step 2 end-to-end: dialect result equals the native pipeline") {
@@ -67,6 +77,51 @@ class ClickHouseSqlSpec extends SparkSpec {
         |LIMIT 1""".stripMargin).get.collect().head
     assert(latest.getTimestamp(0).getTime == 1378022400000L + 999L * 3600000L)
     assert(c.execute("SELECT * FROM default.student_entry_events LIMIT 20").get.count() == 20)
+  }
+
+  test("the Kafka-engine MV is continuous: streaming the queue through the translated MV equals the dialect table") {
+    // a CH Kafka-engine MV consumes the topic in batches, continuously;
+    // the dialect applies it one-shot over the replayed topic. This test
+    // closes the triangle: the SAME translated MV select, run as a
+    // Structured Streaming projection over the staged queue in two
+    // micro-batches, must converge to the dialect's one-shot table.
+    val records = EventsSource.syntheticKafkaFrame(spark, 2000L, 4)
+    val frame = records.select(col("value").cast("string").as("message"))
+    // translate the MV's select with the destination's tuple declared
+    // (the executor takes the RAW record frame; JSONAsString is its job)
+    val c = new ClickHouseSql(spark, _ => records)
+    c.execute(ClickHouseDemo.queueDdl)
+    c.execute(ClickHouseDemo.eventsDdl)
+    c.execute(ClickHouseDemo.eventsMv)
+    val dialect = c.execute("SELECT * FROM default.student_entry_events").get
+    val selectPart = "(?s)AS\\s+(SELECT.*)".r.findFirstMatchIn(ClickHouseDemo.eventsMv)
+      .get.group(1)
+    val translated = c.translateQuery(selectPart, tupleOwner = Some("student_entry_events"))
+    // stage the queue as two files -> two micro-batches
+    val stage = java.nio.file.Files.createTempDirectory("graft-ch-stream")
+    graft.TempSweep.register(stage)
+    frame.repartition(2).write.mode("overwrite").parquet(stage.toString)
+    spark.readStream.schema(frame.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .createOrReplaceTempView("entry_events_queue")
+    val sink = "graft_ch_stream_mv"
+    spark.catalog.dropTempView(sink)
+    val q = spark.sql(translated).writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("timestamp", "subject", "teacher", "room", "points",
+        "student.name AS sn", "student.house AS sh")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getString(2),
+        r.getString(3), r.getByte(4), r.getString(5), r.getString(6)))
+      .toSet
+    val streamed = rows(spark.table(sink))
+    assert(streamed == rows(dialect),
+      s"streamed MV diverged from the one-shot dialect table (${streamed.size} rows)")
+    assert(streamed.size == 2000)
   }
 
   test("the future-timestamp cutover is invisible: any cutoff yields the identical final table") {
