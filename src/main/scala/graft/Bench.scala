@@ -175,7 +175,15 @@ object Bench {
     // dialect front-end (Step 2 house rollup; the full Step 3+4 MV chain),
     // cluster-representative selection, and the MRL truncation QA pass
     "ref_ch_points_by_house", "ref_ch_attendance_daily",
-    "pipeline_keep_best", "emb_matryoshka")
+    "pipeline_keep_best", "emb_matryoshka",
+    // round-11 widening: the ad-hoc dialect vocabulary (conditional/
+    // selector aggregates, LIMIT BY, time dimensions, array surface)
+    "ref_ch_conditional", "ref_ch_top_rooms", "ref_ch_daypart",
+    "ref_ch_tokens", "ref_ch_with_fill", "ref_ch_uniq_upto",
+    "ref_ch_final",
+    // round-11 widening: ExactSubstr cross-doc window dedup; daily
+    // streak islands
+    "dedup_substring", "q_user_streaks")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

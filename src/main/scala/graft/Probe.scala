@@ -46,8 +46,12 @@ object Probe {
       Seq.empty[(String, Double)]
     }
     val names = if (names0.nonEmpty) names0.toSeq else Bench.headline
-    val unknown = names.filterNot(SparkEntry.queries.keySet)
-    unknown.foreach(n => println(s"UNKNOWN $n (not a SparkEntry.queries key)"))
+    // benchQueries, NOT SparkEntry.queries: the bench-only phase keys
+    // (wh_bucketize_write, the pruned ANN configs) must run here too —
+    // silently skipping wh_bucketize_write makes wh_colocated_join pay
+    // the layout write it is supposed to reuse, corrupting ITS timing
+    val unknown = names.filterNot(Bench.benchQueries.keySet)
+    unknown.foreach(n => println(s"UNKNOWN $n (not a benchable key)"))
     println("pass query                      wall    cpuS    runS     gcS  shufMB spillMB   busyS  stealS iowaitS blkFiles   blkMB")
     val runCpu0 = ProcStat.read()
     // first-pass evidence, optionally written as a bench_probe-style
@@ -55,7 +59,8 @@ object Probe {
     // probes (SURVEY §6) are committed without a full Bench run
     var sidecar: Option[String] = None
     (1 to passes).foreach { pass =>
-      val (timings, errors, probes) = Bench.run(spark, dir, names, instrument = true)
+      val (timings, errors, probes) =
+        Bench.run(spark, dir, names, Bench.benchQueries, instrument = true)
       if (pass == 1) sidecar = Some(
         Bench.renderProbeJson(layoutTiming ++ timings, probes, dir))
       val probeMap = probes.toMap

@@ -46,6 +46,11 @@ object SparkEntry {
     "q_rollup" -> (Olap.ordersRollup _),
     // Dedup family
     "dedup_exact" -> (Dedup.exact _),
+    // Round-11 widening: the ExactSubstr family (Lee et al. 2022) —
+    // cross-doc verbatim W-token windows, linear (never pair-space)
+    "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
+    // Round-11 widening: gaps-and-islands daily streaks per user
+    "q_user_streaks" -> (Analytics.userStreaks _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -164,6 +169,17 @@ object SparkEntry {
     // the same wire-arithmetic oracles the native keys use
     "ref_ch_points_by_house" -> (graft.sources.ClickHouseDemo.refChPointsByHouse _),
     "ref_ch_attendance_daily" -> (graft.sources.ClickHouseDemo.refChAttendanceDaily _),
+    // Round-11 widening: the ad-hoc dialect vocabulary beyond the README's
+    // own scripts — the -If combinator + argMax/argMin + uniqExact,
+    // LIMIT n BY, the time-dimension family + multiIf, and the
+    // splitByChar/arrayJoin array surface
+    "ref_ch_conditional" -> (graft.sources.ClickHouseDemo.refChConditional _),
+    "ref_ch_top_rooms" -> (graft.sources.ClickHouseDemo.refChTopRooms _),
+    "ref_ch_daypart" -> (graft.sources.ClickHouseDemo.refChDaypart _),
+    "ref_ch_tokens" -> (graft.sources.ClickHouseDemo.refChTokens _),
+    "ref_ch_with_fill" -> (graft.sources.ClickHouseDemo.refChWithFill _),
+    "ref_ch_uniq_upto" -> (graft.sources.ClickHouseDemo.refChUniqUpTo _),
+    "ref_ch_final" -> (graft.sources.ClickHouseDemo.refChFinal _),
     // Round-8 continuation: the ReplacingMergeTree version-wins merge,
     // small-file compaction, WITH-FILL gap filling, and the LAG/
     // runningDifference window surface
@@ -559,6 +575,27 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // positional 8-gram replay on STRING grams (the Spark side joins on
+    // chained token hashes — a collision would surface here as a driver
+    // hash mismatch, the shinglesExpr contract); runs via the classic
+    // pos - row_number islands rewrite
+    "dedup_substring" ->
+      s"""WITH tkt AS ($tokCte),
+         |wnd AS (SELECT doc_id, [{'p': i, 'g': array_to_string(tk[i:i+7], ' ')}
+         |                        for i in range(1, len(tk) - 6)] AS gs
+         |        FROM tkt WHERE len(tk) >= 8),
+         |gr AS (SELECT doc_id, unnest(gs, recursive := true) FROM wnd),
+         |d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         |m AS (SELECT doc_id, p FROM gr JOIN d USING (g)),
+         |isl AS (SELECT doc_id, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM m),
+         |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
+         |s AS (SELECT doc_id, sum(run) AS n_dup_windows, max(run) + 7 AS max_dup_run
+         |      FROM runs GROUP BY 1)
+         |SELECT dd.doc_id,
+         |       CAST(coalesce(s.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |       CAST(coalesce(s.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+         |       CAST(coalesce(s.n_dup_windows, 0) = 0 AS BIGINT) AS is_clean
+         |FROM documents dd LEFT JOIN s ON dd.doc_id = s.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramCappedSql,
     "dedup_minhash_lsh" -> jaccardSql("0.8"),
     "dedup_clusters" ->
@@ -1209,6 +1246,95 @@ object SparkEntry {
         |       CAST(max(sc) AS INT) AS max, CAST(min(sc) AS INT) AS min,
         |       CAST(sum(sc) AS DOUBLE) / count(*) AS avg
         |FROM gr GROUP BY 1, 2""".stripMargin,
+    // the -If combinator / uniqExact / argMax vocabulary replayed from the
+    // wire-index arithmetic; the selector order column is the event index
+    // (timestamps are epoch + i*1h, so ordering by i IS ordering by
+    // timestamp); avg_award is one division of exact integer sums
+    "ref_ch_conditional" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
+        |e AS (SELECT ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
+        |             'T' || CAST(i % 7 AS VARCHAR) AS teacher,
+        |             'R' || CAST(i % 9 AS VARCHAR) AS room,
+        |             i % 21 - 10 AS points, i FROM g)
+        |SELECT house,
+        |       CAST(count(CASE WHEN points < 0 THEN 1 END) AS BIGINT) AS penalties,
+        |       CAST(sum(CASE WHEN points > 0 THEN points END) AS BIGINT) AS awarded,
+        |       CAST(sum(CASE WHEN points > 0 THEN points END) AS DOUBLE)
+        |         / count(CASE WHEN points > 0 THEN 1 END) AS avg_award,
+        |       CAST(count(DISTINCT teacher) AS BIGINT) AS n_teachers,
+        |       arg_max(teacher, i) AS last_teacher,
+        |       arg_min(room, i) AS first_room
+        |FROM e GROUP BY 1""".stripMargin,
+    // LIMIT 2 BY house = row_number <= 2 under the same (entries DESC,
+    // room) deterministic tie-break; counts tie by construction (28 of
+    // the 36 (house, room) residue cells hold 2778 rows, 8 hold 2777)
+    "ref_ch_top_rooms" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
+        |c AS (SELECT ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
+        |             'R' || CAST(i % 9 AS VARCHAR) AS room,
+        |             CAST(count(*) AS BIGINT) AS entries
+        |      FROM g GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY house ORDER BY entries DESC, room) AS rn FROM c)
+        |SELECT house, room, entries FROM r WHERE rn <= 2""".stripMargin,
+    // month/day-part/ISO-weekday replay: DuckDB's isodow is Mon=1..Sun=7,
+    // the same convention the toDayOfWeek translation produces; both
+    // engines bucket the identical epoch-ms instants under UTC
+    "ref_ch_daypart" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
+        |e AS (SELECT epoch_ms(1378022400000 + i * 3600000) AS ts, i % 21 - 10 AS points FROM g),
+        |d AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |             CASE WHEN hour(ts) < 6 THEN 'night'
+        |                  WHEN hour(ts) < 12 THEN 'morning'
+        |                  WHEN hour(ts) < 18 THEN 'afternoon'
+        |                  ELSE 'evening' END AS daypart,
+        |             isodow(ts) AS wd, points FROM e)
+        |SELECT month, daypart, CAST(count(*) AS BIGINT) AS entries,
+        |       CAST(count(DISTINCT wd) AS BIGINT) AS active_weekdays,
+        |       CAST(sum(points) AS BIGINT) AS net_points
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    // the sparse (Potions, T0) slice replayed, left-joined onto the fill
+    // calendar; 18 of 21 rows are synthesized zeros
+    "ref_ch_with_fill" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
+        |e AS (SELECT i % 21 - 10 AS points FROM g WHERE i % 4 = 0 AND i % 7 = 0),
+        |c AS (SELECT points, count(*) AS n FROM e GROUP BY 1),
+        |f AS (SELECT unnest(generate_series(-10, 10)) AS points)
+        |SELECT CAST(f.points AS INT) AS points, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM f LEFT JOIN c ON f.points = c.points""".stripMargin,
+    // uniqUpTo(N)(x) == least(count(DISTINCT x), N+1), replayed from the
+    // residue structure (rooms 3-of-9, teachers 1-of-7, names all 50)
+    "ref_ch_uniq_upto" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
+        |e AS (SELECT CAST(i % 21 - 10 AS INT) AS points,
+        |             'R' || CAST(i % 9 AS VARCHAR) AS room,
+        |             'T' || CAST(i % 7 AS VARCHAR) AS teacher,
+        |             'S' || CAST(i % 50 AS VARCHAR) AS name FROM g)
+        |SELECT points,
+        |       CAST(least(count(DISTINCT room), 3) AS BIGINT) AS rooms_capped,
+        |       CAST(count(DISTINCT room) AS BIGINT) AS rooms_exact,
+        |       CAST(least(count(DISTINCT teacher), 6) AS BIGINT) AS teachers_capped,
+        |       CAST(least(count(DISTINCT name), 11) AS BIGINT) AS names_capped
+        |FROM e GROUP BY 1""".stripMargin,
+    // version-wins per student replayed: the winning generation is the
+    // v2 positive-only sum; house = min over the student's two houses
+    // (i%4 walks {s, s+2} mod 4), identical to each insert's min()
+    "ref_ch_final" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
+        |e AS (SELECT 'S' || CAST(i % 50 AS VARCHAR) AS student,
+        |             ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
+        |             i % 21 - 10 AS points FROM g)
+        |SELECT student, min(house) AS house,
+        |       CAST(sum(CASE WHEN points > 0 THEN points END) AS BIGINT) AS points,
+        |       CAST(2 AS BIGINT) AS version
+        |FROM e GROUP BY 1""".stripMargin,
+    // the exploded token stream is exactly one subject + one teacher +
+    // one room token per event — replayed as a three-way UNION ALL
+    "ref_ch_tokens" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i)),
+        |t AS (SELECT ['Potions','Charms','Herbology','Transfiguration'][CAST(i % 4 AS INT) + 1] AS token FROM g
+        |      UNION ALL SELECT 'T' || CAST(i % 7 AS VARCHAR) FROM g
+        |      UNION ALL SELECT 'R' || CAST(i % 9 AS VARCHAR) FROM g)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1""".stripMargin,
     // the update stream is a pure function of the base table (every 10th
     // order: status 'F', +500 exact cents, version 2), so the oracle
     // replays it and resolves version-wins with arg_max — no side channel
@@ -1261,6 +1387,19 @@ object SparkEntry {
         |       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
         |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
+    // the identical islands rewrite (epoch-day − row_number constant per
+    // run) — all exact integer arithmetic
+    "q_user_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (SELECT user_id,
+        |        CAST(day - DATE '1970-01-01' AS BIGINT)
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d),
+        |r AS (SELECT user_id, count(*) AS len FROM i GROUP BY user_id, grp)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM r GROUP BY 1""".stripMargin,
     "dedup_containment" -> containmentCappedSql,
     // the same quality formula text_quality already hash-matches, the
     // same unique (score desc, doc_id) order, the identical cumulative

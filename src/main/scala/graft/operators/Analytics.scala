@@ -693,6 +693,32 @@ object Analytics {
         sum("gap_us").as("sum_gap_us"))
   }
 
+  /** Per-user consecutive-day activity streaks — the gaps-and-islands
+    * rewrite (day-number − row_number is constant within a consecutive
+    * run) every engine spells the same way; complements [[eventGaps]]
+    * (time deltas between events) with the calendar-run statistic product
+    * analytics asks for ("longest daily streak").
+    *
+    * Scale: one distinct-shuffle on (user_id, day) — far smaller than the
+    * event stream — then a KEYED window (per-user sort of that user's own
+    * few hundred days, never global) and two partial-aggregable rollups.
+    * Everything stays in exact integer space (epoch-day arithmetic), so
+    * any engine reproduces it bit-for-bit (SURVEY §5). */
+  def userStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(
+        sum("len").as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+  }
+
   /** Weekly cohort retention matrix (the warehouse triangle every product
     * analytics stack draws; ClickHouse pairs `retention()` with exactly
     * this cohort grid): users grouped by their FIRST-activity ISO week,

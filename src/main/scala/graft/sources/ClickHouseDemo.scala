@@ -188,6 +188,161 @@ object ClickHouseDemo {
     * column is date-normalized for the cross-engine harness (timestamp
     * hashing is timezone-fragile between engines; ClickHouseSqlSpec
     * asserts the verbatim select in-engine instead). */
+  /** The Step-2 catalog (queue → typed table → extraction MV) that every
+    * ad-hoc dialect key queries against — the state a demo user is left
+    * with after the README's ingestion steps. */
+  private def step2Session(spark: SparkSession): ClickHouseSql = {
+    val ch = session(spark, EventsSource.syntheticKafkaFrame(spark, 100000L, 16))
+    ch.executeAll(Seq(queueDdl, eventsDdl, eventsMv))
+    ch
+  }
+
+  /** `ref_ch_conditional`: the ad-hoc vocabulary a ClickHouse user reaches
+    * for right after the README's own queries — the `-If` combinator
+    * (countIf/sumIf/avgIf), `uniqExact`, and the argMax/argMin selector
+    * aggregates — in one house-level scorecard. The argMax/argMin ordering
+    * column is the event timestamp, unique per event on the default wire
+    * frame, so the selectors are deterministic. avgIf is one IEEE division
+    * of exact integer sums (the avgMerge contract), bit-reproducible
+    * cross-engine. */
+  def refChConditional(spark: SparkSession, dir: String): DataFrame =
+    step2Session(spark).execute(
+      """SELECT
+        |    student.house AS house,
+        |    countIf(points < 0) AS penalties,
+        |    sumIf(points, points > 0) AS awarded,
+        |    avgIf(points, points > 0) AS avg_award,
+        |    uniqExact(teacher) AS n_teachers,
+        |    argMax(teacher, timestamp) AS last_teacher,
+        |    argMin(room, timestamp) AS first_room
+        |FROM student_entry_events
+        |GROUP BY student.house""".stripMargin).get
+      .selectExpr("house", "CAST(penalties AS BIGINT) AS penalties",
+        "CAST(awarded AS BIGINT) AS awarded", "avg_award",
+        "CAST(n_teachers AS BIGINT) AS n_teachers", "last_teacher", "first_room")
+
+  /** `ref_ch_top_rooms`: ClickHouse's `LIMIT n BY` clause (first n rows
+    * per group in the query's ORDER BY order — a clause Spark does not
+    * have) translated into the row_number window that expresses the same
+    * thing. The (entries DESC, room) sort breaks count ties
+    * deterministically — rooms tie on purpose here: 100000 events mod the
+    * 36 (house, room) residues leaves 28 cells at 2778 and 8 at 2777. */
+  def refChTopRooms(spark: SparkSession, dir: String): DataFrame =
+    step2Session(spark).execute(
+      """SELECT student.house AS house, room, count() AS entries
+        |FROM student_entry_events
+        |GROUP BY (student.house, room)
+        |ORDER BY house ASC, entries DESC, room ASC
+        |LIMIT 2 BY house""".stripMargin).get
+      .selectExpr("house", "room", "CAST(entries AS BIGINT) AS entries")
+
+  /** `ref_ch_daypart`: the time-dimension vocabulary — `toStartOfMonth`
+    * (Date-typed in CH, hence the to_date in the translation), `toHour`,
+    * ISO `toDayOfWeek`, and a `multiIf` day-part bucketing — over the
+    * hourly event stream. Pure epoch arithmetic under the session's UTC
+    * zone on both engines. */
+  def refChDaypart(spark: SparkSession, dir: String): DataFrame =
+    step2Session(spark).execute(
+      """SELECT
+        |    toStartOfMonth(timestamp) AS month,
+        |    multiIf(toHour(timestamp) < 6, 'night',
+        |            toHour(timestamp) < 12, 'morning',
+        |            toHour(timestamp) < 18, 'afternoon', 'evening') AS daypart,
+        |    count() AS entries,
+        |    uniqExact(toDayOfWeek(timestamp)) AS active_weekdays,
+        |    sum(points) AS net_points
+        |FROM student_entry_events
+        |GROUP BY (month, daypart)""".stripMargin).get
+      .selectExpr("month", "daypart", "CAST(entries AS BIGINT) AS entries",
+        "CAST(active_weekdays AS BIGINT) AS active_weekdays",
+        "CAST(net_points AS BIGINT) AS net_points")
+
+  /** `ref_ch_tokens`: the array surface — `splitByChar` (argument order
+    * swapped onto Spark's regex `split`, separator regex-escaped) and
+    * `arrayJoin`, CH's row-exploding function, which is Spark's `explode`
+    * generator — token frequencies over the concatenated text columns. */
+  def refChTokens(spark: SparkSession, dir: String): DataFrame =
+    step2Session(spark).execute(
+      """SELECT token, count() AS n
+        |FROM (SELECT arrayJoin(splitByChar(' ', concat(subject, ' ', teacher, ' ', room))) AS token
+        |      FROM student_entry_events)
+        |GROUP BY token""".stripMargin).get
+      .selectExpr("token", "CAST(n AS BIGINT) AS n")
+
+  /** `ref_ch_with_fill`: ClickHouse's `ORDER BY ... WITH FILL FROM a TO b`
+    * gap-filling modifier over a sparse aggregate — the (Potions, T0)
+    * slice only ever produces points {−10, −3, 4} (i ≡ 0 mod 28 ⇒ points
+    * = 7·(k mod 3) − 10), so 18 of the 21 fill rows are genuinely
+    * synthesized with the count's type default 0. */
+  def refChWithFill(spark: SparkSession, dir: String): DataFrame =
+    step2Session(spark).execute(
+      """SELECT points, count() AS n
+        |FROM student_entry_events
+        |WHERE subject = 'Potions' AND teacher = 'T0'
+        |GROUP BY points
+        |ORDER BY points WITH FILL FROM -10 TO 11""".stripMargin).get
+      .selectExpr("CAST(points AS INT) AS points", "CAST(n AS BIGINT) AS n")
+
+  /** `ref_ch_uniq_upto`: the parametric-aggregate syntax `fn(params)(args)`
+    * — `uniqUpTo(N)(x)` counts distinct exactly while ≤ N and saturates at
+    * N+1. The points grouping makes the caps structure-sensitive: each
+    * points class pins i mod 21, so rooms collapse to 3 of 9 (gcd 3,
+    * hitting the N=2 cap exactly at its boundary), teachers to 1 of 7
+    * (7 | 21), while all 50 student names survive and saturate N=10. */
+  def refChUniqUpTo(spark: SparkSession, dir: String): DataFrame =
+    step2Session(spark).execute(
+      """SELECT points,
+        |    uniqUpTo(2)(room) AS rooms_capped,
+        |    uniqExact(room) AS rooms_exact,
+        |    uniqUpTo(5)(teacher) AS teachers_capped,
+        |    uniqUpTo(10)(student.name) AS names_capped
+        |FROM student_entry_events
+        |GROUP BY points""".stripMargin).get
+      .selectExpr("CAST(points AS INT) AS points",
+        "CAST(rooms_capped AS BIGINT) AS rooms_capped",
+        "CAST(rooms_exact AS BIGINT) AS rooms_exact",
+        "CAST(teachers_capped AS BIGINT) AS teachers_capped",
+        "CAST(names_capped AS BIGINT) AS names_capped")
+
+  /** `ref_ch_final`: `ReplacingMergeTree(version)` + `SELECT ... FROM t
+    * FINAL` — the manual row-versioning pattern every CH deployment leans
+    * on. Three generations of per-student rows are inserted in an
+    * ADVERSARIAL order (v2 first, v0 last), so a FINAL that picked the
+    * last insert, the first insert, or the largest payload would all
+    * produce wrong tables; only version-wins per ORDER-BY key (what
+    * [[ClickHouseSql.finalView]] computes as a max_by(struct, version)
+    * collapse — the native `wh_replacing_merge` plan) matches the oracle.
+    * The student key spans two houses on this frame (i%4 walks {s, s+2}
+    * mod 4), so `house` must ride the WINNING version's payload, with
+    * min() making each insert's house deterministic. */
+  val latestDdl: String =
+    """CREATE TABLE student_points_latest
+      |(
+      |    `student` String,
+      |    `house` String,
+      |    `points` Int64,
+      |    `version` UInt32
+      |)
+      |ENGINE = ReplacingMergeTree(version)
+      |ORDER BY student""".stripMargin
+
+  def refChFinal(spark: SparkSession, dir: String): DataFrame = {
+    val ch = step2Session(spark)
+    ch.execute(latestDdl)
+    def gen(select: String, version: Int): String =
+      s"""INSERT INTO student_points_latest
+         |SELECT student.name AS student, min(student.house) AS house,
+         |       $select AS points, $version AS version
+         |FROM student_entry_events GROUP BY student.name""".stripMargin
+    ch.execute(gen("sumIf(points, points > 0)", 2)) // the winner, inserted FIRST
+    ch.execute(gen("sum(points)", 1))
+    ch.execute(gen("countIf(points < 0)", 0)) // inserted LAST, must lose
+    ch.execute(
+      "SELECT student, house, points, version FROM student_points_latest FINAL").get
+      .selectExpr("student", "house", "CAST(points AS BIGINT) AS points",
+        "CAST(version AS BIGINT) AS version")
+  }
+
   def refChAttendanceDaily(spark: SparkSession, dir: String): DataFrame = {
     // midday on purpose: the cutover day gets state rows from BOTH legs,
     // so the final *Merge select must really merge two partial states

@@ -70,6 +70,9 @@ final class ClickHouseSql(
   private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
   /** (table, column) -> declared Tuple field names (JSONExtract rewrite). */
   private val tupleFields = mutable.Map.empty[(String, String), Seq[String]]
+  /** table -> (engine, engine params, ORDER BY key columns) — what
+    * `FROM t FINAL` needs to collapse a ReplacingMergeTree. */
+  private val tableMeta = mutable.Map.empty[String, (String, Seq[String], Seq[String])]
 
   /** Executes one statement; SELECTs return the frame, DDL/INSERT None. */
   def execute(statement: String): Option[DataFrame] = {
@@ -102,8 +105,94 @@ final class ClickHouseSql(
     finally tables.keys.foreach(spark.catalog.dropTempView(_))
   }
 
-  private def runSelect(s: String): DataFrame =
-    withViews { spark.sql(translateQuery(s)) }
+  private def runSelect(s0: String): DataFrame =
+    withViews {
+      // `FROM t FINAL` — rebind each FINAL-read table to its collapsed
+      // view for the duration of this statement, then drop the keyword
+      val s1 = s0.stripSuffix(";")
+      "(?i)\\bFROM\\s+(\\S+)\\s+FINAL\\b".r.findAllMatchIn(s1)
+        .map(m => stripName(m.group(1))).toSet[String]
+        .foreach(t => finalView(t).createOrReplaceTempView(t))
+      val s = s1.replaceAll("(?i)\\s+FINAL\\b", "")
+      fillClause.findFirstMatchIn(s) match {
+        case Some(m) => runWithFill(m)
+        case None => spark.sql(translateQuery(s))
+      }
+    }
+
+  /** The `FINAL` collapse of a `ReplacingMergeTree(version)` table:
+    * version-wins per ORDER-BY key — `max_by(struct(payload), version)`
+    * per key, one partial-aggregated shuffle (the same plan the native
+    * `wh_replacing_merge` runs; ClickHouse's FINAL is the same k-way
+    * merge applied at read time). CH without a version column keeps the
+    * last-inserted row — insertion order is not a deterministic contract
+    * this engine will reproduce, so versionless FINAL is rejected rather
+    * than silently picking rows; version ties are nondeterministic in
+    * BOTH engines (checked keys use unique versions per key). */
+  private def finalView(t: String): DataFrame = {
+    val df = tables.getOrElse(t,
+      throw new IllegalArgumentException(s"unknown table $t for FINAL"))
+    tableMeta.get(t) match {
+      case Some(("ReplacingMergeTree", Seq(ver), key)) if key.nonEmpty =>
+        val payload = df.columns.filterNot(key.contains)
+        df.groupBy(key.map(col): _*)
+          .agg(max_by(struct(payload.map(col): _*), col(ver)).as("__graft_r"))
+          .select(key.map(col) ++ payload.map(c => col(s"__graft_r.$c").as(c)): _*)
+      case Some((eng, _, _)) => throw new IllegalArgumentException(
+        s"FINAL supported only for ReplacingMergeTree(version) with ORDER BY, " +
+          s"got $eng for $t")
+      case None => throw new IllegalArgumentException(s"no engine metadata for $t")
+    }
+  }
+
+  /** `ORDER BY c WITH FILL [FROM a] [TO b] [STEP s]` — CH's gap-filling
+    * ORDER BY modifier. Semantics implemented (the CH contract): the fill
+    * sequence is the half-open [FROM, TO) stepped by STEP (default 1);
+    * FROM/TO default to the column's min/max (max INCLUSIVE — the data's
+    * own rows are never dropped); original rows are ALWAYS kept, in or out
+    * of the fill range (the frame is fill-sequence ∪ data values); filled
+    * rows carry each remaining column's TYPE DEFAULT (0 / '' / false),
+    * which is why this clause needs the session: the inner query is
+    * analyzed once so the defaults can be typed per column. Execution is
+    * the same explode(sequence) ∪ keys → left-join shape the native
+    * `q_fill_gaps` uses — linear, broadcast-friendly. */
+  private val fillClause =
+    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([A-Za-z_]\\w*)\\s+WITH\\s+FILL" +
+      "(?:\\s+FROM\\s+(-?\\d+))?(?:\\s+TO\\s+(-?\\d+))?(?:\\s+STEP\\s+(\\d+))?\\s*$").r
+
+  private def runWithFill(m: scala.util.matching.Regex.Match): DataFrame = {
+    val (inner, c) = (m.group(1), m.group(2))
+    val step = Option(m.group(5)).getOrElse("1")
+    val src = spark.sql(translateQuery(inner))
+    val view = "__graft_fill_src"
+    src.createOrReplaceTempView(view)
+    try {
+      val from = Option(m.group(3)).getOrElse(s"(SELECT min($c) FROM $view)")
+      // explicit TO is exclusive (filter < TO); the defaulted max is
+      // inclusive, so data rows at the top edge survive either way
+      val (to, cmp) = Option(m.group(4)) match {
+        case Some(t) => (t, "<")
+        case None => (s"(SELECT max($c) FROM $view)", "<=")
+      }
+      val defaults = src.schema.fields.filter(_.name != c).map { f =>
+        val d = f.dataType.typeName match {
+          case t if t == "string" => "''"
+          case t if t == "boolean" => "false"
+          case t if Seq("byte", "short", "integer", "long", "float", "double").contains(t)
+            || t.startsWith("decimal") => "0"
+          case _ => "NULL"
+        }
+        s"coalesce(q.`${f.name}`, CAST($d AS ${f.dataType.sql})) AS `${f.name}`"
+      }
+      spark.sql(
+        s"""SELECT f.`$c`, ${defaults.mkString(", ")}
+           |FROM (SELECT `$c` FROM (SELECT explode(sequence($from, $to, $step)) AS `$c`)
+           |      WHERE `$c` $cmp $to
+           |      UNION SELECT `$c` FROM $view) f
+           |LEFT JOIN $view q ON f.`$c` = q.`$c`
+           |ORDER BY f.`$c`""".stripMargin)
+    } finally spark.catalog.dropTempView(view)
+  }
 
   private def createTable(s: String): Unit = {
     val (name, colsBlock, tail) = splitDdl(s, "CREATE TABLE")
@@ -124,12 +213,24 @@ final class ClickHouseSql(
       tables(name) = topicFrame(topic)
         .select(col("value").cast("string").as(cols.head._1))
     } else {
-      // MergeTree family: empty typed table; ORDER BY / PARTITION BY are
-      // storage-layout hints with no in-memory equivalent
+      // MergeTree family: empty typed table. ORDER BY / PARTITION BY are
+      // storage-layout hints with no in-memory equivalent — EXCEPT that
+      // the ORDER BY key (plus ReplacingMergeTree's version param) defines
+      // the row-collapse identity `FROM t FINAL` merges on, so both are
+      // recorded as table metadata
       val schemaDdl = cols.map { case (c, t) => s"`$c` ${sparkType(t)}" }.mkString(", ")
       tables(name) = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      val params = ("(?i)ENGINE\\s*=\\s*" + engine + "\\s*\\(([^)]*)\\)").r
+        .findFirstMatchIn(tail).map(m => splitTopLevel(m.group(1))).getOrElse(Nil)
+      val orderBy =
+        "(?is)ORDER\\s+BY\\s+(\\([^)]*\\)|[\\w.`]+(?:\\s*,\\s*[\\w.`]+)*)".r
+          .findFirstMatchIn(tail).map(_.group(1))
+          .map(_.stripPrefix("(").stripSuffix(")").split(',').toSeq
+            .map(_.trim.replace("`", "")).filter(_.nonEmpty))
+          .getOrElse(Nil)
+      tableMeta(name) = (engine, params, orderBy)
     }
   }
 
@@ -170,6 +271,21 @@ final class ClickHouseSql(
     var q = chSql.stripSuffix(";")
       .replace("`", "")
       .replaceAll("(?i)\\bdefault\\.", "")
+    // `LIMIT n BY g1, g2` (CH-only clause: first n rows per group in the
+    // query's ORDER BY order) — restructured BEFORE the expression passes
+    // into the row_number window every engine spells it with. CH applies
+    // LIMIT BY after ORDER BY, so the window reuses the query's own sort
+    // list; the sort is re-stated outside so the visible row order is the
+    // one CH would print. An un-ORDERed LIMIT BY is nondeterministic in CH
+    // too — rejected here rather than silently picking rows.
+    val limitBy =
+      "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+?)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+([\\w.`,\\s]+?)\\s*$".r
+    limitBy.findFirstMatchIn(q).foreach { m =>
+      val (inner, ord, n, by) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      q = s"SELECT * EXCEPT (__graft_rn) FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY $by ORDER BY $ord) AS __graft_rn FROM ($inner) __graft_lb) " +
+        s"WHERE __graft_rn <= $n ORDER BY $ord"
+    }
     // tuple-form group/order lists → plain lists
     q = q.replaceAll("(?i)\\b(GROUP\\s+BY|ORDER\\s+BY)\\s*\\(([^()]*)\\)", "$1 $2")
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
@@ -193,8 +309,59 @@ final class ClickHouseSql(
       })
     q = rewrapFn(q, "fromUnixTimestamp64Milli", a => s"timestamp_millis($a)")
     q = rewrapFn(q, "toStartOfDay", a => s"date_trunc('DAY', $a)")
+    // toStartOfMonth/toMonday return Date in CH (toStartOfDay returns
+    // DateTime) — hence the to_date wrap on these two only; Spark's WEEK
+    // truncation is Monday-anchored, same as toMonday
+    q = rewrapFn(q, "toStartOfMonth", a => s"to_date(date_trunc('MONTH', $a))")
+    q = rewrapFn(q, "toMonday", a => s"to_date(date_trunc('WEEK', $a))")
+    q = rewrapFn(q, "toHour", a => s"hour($a)")
+    // CH weekday is ISO (Mon=1..Sun=7); Spark's dayofweek is Sun=1..Sat=7
+    q = rewrapFn(q, "toDayOfWeek", a => s"(((dayofweek($a) + 5) % 7) + 1)")
     q = rewrapFn(q, "toInt8", a => s"CAST($a AS TINYINT)")
     q = rewrapFn(q, "toDate", a => s"to_date($a)")
+    // the -If combinator family (CH composes `-If` onto any aggregate;
+    // the translation composes the same way: aggregate over a CASE that
+    // nulls out non-matching rows — null-skipping IS the combinator)
+    for (base <- Seq("sum", "avg", "max", "min"))
+      q = rewrapFnArgs(q, base + "If", { case Seq(x, c) =>
+        s"$base(CASE WHEN $c THEN $x END)" })
+    q = rewrapFn(q, "countIf", c => s"count(CASE WHEN $c THEN 1 END)")
+    q = rewrapFnArgs(q, "uniqExactIf", { case Seq(x, c) =>
+      s"count(DISTINCT CASE WHEN $c THEN $x END)" })
+    q = rewrapFn(q, "uniqExact", a => s"count(DISTINCT $a)")
+    // selector aggregates (CH argMax/argMin are null-skipping on the
+    // ordering arg, same as Spark's max_by/min_by; ties are
+    // nondeterministic in BOTH engines — checked keys order by a unique
+    // column)
+    q = rewrapFnArgs(q, "argMax", { case Seq(a, b) => s"max_by($a, $b)" })
+    q = rewrapFnArgs(q, "argMin", { case Seq(a, b) => s"min_by($a, $b)" })
+    // conditional expression: multiIf(c1, v1, c2, v2, ..., else)
+    q = rewrapFnArgs(q, "multiIf", { args =>
+      require(args.size >= 3 && args.size % 2 == 1,
+        s"multiIf needs cond/value pairs plus an else, got ${args.size} args")
+      val whens = args.dropRight(1).grouped(2)
+        .map { case Seq(c, v) => s"WHEN $c THEN $v" }.mkString(" ")
+      s"CASE $whens ELSE ${args.last} END"
+    })
+    // array surface: splitByChar(sep, s) swaps args onto Spark's
+    // regex-based split, with the (single-quoted literal) separator
+    // regex-escaped char-by-char; arrayJoin is CH's row-exploding
+    // "function" — Spark spells the same plan node `explode`
+    q = rewrapFnArgs(q, "splitByChar", { case Seq(sep, s) =>
+      val lit = sep.trim
+      require(lit.length >= 2 && lit.head == '\'' && lit.last == '\'',
+        s"splitByChar separator must be a quoted literal, got $lit")
+      val escaped = lit.substring(1, lit.length - 1)
+        .flatMap(c => if (c.isLetterOrDigit) s"$c" else s"\\\\$c")
+      s"split($s, '$escaped')" })
+    q = rewrapFn(q, "arrayJoin", a => s"explode($a)")
+    q = rewrapFnArgs(q, "has", { case Seq(arr, x) => s"array_contains($arr, $x)" })
+    q = rewrapFnArgs(q, "intDiv", { case Seq(a, b) => s"($a DIV $b)" })
+    // CH's parametric-aggregate syntax `fn(params)(args)`: uniqUpTo(N)(x)
+    // counts distinct exactly while <= N, else returns N+1 — which is
+    // literally least(count(DISTINCT x), N+1)
+    q = rewrapParametric(q, "uniqUpTo", (params, args) =>
+      s"least(count(DISTINCT $args), ${params.trim.toLong + 1})")
     // *State / *Merge — Spark's partial/final aggregate split, spelled out
     q = rewrapFn(q, "maxState", a => s"max($a)")
     q = rewrapFn(q, "minState", a => s"min($a)")
@@ -241,6 +408,52 @@ object ClickHouseSql {
     }
     sb.toString
   }
+
+  /** CH parametric-aggregate call `fn(params)(args)` → `wrap(params, args)`,
+    * every occurrence, balanced-paren safe on both lists. */
+  private[sources] def rewrapParametric(sql: String, fn: String,
+      wrap: (String, String) => String): String = {
+    val at = sql.indexOf(fn + "(")
+    val boundary = at >= 0 &&
+      (at == 0 || !Character.isLetterOrDigit(sql.charAt(at - 1)) && sql.charAt(at - 1) != '_')
+    if (at < 0) sql
+    else if (!boundary)
+      sql.substring(0, at + fn.length + 1) +
+        rewrapParametric(sql.substring(at + fn.length + 1), fn, wrap)
+    else {
+      def close(open: Int): Int = {
+        var depth = 0
+        var j = open
+        while (j < sql.length) {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) return j
+            case _ =>
+          }
+          j += 1
+        }
+        throw new IllegalArgumentException(s"unbalanced parens after $fn")
+      }
+      val pEnd = close(at + fn.length)
+      require(pEnd + 1 < sql.length && sql.charAt(pEnd + 1) == '(',
+        s"$fn is parametric: expected $fn(params)(args)")
+      val aEnd = close(pEnd + 1)
+      sql.substring(0, at) +
+        wrap(sql.substring(at + fn.length + 1, pEnd), sql.substring(pEnd + 2, aEnd)) +
+        rewrapParametric(sql.substring(aEnd + 1), fn, wrap)
+    }
+  }
+
+  /** Multi-arg variant of [[rewrapFn]]: the balanced-paren argument block
+    * is split on depth-0 commas and handed to `wrap` as a list. Nested
+    * calls (including other dialect functions) stay intact inside each
+    * argument because the split tracks paren depth; commas inside quoted
+    * literals are NOT tracked — none of the dialect subset's call sites
+    * put commas in string literals, and a violation fails loudly in the
+    * wrap's arity match rather than silently mis-splitting. */
+  private[sources] def rewrapFnArgs(sql: String, fn: String,
+      wrap: Seq[String] => String): String =
+    rewrapFn(sql, fn, args => wrap(splitTopLevel(args).map(_.trim)))
 
   /** JSONExtractXxx(msg, 'key') rewrites (simple two-arg string-key form). */
   private def replaceJsonExtract(sql: String, fn: String,

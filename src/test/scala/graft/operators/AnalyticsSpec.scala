@@ -5,6 +5,27 @@ import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("user streaks match a brute-force recomputation from the distinct day calendar") {
+    val got = Analytics.userStreaks(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val days = graft.Tables(spark, sf).events
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day").distinct()
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toEpochDay).sorted).toMap
+    assert(got.keySet == days.keySet)
+    days.foreach { case (u, ds) =>
+      var streaks = List.empty[Long]
+      var cur = 1L
+      ds.sliding(2).foreach {
+        case Array(a, b) => if (b == a + 1) cur += 1 else { streaks ::= cur; cur = 1 }
+        case _ => // single-day user: the trailing prepend below covers it
+      }
+      streaks ::= cur
+      assert(got(u) == ((ds.length.toLong, streaks.length.toLong, streaks.max)),
+        s"user $u: got ${got(u)} expected (${ds.length}, ${streaks.length}, ${streaks.max})")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of the exact distinct count") {
     Analytics.approxDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble

@@ -15,6 +15,70 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missing pairs: ${exact.diff(lsh)}")
   }
 
+  test("substring dedup: planted corpus marks exactly the cross-doc window and its run length") {
+    import spark.implicits._
+    // A and B share the verbatim 9-token run "w1..w9" (embedded at
+    // different offsets) -> two 8-token windows each, one consecutive run
+    // of 2 windows = 9 tokens; C is 8+ tokens of unique vocabulary; D is
+    // long but shares nothing. Within-doc repetition in D must NOT mark.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 ca cb"),
+      (2L, "da db w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (3L, "ea eb ec ed ee ef eg eh"),
+      (4L, "fa fb fc fd fe ff fg fh fa fb fc fd fe ff fg fh")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringCore(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 9L, 0L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 9L, 0L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1L)))
+    assert(out(4L) == ((0L, 0L, 1L)), "within-doc repetition must not mark")
+    // sub-window docs (< 8 tokens) pass through clean rather than vanish
+    val short = Dedup.substringCore(Seq((9L, "a b")).toDF("doc_id", "text"), 8)
+      .collect().head
+    assert(short.getLong(1) == 0L && short.getLong(3) == 1L)
+  }
+
+  test("substring dedup on the corpus: exact duplicates are fully marked and stats are consistent") {
+    val stats = Dedup.substringDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats.values.exists(_._1 > 0), "expected cross-doc duplicated windows on the test corpus")
+    // every member of an exact-duplicate group with >= 8 tokens must have
+    // ALL its windows marked (its text exists verbatim in another doc)
+    // (the spec-SF corpus may hold no EXACT duplicates — the clause below
+    // then checks vacuously; the near-dup structure already guarantees
+    // shared windows via the nonEmpty assertion above)
+    val toks = graft.Tables(spark, sf).documents
+      .selectExpr("doc_id", s"size(${TextAnalysis.tokensExpr}) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exactDupIds = Dedup.exact(spark, sf).filter("n_copies > 1")
+      .select("keep_id").collect().map(_.getLong(0))
+    exactDupIds.filter(toks(_) >= 8).foreach { id =>
+      val (n, run, clean) = stats(id)
+      val windows = toks(id) - 7L
+      assert(n == windows && run == toks(id) && clean == 0L,
+        s"exact-dup doc $id: expected all $windows windows marked, got $n (run $run)")
+    }
+    // invariants: max run never exceeds token count, never under W when marked
+    stats.foreach { case (id, (n, run, clean)) =>
+      assert((n == 0) == (clean == 1))
+      if (n > 0) assert(run >= 8 && run <= toks(id))
+    }
+  }
+
+  test("substring dedup plan shape: cached gram stream, no pair-space join") {
+    val plan = Dedup.substringDedup(spark, sf).queryExecution.executedPlan.toString
+    // the gram stream must come through the cache boundary (it feeds both
+    // the >=2-docs rollup and the marking probe — uncached, the tokenize+
+    // explode pass runs twice)
+    assert(plan.contains("InMemoryTableScan"),
+      "gram stream must be read through the cache boundary")
+    // linear-by-construction: marking is an equi-(semi-)join on the gram
+    // hash — a nested-loop join would mean the pair space leaked in
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "pair-space join leaked into the plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("simhash pairs are near-duplicates (subset of minhash candidates' docs)") {
     val sim = Dedup.simhash(spark, sf).collect()
     assert(sim.nonEmpty, "expected at least one simhash near-dup pair on the test corpus")

@@ -44,6 +44,162 @@ class ClickHouseSqlSpec extends SparkSpec {
       c.translateQuery("SELECT toInt8(broken FROM t"))
   }
 
+  test("expression translation: the ad-hoc vocabulary (round-11 widening)") {
+    val c = ch
+    // the -If combinator family composes aggregate + CASE null-skip
+    assert(c.translateQuery("SELECT countIf(x < 0) FROM t") ==
+      "SELECT count(CASE WHEN x < 0 THEN 1 END) FROM t")
+    assert(c.translateQuery("SELECT sumIf(x, y > 1) FROM t") ==
+      "SELECT sum(CASE WHEN y > 1 THEN x END) FROM t")
+    assert(c.translateQuery("SELECT avgIf(x, y > 1) FROM t") ==
+      "SELECT avg(CASE WHEN y > 1 THEN x END) FROM t")
+    assert(c.translateQuery("SELECT uniqExactIf(x, y = 2) FROM t") ==
+      "SELECT count(DISTINCT CASE WHEN y = 2 THEN x END) FROM t")
+    assert(c.translateQuery("SELECT uniqExact(x) FROM t") ==
+      "SELECT count(DISTINCT x) FROM t")
+    // selector aggregates; nested dialect calls translate inside-out
+    assert(c.translateQuery("SELECT argMax(a, b), argMin(a, b) FROM t") ==
+      "SELECT max_by(a, b), min_by(a, b) FROM t")
+    assert(c.translateQuery("SELECT argMax(a, toHour(ts)) FROM t") ==
+      "SELECT max_by(a, hour(ts)) FROM t")
+    // multiIf pairs + else — and the odd-arity guard
+    assert(c.translateQuery("SELECT multiIf(a < 1, 'x', a < 2, 'y', 'z') FROM t") ==
+      "SELECT CASE WHEN a < 1 THEN 'x' WHEN a < 2 THEN 'y' ELSE 'z' END FROM t")
+    assertThrows[IllegalArgumentException](
+      c.translateQuery("SELECT multiIf(a, b) FROM t"))
+    // time dimensions: Date-typed truncations gain to_date; ISO weekday
+    assert(c.translateQuery("SELECT toStartOfMonth(ts) FROM t") ==
+      "SELECT to_date(date_trunc('MONTH', ts)) FROM t")
+    assert(c.translateQuery("SELECT toMonday(ts) FROM t") ==
+      "SELECT to_date(date_trunc('WEEK', ts)) FROM t")
+    assert(c.translateQuery("SELECT toDayOfWeek(ts) FROM t") ==
+      "SELECT (((dayofweek(ts) + 5) % 7) + 1) FROM t")
+    // array surface: splitByChar swaps args onto regex split (escaped
+    // separator), arrayJoin is Spark's explode, has is array_contains
+    assert(c.translateQuery("SELECT arrayJoin(splitByChar(' ', s)) AS tok FROM t") ==
+      "SELECT explode(split(s, '\\\\ ')) AS tok FROM t")
+    assert(c.translateQuery("SELECT has(xs, 3) FROM t") ==
+      "SELECT array_contains(xs, 3) FROM t")
+    assert(c.translateQuery("SELECT intDiv(a, 4) FROM t") ==
+      "SELECT (a DIV 4) FROM t")
+    // LIMIT n BY -> the row_number window rewrite, re-sorted outside
+    val lb = c.translateQuery(
+      "SELECT g, v FROM t ORDER BY g ASC, v DESC LIMIT 2 BY g")
+    assert(lb == "SELECT * EXCEPT (__graft_rn) FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY g ORDER BY g ASC, v DESC) AS __graft_rn FROM " +
+      "(SELECT g, v FROM t) __graft_lb) WHERE __graft_rn <= 2 ORDER BY g ASC, v DESC")
+  }
+
+  test("parametric syntax: uniqUpTo(N)(x) translates to the saturated distinct count") {
+    val c = ch
+    assert(c.translateQuery("SELECT uniqUpTo(5)(x) FROM t GROUP BY g") ==
+      "SELECT least(count(DISTINCT x), 6) FROM t GROUP BY g")
+    // two parametric calls in one select; nested dialect fn in the args
+    assert(c.translateQuery("SELECT uniqUpTo(2)(a), uniqUpTo(3)(toHour(ts)) FROM t") ==
+      "SELECT least(count(DISTINCT a), 3), least(count(DISTINCT hour(ts)), 4) FROM t")
+    // a parametric name without its second arg list must throw, not mangle
+    assertThrows[IllegalArgumentException](
+      c.translateQuery("SELECT uniqUpTo(5) FROM t"))
+  }
+
+  test("WITH FILL synthesizes missing rows with type defaults and keeps out-of-range data rows") {
+    val c = ch // 1000-row frame: points -10..10 all present
+    c.execute(ClickHouseDemo.queueDdl)
+    c.execute(ClickHouseDemo.eventsDdl)
+    c.execute(ClickHouseDemo.eventsMv)
+    // explicit half-open [12, 15): points 12..14 are synthesized with
+    // count's default 0; every DATA row (points -10..10) must survive
+    val filled = c.execute(
+      """SELECT points, count() AS n FROM student_entry_events
+        |GROUP BY points ORDER BY points WITH FILL FROM 12 TO 15""".stripMargin).get
+      .collect().map(r => r.getAs[Number]("points").intValue -> r.getLong(1)).toMap
+    assert(filled.keySet == ((-10 to 10) ++ (12 to 14)).toSet, filled.keySet.toSeq.sorted)
+    assert((12 to 14).forall(filled(_) == 0L))
+    assert((-10 to 10).forall(filled(_) > 0L))
+    // defaulted FROM/TO = data min/max inclusive: nothing added, nothing lost
+    val defaulted = c.execute(
+      """SELECT points, count() AS n FROM student_entry_events
+        |GROUP BY points ORDER BY points WITH FILL""".stripMargin).get
+    assert(defaulted.collect().map(_.getAs[Number]("points").intValue).toSeq ==
+      (-10 to 10).toSeq)
+    // string fill columns are rejected (CH fills numeric/date sequences)
+    assertThrows[Exception](c.execute(
+      "SELECT room, count() AS n FROM student_entry_events GROUP BY room " +
+        "ORDER BY room WITH FILL").get.collect())
+  }
+
+  test("FINAL collapses ReplacingMergeTree by version, not insert order, and rejects unsupported engines") {
+    val c = ch
+    c.execute(
+      """CREATE TABLE kv (`k` String, `v` Int64, `ver` UInt32)
+        |ENGINE = ReplacingMergeTree(ver) ORDER BY k""".stripMargin)
+    // adversarial insert order: highest version first, lowest last
+    c.execute("INSERT INTO kv SELECT 'a' AS k, 10 AS v, 3 AS ver")
+    c.execute("INSERT INTO kv SELECT 'a' AS k, 99 AS v, 1 AS ver")
+    c.execute("INSERT INTO kv SELECT 'b' AS k, 7 AS v, 2 AS ver")
+    val rows = c.execute("SELECT k, v, ver FROM kv FINAL ORDER BY k").get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(rows.toSeq == Seq(("a", 10L, 3L), ("b", 7L, 2L)))
+    // un-FINAL reads still see every generation
+    assert(c.execute("SELECT count() AS n FROM kv").get.collect().head.getLong(0) == 3L)
+    // versionless ReplacingMergeTree FINAL = last-insert-wins, a
+    // nondeterministic contract this engine refuses to fake
+    c.execute(
+      "CREATE TABLE nover (`k` String, `v` Int64) ENGINE = ReplacingMergeTree ORDER BY k")
+    assertThrows[IllegalArgumentException](c.execute("SELECT k FROM nover FINAL"))
+    c.execute(
+      "CREATE TABLE sums (`k` String, `v` Int64) ENGINE = SummingMergeTree ORDER BY k")
+    assertThrows[IllegalArgumentException](c.execute("SELECT k FROM sums FINAL"))
+  }
+
+  test("ISO weekday translation evaluates to Mon=1..Sun=7") {
+    val c = ch
+    // 2013-09-01 was a Sunday, 2013-09-02 a Monday
+    val sql = c.translateQuery(
+      "SELECT toDayOfWeek(TIMESTAMP '2013-09-01 10:00:00') AS sun, " +
+        "toDayOfWeek(TIMESTAMP '2013-09-02 10:00:00') AS mon")
+    val r = spark.sql(sql).collect().head
+    assert(r.getInt(0) == 7 && r.getInt(1) == 1)
+  }
+
+  test("LIMIT BY keeps the first n rows per group in ORDER BY order") {
+    val top = ClickHouseDemo.refChTopRooms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(top.length == 8, s"expected 2 rows x 4 houses, got ${top.length}")
+    val byHouse = top.groupBy(_._1)
+    assert(byHouse.keySet.size == 4 && byHouse.values.forall(_.length == 2))
+    // within a house: entries descending, room ascending on ties — and the
+    // corpus really exercises the tie-break (equal-count rooms exist)
+    byHouse.values.foreach { rs =>
+      val Seq(a, b) = rs.sortBy(r => (-r._3, r._2)).toSeq
+      assert(rs.toSeq == Seq(a, b))
+    }
+    assert(byHouse.values.exists(rs => rs.map(_._3).distinct.length == 1),
+      "expected at least one house whose top-2 rooms tie on entries")
+  }
+
+  test("conditional/selector vocabulary: dialect equals the native DataFrame computation") {
+    val dialect = ClickHouseDemo.refChConditional(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getString(5), r.getString(6))).toSet
+    val native = EventsSource.parseReference(
+      EventsSource.syntheticKafkaFrame(spark, 100000L, 16)
+        .select(col("value").cast("string").as("message")))
+      .groupBy(col("student.house").as("house"))
+      .agg(
+        count_if(col("points") < 0).as("penalties"),
+        sum(when(col("points") > 0, col("points"))).as("awarded"),
+        avg(when(col("points") > 0, col("points"))).as("avg_award"),
+        countDistinct(col("teacher")).as("n_teachers"),
+        max_by(col("teacher"), col("timestamp")).as("last_teacher"),
+        min_by(col("room"), col("timestamp")).as("first_room"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getString(5), r.getString(6))).toSet
+    assert(dialect == native,
+      s"dialect diverged: ${dialect.diff(native)} / ${native.diff(dialect)}")
+  }
+
   test("README Step 2 end-to-end: dialect result equals the native pipeline") {
     val viaDialect = ClickHouseDemo.refChPointsByHouse(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
