@@ -182,8 +182,8 @@ object Bench {
     "ref_ch_tokens", "ref_ch_with_fill", "ref_ch_uniq_upto",
     "ref_ch_final",
     // round-11 widening: ExactSubstr cross-doc window dedup; daily
-    // streak islands
-    "dedup_substring", "q_user_streaks")
+    // streak islands; deterministic shuffle-and-shard
+    "dedup_substring", "q_user_streaks", "pipeline_shard")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

@@ -51,6 +51,9 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     // Round-11 widening: gaps-and-islands daily streaks per user
     "q_user_streaks" -> (Analytics.userStreaks _),
+    // Round-11 widening: deterministic shuffle + shard assignment on the
+    // GlobalRank backbone (no shard-keyed window, no RNG)
+    "pipeline_shard" -> ((s, d) => Pipeline.shard(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -938,6 +941,17 @@ object SparkEntry {
          |            WHEN $bucket256Sql < 13 THEN 'val'
          |            ELSE 'train' END AS split
          |FROM l""".stripMargin,
+    // the same md5 order and md5-bucket-mod shard; the per-shard
+    // row_number here equals Spark's global-rank-minus-offset arithmetic
+    "pipeline_shard" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |        CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) % 8 AS shard
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     // floor(f) copies + one bucketed extra; generate_series replays the
     // same per-doc copy count
     "pipeline_repeat_upsample" ->

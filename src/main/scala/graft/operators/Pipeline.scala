@@ -360,4 +360,40 @@ object Pipeline {
         max(struct(col("quality_score"), col("doc_id"))).as("b"))
       .select(col("cluster_id"), col("b.doc_id").as("kept_doc"),
         col("n_members"), col("b.quality_score").as("best_quality"))
+
+  /** Deterministic corpus shuffle + shard assignment (`pipeline_shard`) —
+    * the step between corpus prep and tokenizer sharding: every doc gets
+    * a shard (its md5-bucket mod nShards — the same RNG-free hash idiom
+    * as [[split]], so shard membership is stable under corpus rebuilds)
+    * and a dense 1-based POSITION inside its shard along the md5
+    * pseudo-random order (the "global shuffle" every training run wants,
+    * reproducible byte-for-byte).
+    *
+    * Why positions come from [[GlobalRank.rowNumbered]] and not a
+    * `Window.partitionBy(shard)`: nShards is a small constant, so a
+    * shard-keyed window would hand each task n/nShards rows to sort —
+    * the single-partition-scale sort SURVEY §4 forbids. GlobalRank
+    * range-partitions the (shard, h, doc_id) total order across ALL
+    * cores and numbers rows with map-side arithmetic; the per-shard
+    * position is then the global number minus the shard's offset —
+    * nShards longs of driver arithmetic broadcast back as a literal
+    * map. One range shuffle, no data-sized collect, no RNG. */
+  def shard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val base = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard",
+        expr("cast((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 " +
+          "+ instr('0123456789abcdef', substring(h, 2, 1)) - 1 as bigint)") % nShards)
+    val numbered = GlobalRank.rowNumbered(base, "rn",
+      col("shard"), col("h"), col("doc_id"))
+    // shard sizes: <= nShards rows — bounded driver arithmetic, not data
+    val counts = numbered.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val offsetOf = element_at(
+      typedLit(offsets), col("shard"))
+    numbered.select(col("doc_id"), col("shard"),
+      (col("rn") - offsetOf).as("pos"))
+  }
 }

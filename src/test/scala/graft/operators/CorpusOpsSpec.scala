@@ -14,6 +14,31 @@ class CorpusOpsSpec extends SparkSpec {
     Integer.parseInt(hex.substring(0, 1), 16)
   }
 
+  test("shard assignment matches the local md5 recomputation with dense per-shard positions") {
+    val rows = Pipeline.shard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force expectation: md5-bucket mod 8 shard, per-shard
+    // row_number along the (md5 hex, doc_id) order
+    def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.map(_._1).map { id =>
+      val h = hex(id)
+      (id, (Integer.parseInt(h.substring(0, 2), 16) % 8).toLong, h)
+    }.groupBy(_._2).flatMap { case (_, docs) =>
+      docs.sortBy(d => (d._3, d._1)).zipWithIndex.map { case ((id, s, _), i) =>
+        (id, s, i + 1L)
+      }.toSeq
+    }.toSet
+    assert(rows.toSet == expected,
+      s"diff: ${rows.toSet.diff(expected).take(3)} / ${expected.diff(rows.toSet).take(3)}")
+    // positions are dense 1..cnt inside every shard, all 8 shards populated
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet == (0L to 7L).toSet)
+    byShard.values.foreach { docs =>
+      assert(docs.map(_._3).sorted.toSeq == (1L to docs.length).toSeq)
+    }
+  }
+
   test("decontaminate probes the benchmark set via broadcast and flags consistently") {
     val df = Pipeline.decontaminate(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
