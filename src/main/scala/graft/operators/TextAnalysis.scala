@@ -19,6 +19,19 @@ object TextAnalysis {
   /** Non-empty whitespace tokens. */
   val tokensExpr = "filter(split(text, ' '), x -> x != '')"
 
+  /** Positional W-token window hashes over a `tk` array column —
+    * `transform(sequence(0, size(tk) - w), i -> xxhash64(tk[i..i+w-1]))`,
+    * the boundary-safe chained-hash contract of [[Dedup.shinglesExpr]]
+    * (the paired DuckDB oracles join STRING grams, so a hash collision
+    * surfaces as a driver mismatch). One definition shared by
+    * [[dupSpans]] (intra+inter-doc repetition) and
+    * [[Dedup.substringDedup]] (strictly cross-doc) so the gram identity
+    * cannot silently diverge between them. */
+  private[operators] def posGramsExpr(w: Int): String = {
+    val hashArgs = (0 until w).map(i => s"tk[i + $i]").mkString(", ")
+    s"transform(sequence(0, size(tk) - $w), i -> xxhash64($hashArgs))"
+  }
+
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("tk", expr(tokensExpr))
 
@@ -445,11 +458,7 @@ object TextAnalysis {
         .select(col("doc_id"), expr(tokensExpr).as("tk"))
         .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk")))
     val pos = docs.filter(col("n_tokens") >= 8)
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, size(tk) - 8),
-          |  i -> xxhash64(tk[i], tk[i+1], tk[i+2], tk[i+3],
-          |                tk[i+4], tk[i+5], tk[i+6], tk[i+7]))""".stripMargin))
-        .as(Seq("pos", "g")))
+      .select(col("doc_id"), posexplode(expr(posGramsExpr(8))).as(Seq("pos", "g")))
     val dupGrams = pos.groupBy("g").count().filter(col("count") > 1).select("g")
     val dup = pos.join(dupGrams, "g").select("doc_id", "pos")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")

@@ -107,17 +107,29 @@ final class ClickHouseSql(
 
   private def runSelect(s0: String): DataFrame =
     withViews {
-      // `FROM t FINAL` — rebind each FINAL-read table to its collapsed
-      // view for the duration of this statement, then drop the keyword
+      // `FROM t FINAL` — each FINAL read is rewritten onto a FRESH view
+      // holding the collapsed frame, so a non-FINAL reference to the
+      // same table elsewhere in the statement (the classic raw-vs-
+      // collapsed debugging query) still reads every generation. Any
+      // FINAL the rewrite did not consume (alias and JOIN forms are
+      // outside the supported subset) throws instead of silently
+      // returning uncollapsed rows with the keyword stripped.
       val s1 = s0.stripSuffix(";")
-      "(?i)\\bFROM\\s+(\\S+)\\s+FINAL\\b".r.findAllMatchIn(s1)
-        .map(m => stripName(m.group(1))).toSet[String]
-        .foreach(t => finalView(t).createOrReplaceTempView(t))
-      val s = s1.replaceAll("(?i)\\s+FINAL\\b", "")
-      fillClause.findFirstMatchIn(s) match {
+      val finalViews = mutable.Buffer.empty[String]
+      val s = "(?i)\\bFROM\\s+([A-Za-z_][\\w.]*)\\s+FINAL\\b".r.replaceAllIn(s1, m => {
+        val t = stripName(m.group(1))
+        val view = s"__graft_final_$t"
+        finalView(t).createOrReplaceTempView(view)
+        finalViews += view
+        java.util.regex.Matcher.quoteReplacement(s"FROM $view")
+      })
+      require("(?i)\\bFINAL\\b".r.findFirstIn(s).isEmpty,
+        "FINAL is supported only directly after FROM <table> " +
+          "(alias/JOIN FINAL forms are outside the dialect subset)")
+      try fillClause.findFirstMatchIn(s) match {
         case Some(m) => runWithFill(m)
         case None => spark.sql(translateQuery(s))
-      }
+      } finally finalViews.foreach(spark.catalog.dropTempView(_))
     }
 
   /** The `FINAL` collapse of a `ReplacingMergeTree(version)` table:
@@ -174,22 +186,30 @@ final class ClickHouseSql(
         case Some(t) => (t, "<")
         case None => (s"(SELECT max($c) FROM $view)", "<=")
       }
-      val defaults = src.schema.fields.filter(_.name != c).map { f =>
-        val d = f.dataType.typeName match {
-          case t if t == "string" => "''"
-          case t if t == "boolean" => "false"
-          case t if Seq("byte", "short", "integer", "long", "float", "double").contains(t)
-            || t.startsWith("decimal") => "0"
-          case _ => "NULL"
+      // output columns in the INNER query's declared order (CH keeps the
+      // select list's order; only the values of synthesized rows change)
+      val outCols = src.schema.fields.map { f =>
+        if (f.name == c) s"f.`$c` AS `$c`"
+        else {
+          val d = f.dataType.typeName match {
+            case t if t == "string" => "''"
+            case t if t == "boolean" => "false"
+            case t if Seq("byte", "short", "integer", "long", "float", "double").contains(t)
+              || t.startsWith("decimal") => "0"
+            case _ => "NULL"
+          }
+          s"coalesce(q.`${f.name}`, CAST($d AS ${f.dataType.sql})) AS `${f.name}`"
         }
-        s"coalesce(q.`${f.name}`, CAST($d AS ${f.dataType.sql})) AS `${f.name}`"
       }
+      // null-safe join: an original row whose fill-column value is NULL
+      // must keep its payload (it enters f via the UNION; plain equality
+      // would orphan it onto the type defaults)
       spark.sql(
-        s"""SELECT f.`$c`, ${defaults.mkString(", ")}
+        s"""SELECT ${outCols.mkString(", ")}
            |FROM (SELECT `$c` FROM (SELECT explode(sequence($from, $to, $step)) AS `$c`)
            |      WHERE `$c` $cmp $to
            |      UNION SELECT `$c` FROM $view) f
-           |LEFT JOIN $view q ON f.`$c` = q.`$c`
+           |LEFT JOIN $view q ON f.`$c` <=> q.`$c`
            |ORDER BY f.`$c`""".stripMargin)
     } finally spark.catalog.dropTempView(view)
   }

@@ -126,6 +126,12 @@ class ClickHouseSqlSpec extends SparkSpec {
     assertThrows[Exception](c.execute(
       "SELECT room, count() AS n FROM student_entry_events GROUP BY room " +
         "ORDER BY room WITH FILL").get.collect())
+    // the select list's column ORDER survives the rewrite (CH keeps it;
+    // only synthesized rows' values differ)
+    val ordered = c.execute(
+      """SELECT count() AS n, points FROM student_entry_events
+        |GROUP BY points ORDER BY points WITH FILL FROM 12 TO 14""".stripMargin).get
+    assert(ordered.columns.toSeq == Seq("n", "points"), ordered.columns.toSeq)
   }
 
   test("FINAL collapses ReplacingMergeTree by version, not insert order, and rejects unsupported engines") {
@@ -142,6 +148,17 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("a", 10L, 3L), ("b", 7L, 2L)))
     // un-FINAL reads still see every generation
     assert(c.execute("SELECT count() AS n FROM kv").get.collect().head.getLong(0) == 3L)
+    // mixed raw-vs-collapsed reads of the SAME table in one statement —
+    // the classic version-duplication debugging query — must not let the
+    // FINAL rebind leak into the raw leg
+    val mixed = c.execute(
+      "SELECT (SELECT count() FROM kv) AS raw, (SELECT count() FROM kv FINAL) AS collapsed")
+      .get.collect().head
+    assert(mixed.getLong(0) == 3L && mixed.getLong(1) == 2L, mixed.toString)
+    // unsupported FINAL placements (alias form) throw rather than
+    // silently returning uncollapsed rows with the keyword stripped
+    assertThrows[IllegalArgumentException](
+      c.execute("SELECT k FROM kv AS t FINAL"))
     // versionless ReplacingMergeTree FINAL = last-insert-wins, a
     // nondeterministic contract this engine refuses to fake
     c.execute(
