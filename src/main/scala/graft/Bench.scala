@@ -183,7 +183,10 @@ object Bench {
     "ref_ch_final",
     // round-11 widening: ExactSubstr cross-doc window dedup; daily
     // streak islands; deterministic shuffle-and-shard
-    "dedup_substring", "q_user_streaks", "pipeline_shard")
+    "dedup_substring", "q_user_streaks", "pipeline_shard",
+    // round-12: the README's JSONEachRow queue alternative through the
+    // dialect (typed from_json parse, reduced MV)
+    "ref_ch_each_row")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

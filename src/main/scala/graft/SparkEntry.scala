@@ -171,6 +171,7 @@ object SparkEntry {
     // the dialect front-end (DDL + MVs + *State/*Merge), checked against
     // the same wire-arithmetic oracles the native keys use
     "ref_ch_points_by_house" -> (graft.sources.ClickHouseDemo.refChPointsByHouse _),
+    "ref_ch_each_row" -> (graft.sources.ClickHouseDemo.refChEachRow _),
     "ref_ch_attendance_daily" -> (graft.sources.ClickHouseDemo.refChAttendanceDaily _),
     // Round-11 widening: the ad-hoc dialect vocabulary beyond the README's
     // own scripts — the -If combinator + argMax/argMin + uniqExact,
@@ -1240,6 +1241,13 @@ object SparkEntry {
     // native ref_ keys — equality proves the VERBATIM README scripts
     // produce the oracle numbers through the translation layer
     "ref_ch_points_by_house" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i))
+        |SELECT ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
+        |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points
+        |FROM g GROUP BY 1""".stripMargin,
+    // the JSONEachRow queue alternative lands on the SAME answer as the
+    // JSONAsString chain and the native key — one oracle, three paths
+    "ref_ch_each_row" ->
       """WITH g AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 100000) t(i))
         |SELECT ['Gryffindor','Hufflepuff','Ravenclaw','Slytherin'][CAST(i % 4 AS INT) + 1] AS house,
         |       CAST(sum(i % 21 - 10) AS BIGINT) AS total_points

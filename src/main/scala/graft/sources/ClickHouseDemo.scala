@@ -65,6 +65,44 @@ object ClickHouseDemo {
       |FROM default.student_entry_events
       |GROUP BY student.house""".stripMargin
 
+  /** The README's alternative queue format (README.rst: "Alternatively
+    * you can try JSONEachRow ... In this case the JSON properties will be
+    * parsed into columns"): the queue table declares TYPED columns parsed
+    * straight off each record's JSON by name — no JSONExtract MV. The
+    * wire `timestamp` is epoch milliseconds, so it is declared UInt64
+    * here and converted by the (now trivial) MV select — the same
+    * fromUnixTimestamp64Milli a porting user keeps from Step 2.3; the
+    * nested student object parses directly as the declared Tuple. */
+  val queueEachRowDdl: String =
+    """CREATE TABLE entry_events_queue_rows
+      |(
+      |    `timestamp` UInt64,
+      |    `subject` String,
+      |    `teacher` String,
+      |    `room` String,
+      |    `points` Int8,
+      |    `student` Tuple(name String, house String)
+      |)
+      |ENGINE = Kafka
+      |SETTINGS
+      |    kafka_broker_list = 'host.docker.internal:9092',
+      |    kafka_topic_list = 'entry-events',
+      |    kafka_group_name = 'group1',
+      |    kafka_format = 'JSONEachRow'""".stripMargin
+
+  /** The Step-2.3 MV reduced to what JSONEachRow leaves to do: the epoch
+    * conversion. Every other column is already typed on the queue. */
+  val eventsMvEachRow: String =
+    """CREATE MATERIALIZED VIEW materialized_view_rows TO student_entry_events
+      |AS SELECT
+      |    fromUnixTimestamp64Milli(timestamp) AS timestamp,
+      |    subject,
+      |    teacher,
+      |    room,
+      |    points,
+      |    student
+      |FROM entry_events_queue_rows""".stripMargin
+
   /** README.rst Step 3.1 / 3.4 / 3.7 and Step 4.1 / 4.2 / 4.3 / 4.4,
     * with the future-timestamp placeholder bound to `cutoff`. */
   def granularDdl: String =
@@ -170,6 +208,17 @@ object ClickHouseDemo {
   def refChPointsByHouse(spark: SparkSession, dir: String): DataFrame = {
     val ch = session(spark, EventsSource.syntheticKafkaFrame(spark, 100000L, 16))
     ch.executeAll(Seq(queueDdl, eventsDdl, eventsMv, pointsByHouseQuery)).get
+      .withColumnRenamed("sum(points)", "total_points")
+  }
+
+  /** `ref_ch_each_row`: the README's `JSONEachRow` queue alternative end
+    * to end — typed queue DDL, the SAME typed destination table, the
+    * reduced MV (epoch conversion only), and the literal Step-2.4 query.
+    * Shares `ref_points_by_house`'s oracle, so JSONEachRow == JSONAsString
+    * == native is DRIVER-checked three ways on one answer. */
+  def refChEachRow(spark: SparkSession, dir: String): DataFrame = {
+    val ch = session(spark, EventsSource.syntheticKafkaFrame(spark, 100000L, 16))
+    ch.executeAll(Seq(queueEachRowDdl, eventsDdl, eventsMvEachRow, pointsByHouseQuery)).get
       .withColumnRenamed("sum(points)", "total_points")
   }
 

@@ -227,11 +227,36 @@ final class ClickHouseSql(
       val topic = "kafka_topic_list\\s*=\\s*'([^']+)'".r.findFirstMatchIn(tail)
         .map(_.group(1)).getOrElse(
           throw new IllegalArgumentException("Kafka engine without kafka_topic_list"))
-      // JSONAsString: the declared single String column carries the value
-      // bytes of each record — the exact Kafka-engine consumption contract
-      require(cols.size == 1, "JSONAsString queue must declare exactly one column")
-      tables(name) = topicFrame(topic)
-        .select(col("value").cast("string").as(cols.head._1))
+      // kafka_format is mandatory on a CH Kafka engine table; the README
+      // uses JSONAsString and offers JSONEachRow as the alternative
+      // (README.rst: "Alternatively you can try JSONEachRow") — both are
+      // in the dialect subset, anything else is rejected loudly
+      val format = "kafka_format\\s*=\\s*'([^']+)'".r.findFirstMatchIn(tail)
+        .map(_.group(1)).getOrElse(
+          throw new IllegalArgumentException("Kafka engine without kafka_format"))
+      format match {
+        case "JSONAsString" =>
+          // the declared single String column carries the value bytes of
+          // each record — the exact Kafka-engine consumption contract
+          require(cols.size == 1, "JSONAsString queue must declare exactly one column")
+          tables(name) = topicFrame(topic)
+            .select(col("value").cast("string").as(cols.head._1))
+        case "JSONEachRow" =>
+          // typed columns parsed straight off each record's JSON by NAME
+          // (CH's JSONEachRow contract): one codegen'd from_json against
+          // the declared schema — no JSONExtract MV needed; a declared
+          // Tuple(...) column parses its nested object as a struct. A key
+          // absent from the JSON (or of the wrong shape) yields NULL,
+          // which is also what CH's input_format_skip_unknown/default
+          // path degrades to for the demo's data.
+          val st = org.apache.spark.sql.types.StructType.fromDDL(
+            cols.map { case (c, t) => s"`$c` ${sparkType(t)}" }.mkString(", "))
+          tables(name) = topicFrame(topic)
+            .select(from_json(col("value").cast("string"), st).as("__graft_row"))
+            .select(cols.map { case (c, _) => col(s"__graft_row.`$c`").as(c) }: _*)
+        case other => throw new IllegalArgumentException(
+          s"unsupported kafka_format '$other' (dialect subset: JSONAsString, JSONEachRow)")
+      }
     } else {
       // MergeTree family: empty typed table. ORDER BY / PARTITION BY are
       // storage-layout hints with no in-memory equivalent — EXCEPT that
@@ -302,10 +327,23 @@ final class ClickHouseSql(
       "(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+(.+?)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+([\\w.`,\\s]+?)\\s*$".r
     limitBy.findFirstMatchIn(q).foreach { m =>
       val (inner, ord, n, by) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      // the greedy prefix split must land on a TOP-LEVEL ORDER BY: if the
+      // query's only ORDER BY sits inside a parenthesized context (an
+      // OVER(...) window, a subquery), `inner` is left with unbalanced
+      // parens and the rewrite would emit mangled SQL — reject instead
+      require(inner.count(_ == '(') == inner.count(_ == ')'),
+        "LIMIT n BY requires a top-level ORDER BY (the only ORDER BY found " +
+          "sits inside a parenthesized clause — outside the dialect subset)")
       q = s"SELECT * EXCEPT (__graft_rn) FROM (SELECT *, row_number() OVER " +
         s"(PARTITION BY $by ORDER BY $ord) AS __graft_rn FROM ($inner) __graft_lb) " +
         s"WHERE __graft_rn <= $n ORDER BY $ord"
     }
+    // an un-rewritten `LIMIT n BY` (no top-level ORDER BY to anchor it —
+    // nondeterministic in CH too) must fail HERE with a dialect message,
+    // not fall through to a confusing Spark ParseException
+    require("(?i)\\bLIMIT\\s+\\d+\\s+BY\\b".r.findFirstIn(q).isEmpty,
+      "LIMIT n BY without a top-level ORDER BY is outside the dialect subset " +
+        "(CH row choice would be nondeterministic; add an ORDER BY)")
     // tuple-form group/order lists → plain lists
     q = q.replaceAll("(?i)\\b(GROUP\\s+BY|ORDER\\s+BY)\\s*\\(([^()]*)\\)", "$1 $2")
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
@@ -371,6 +409,10 @@ final class ClickHouseSql(
       val lit = sep.trim
       require(lit.length >= 2 && lit.head == '\'' && lit.last == '\'',
         s"splitByChar separator must be a quoted literal, got $lit")
+      // CH rejects multi-char separators for splitByChar (that's
+      // splitByString); escaping one char-by-char would silently diverge
+      require(lit.length == 3,
+        s"splitByChar separator must be a single character, got $lit")
       val escaped = lit.substring(1, lit.length - 1)
         .flatMap(c => if (c.isLetterOrDigit) s"$c" else s"\\\\$c")
       s"split($s, '$escaped')" })
@@ -473,7 +515,19 @@ object ClickHouseSql {
     * wrap's arity match rather than silently mis-splitting. */
   private[sources] def rewrapFnArgs(sql: String, fn: String,
       wrap: Seq[String] => String): String =
-    rewrapFn(sql, fn, args => wrap(splitTopLevel(args).map(_.trim)))
+    rewrapFn(sql, fn, args => {
+      val argList = splitTopLevel(args).map(_.trim)
+      // wrap callbacks are partial functions on arity — surface a wrong
+      // arity (or a string-literal comma mis-split) as the same
+      // IllegalArgumentException the rest of the translator throws,
+      // naming the function and what it received, never a raw MatchError
+      try wrap(argList)
+      catch {
+        case _: MatchError => throw new IllegalArgumentException(
+          s"$fn: unsupported argument list (${argList.size} args: " +
+            s"${argList.mkString(", ").take(120)})")
+      }
+    })
 
   /** JSONExtractXxx(msg, 'key') rewrites (simple two-arg string-key form). */
   private def replaceJsonExtract(sql: String, fn: String,

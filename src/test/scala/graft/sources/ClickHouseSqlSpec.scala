@@ -297,6 +297,58 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(streamed.size == 2000)
   }
 
+  test("JSONEachRow queue: typed columns parse straight off the wire; the chain equals JSONAsString's") {
+    // end-to-end: the README's alternative format lands on the SAME
+    // Step-2.4 answer as the JSONAsString chain (which the Step-2 test
+    // above already pins to the native pipeline)
+    val eachRow = ClickHouseDemo.refChEachRow(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val asString = ClickHouseDemo.refChPointsByHouse(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(eachRow == asString,
+      s"JSONEachRow diverged from JSONAsString: ${eachRow.diff(asString)}")
+    // the format branch itself: declared columns (incl. the nested Tuple)
+    // are REAL typed columns on the queue — no extraction MV in the path
+    val c = ch
+    c.execute(ClickHouseDemo.queueEachRowDdl)
+    val row = c.execute(
+      "SELECT timestamp, subject, points, student.house AS house " +
+        "FROM entry_events_queue_rows ORDER BY timestamp LIMIT 1").get.collect().head
+    assert(row.getLong(0) == 1378022400000L) // epoch ms rides the declared UInt64
+    assert(row.getString(1) == "Potions")
+    assert(row.getAs[Byte]("points") == -10) // Int8 -> TINYINT straight off JSON
+    assert(row.getAs[String]("house") == "Gryffindor")
+    // an unsupported kafka_format is rejected loudly, never half-bound
+    assertThrows[IllegalArgumentException](c.execute(
+      ClickHouseDemo.queueEachRowDdl
+        .replace("entry_events_queue_rows", "q_bad")
+        .replace("JSONEachRow", "Avro")))
+  }
+
+  test("dialect subset violations fail loudly with named errors (round-12 hardening)") {
+    val c = ch
+    // LIMIT n BY with no top-level ORDER BY: a dialect error with the
+    // clause named, never a fall-through Spark ParseException
+    val e1 = intercept[IllegalArgumentException](
+      c.translateQuery("SELECT house, room FROM t LIMIT 2 BY house"))
+    assert(e1.getMessage.contains("LIMIT n BY"))
+    // the only ORDER BY sits inside an OVER(...) clause: rejected up
+    // front (the greedy prefix split would otherwise emit mangled SQL)
+    val e2 = intercept[IllegalArgumentException](
+      c.translateQuery("SELECT x, row_number() OVER (ORDER BY x) AS rn FROM t LIMIT 2 BY g"))
+    assert(e2.getMessage.contains("top-level ORDER BY"))
+    // wrong arity on a multi-arg rewrite names the function and the
+    // received args — never a raw scala.MatchError
+    val e3 = intercept[IllegalArgumentException](
+      c.translateQuery("SELECT sumIf(x) FROM t"))
+    assert(e3.getMessage.contains("sumIf"))
+    // splitByChar is single-character by CH contract (multi-char is
+    // splitByString, outside the subset)
+    val e4 = intercept[IllegalArgumentException](
+      c.translateQuery("SELECT splitByChar('ab', s) FROM t"))
+    assert(e4.getMessage.contains("single character"))
+  }
+
   test("the future-timestamp cutover is invisible: any cutoff yields the identical final table") {
     // the README's Step 3/4 correctness hinges on MV (>= t) + backfill
     // (< t) composing seamlessly; the *Merge select must collapse the
