@@ -350,8 +350,6 @@ object RefPipeline {
   def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val sink = "graft_streaming_sessions"
-    spark.catalog.dropTempView(sink)
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-sessions")
     registerTempCleanup(stage)
     java.nio.file.Files.copy(
@@ -404,20 +402,73 @@ object RefPipeline {
       .withWatermark("t", "1 second")
     // streaming state partitions = shuffle partitions at checkpoint
     // creation, and EACH partition materializes a state store per batch
-    // (the round-5 sizing lesson): size to state volume, not core count
+    // (the round-5 sizing lesson): size to STATE VOLUME, not core count —
+    // and state volume here scales with the corpus (sessions stay open
+    // until the sentinel closes them), so the partition count scales
+    // with the corpus file size between the 8-partition floor (small
+    // state; per-store overhead would dominate) and the core count
+    // (r12: the fixed 8 made each sf5 store carry ~600k sessions on one
+    // task — wall and GC both paid for it). The input side gets a
+    // smaller split target for the same reason: the corpus is staged as
+    // ONE parquet file, and the default 128 MB split would hand batch
+    // 1's whole scan to a single task.
+    val corpusBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stateParts = math.max(8L, math.min(32L, corpusBytes / (4L << 20)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProvider = spark.conf.getOption(providerKey)
+    val prevChangelog = spark.conf.getOption(changelogKey)
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+    // RocksDB state store (bundled with Spark): session state here is
+    // corpus-sized (most events are their own session until the sentinel
+    // closes them), and the default heap-map store made GC the largest
+    // single cost of this key at sf5 — off-heap state is exactly what
+    // the provider knob exists for, and what a production deployment of
+    // a corpus-sized session job would run
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: commit = the batch's delta, not a full
+    // SST snapshot per store per batch — the right durability/latency
+    // trade for a 3-batch bounded replay and the production default for
+    // large state
+    spark.conf.set(changelogKey, "true")
+    // PARQUET sink, not the memory sink (r12): closed sessions scale
+    // with the corpus (most events are their own session on this event
+    // cadence), and the memory sink collects every emitted row onto the
+    // driver heap — at sf5 that was millions of session rows and the
+    // measured GC majority of this key. The file sink keeps the result
+    // distributed; the returned frame is a plain scan of it.
+    val outDir = stage.resolve("sessions_out")
     try {
       val q = sessionWindowCore(events) // THE claim: the identical function
-        .writeStream.format("memory").queryName(sink)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", stage.resolve("sessions_ckpt").toString)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(changelogKey, p)
+        case None => spark.conf.unset(changelogKey)
+      }
+    }
     // drop EXACTLY the sentinel's (never-closed, but defensive) session —
     // null-safe so NULL-user sessions flow through like the batch key
-    spark.table(sink).filter(!(col("user_id") <=> lit(Long.MinValue)))
+    spark.read.parquet(outDir.toString)
+      .filter(!(col("user_id") <=> lit(Long.MinValue)))
   }
 
   /** Stream-stream interval join as a CHECKED key
@@ -480,11 +531,13 @@ object RefPipeline {
     * answer is the watermark, and this key makes that answer part of the
     * checked surface instead of prose.
     *
-    * Staging (the [[streamingSessionWindow]] mtime pattern,
-    * `maxFilesPerTrigger=1`): batch 1 = the ON-TIME corpus (every event
-    * with `event_id % 50 != 0`), batches 2–3 = TWO far-future sentinel
-    * batches that advance the watermark to ~2030, batch 4 = the LATE
-    * slice (`event_id % 50 == 0`). Spark's drop rule is WINDOW-level:
+    * Staging (the [[streamingSessionWindow]] mtime pattern, generalized
+    * to FILE GROUPS in r12 — `maxFilesPerTrigger = groupFiles` with each
+    * slice staged as groupFiles parallel-written parts): batch 1 = the
+    * ON-TIME corpus (every event with `event_id % 50 != 0`), batches 2–3
+    * = TWO far-future sentinel groups that advance the watermark to
+    * ~2030, batch 4 = the LATE slice (`event_id % 50 == 0`). Spark's
+    * drop rule is WINDOW-level:
     * a late row is discarded iff the watermark has passed its window's
     * END (rows for a still-open window are admitted however old) — and
     * the watermark a batch OBSERVES lags the data that produced it by a
@@ -512,19 +565,57 @@ object RefPipeline {
     registerTempCleanup(stage)
     val raw0 = spark.read.schema(schema).parquet(s"$dir/events.parquet")
     val now = System.currentTimeMillis()
+    // STAGED IN PARALLEL (r12): the corpus slice used to be coalesce(1)'d
+    // into ONE file — a single-task parquet write of the whole corpus
+    // (the measured bulk of this key's sf5 wall), and a single-split
+    // batch-1 scan after it. Each slice now writes `groupFiles`
+    // partitions and maxFilesPerTrigger = groupFiles, so a BATCH is a
+    // FILE GROUP: writes parallelize, batch 1 scans groupFiles splits,
+    // and the batch structure the semantics need is kept by mtime
+    // ordering (group k's files are all strictly older than group
+    // k+1's). The watermark argument tolerates ragged group boundaries:
+    // a batch's rows are judged against the watermark of the PREVIOUS
+    // batch, and by mtime order every batch containing late-slice files
+    // runs after both full sentinel groups are consumed — so the late
+    // slice always observes the 2030 watermark even if a group spills
+    // into the next batch (fewer-than-groupFiles part files at tiny sf).
+    val groupFiles = 8
     def writeSlice(df: org.apache.spark.sql.DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
       val build = stage.resolve(s"build_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(build.toString)
-      val part = {
+      df.repartition(groupFiles).write.mode("overwrite").parquet(build.toString)
+      val parts = {
         import scala.jdk.CollectionConverters._
         val ls = java.nio.file.Files.list(build)
-        try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        try ls.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
         finally ls.close()
       }
-      val dest = stage.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(now + mtimeOffsetMs))
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val dest = stage.resolve(f"${name}_$i%03d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(now + mtimeOffsetMs))
+      }
+    }
+    // sentinel groups are PADDED to exactly groupFiles (Spark's
+    // non-partitioned writer eagerly creates a file per task, so the
+    // repartitioned 1-row slice already leaves groupFiles part files —
+    // 7 empty — and this pad is a no-op; the guard keeps the batch-
+    // boundary proof independent of that writer detail): a sentinel
+    // group of >= groupFiles files ends strictly before the batch that
+    // first contains a late file, because the indices differ by
+    // groupFiles + 1 — so the late slice always observes the sentinel
+    // watermark, never the corpus one
+    def padGroup(name: String, mtimeOffsetMs: Long): Unit = {
+      val first = stage.resolve(f"${name}_000.parquet")
+      (1 until groupFiles).foreach { i =>
+        val dest = stage.resolve(f"${name}_$i%03d.parquet")
+        if (!java.nio.file.Files.exists(dest)) {
+          java.nio.file.Files.copy(first, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(now + mtimeOffsetMs))
+        }
+      }
     }
     writeSlice(raw0.filter(col("event_id") % 50 =!= 0), "a_ontime", 0L)
     def sentinel(tsNanos: Long) = spark.range(1).select(schema.fields.toIndexedSeq.map { f =>
@@ -540,10 +631,12 @@ object RefPipeline {
       }
     }: _*)
     writeSlice(sentinel(1893456000000000000L), "b_flush1", 60000L) // 2030-01-01
+    padGroup("b_flush1", 60000L)
     writeSlice(sentinel(1893459600000000000L), "c_flush2", 90000L) // +1 h
+    padGroup("c_flush2", 90000L)
     writeSlice(raw0.filter(col("event_id") % 50 === 0), "d_late", 120000L)
     val raw = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", groupFiles.toString)
       .option("basePath", stage.toString)
       .parquet(s"$stage/*.[p]arquet")
     val typed = schema("ts").dataType match {

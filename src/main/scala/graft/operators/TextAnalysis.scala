@@ -157,14 +157,27 @@ object TextAnalysis {
     * float noise. Nothing is collected to the driver — N rides a
     * broadcast single-row frame.
     *
-    * The per-term df frame carries NO broadcast hint on purpose: the
+    * The per-term df frame carries NO broadcast on purpose: the
     * distinct-term universe of a web-scale corpus is billions of entries
     * (URLs, typos, code tokens), and a forced `broadcast()` overrides
-    * Spark's size check into an OOM-at-scale plan. Unhinted, AQE
-    * broadcasts the join exactly when the runtime stats fit (it does at
-    * test SF) and falls back to a shuffle join on the shared `term` key
-    * when they don't — tf is already partitioned compatibly, so the
-    * at-scale plan is one extra exchange of the small df side only. */
+    * Spark's size check into an OOM-at-scale plan.
+    *
+    * The join is a SALTED SHUFFLE-HASH join (r12, replacing "let AQE
+    * pick"): keyed on `term` alone it serializes on a low-cardinality or
+    * head-heavy term universe (the uniform 31-word fixture is the
+    * extreme: every shuffle partition but ~31 empty — measured ~3
+    * effective cores of 32 inside the full sf5 bench pass), so tf rows
+    * route by (term, xxhash64(doc_id) mod S) and the df side replicates
+    * each term S times — S× a one-row-per-TERM frame, the strictly
+    * smaller side, so the overhead is bounded and hot-key rows spread
+    * over S partitions regardless of the df curve. The shuffle_hash hint
+    * (the jaccardPairs verify-join idiom) makes the probe side keep that
+    * exchange: the event-logged alternative was AQE converting to
+    * broadcast and then LOCAL-reading the probe side at ONE partition,
+    * which ran join+score+window-partial single-task (22.9 s of an
+    * isolated 23 s sf5 wall, stage-log-verified) — and a driver-side
+    * broadcast hash build of a web-scale term table is the OOM plan the
+    * no-broadcast rule exists to prevent. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val tok = withTokens(docs.select("doc_id", "text"))
@@ -174,8 +187,13 @@ object TextAnalysis {
     // it - no second tokenize pass and no countDistinct shuffle
     val tf = graft.GraftSession.trackCache(
       tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val salts = 8
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("term"))
+      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    tf.withColumn("__salt",
+        pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+      .join(df.hint("shuffle_hash"), Seq("term", "__salt"))
+      .drop("__salt")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * log(col("n_docs").cast("double") / col("df")))

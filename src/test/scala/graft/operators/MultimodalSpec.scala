@@ -59,6 +59,30 @@ class MultimodalSpec extends SparkSpec {
       "a constant 1-byte image has no pixel differences — all dHash bits clear")
   }
 
+  test("phash plan reads the binary column exactly once: one shared cache, no raw re-scan") {
+    // the scale contract of imageNearDup (r12, closing the r11 verdict's
+    // scan-amplification question): all six consumers of the hashed frame
+    // (distinct, band join both sides, pair re-expansion joins, the
+    // within-cluster self-join) must resolve to ONE cached (doc_id,
+    // phash) projection — the wide blob bytes are decoded on a single
+    // pass and never read again
+    val plan = Multimodal.imageNearDup(spark, sf).queryExecution.optimizedPlan
+    val caches = plan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.nonEmpty, "expected the hashed projection to be cached")
+    assert(caches.map(_.cacheBuilder.cachedPlan).map(_.canonicalized).distinct.size == 1,
+      "more than one distinct cache — the binary column would materialize twice")
+    // every source scan sits INSIDE that one cache's build plan; nothing
+    // reads the table directly
+    val rawScans = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      case ds: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => ds
+    }
+    assert(rawScans.isEmpty,
+      s"raw source scans outside the cache: ${rawScans.size}")
+  }
+
   test("scene cuts equal the brute-force per-video lag recount") {
     val got = Multimodal.sceneCuts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
