@@ -177,23 +177,44 @@ object Similarity {
     * recall specs exercise identical arithmetic.) Hash-sampled init,
     * [[graft.functions.VectorMeanAgg]] means, only k x dim collected. */
   private def kmeans(e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
-    val train = GraftSession.trackCache(e
+    // ONE bounded collect, local Lloyd (r12): the sample is
+    // max(64k, 512) vectors BY DESIGN (the 100 TB argument above), so it
+    // always fits on the driver — and the previous shape paid
+    // iters x (assign + mean + collect) multi-stage DISTRIBUTED jobs
+    // over that driver-sized frame. The event-logged cost of the ANN
+    // index keys was exactly this stage soup (150+ sub-second stages,
+    // no heavy stage), so training now collects the sample once and
+    // iterates in plain Scala with the identical arithmetic: same
+    // hash-sample order, same first-k init, same rank-equivalent
+    // |c|^2 - 2<v,c> distance, same smaller-cid tie rule as the old
+    // array_min(struct(d, cid)), same empty-cell-keeps-old rule.
+    val train: Array[Array[Double]] = e
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(math.max(64 * k, 512))
-      .select("vec_id", "v"))
-    var centroids: Array[(Int, Array[Double])] = train
-      .limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-    val vmean = udaf(graft.functions.VectorMeanAgg)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val dim = if (train.isEmpty) 0 else train(0).length
+    var centroids: Array[(Int, Array[Double])] =
+      train.take(k).zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 1 to iters) {
-      val means = assignedTo(train, centroids)
-        .groupBy("cid").agg(vmean(col("v")).as("m"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .toMap
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      train.foreach { v =>
+        var best = -1
+        var bestD = Double.PositiveInfinity
+        centroids.foreach { case (cid, c) =>
+          var cc = 0.0
+          var vc = 0.0
+          var i = 0
+          while (i < dim) { cc += c(i) * c(i); vc += v(i) * c(i); i += 1 }
+          val d = cc - 2.0 * vc
+          if (d < bestD) { bestD = d; best = cid } // strict <: ties keep the smaller cid
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
       centroids = centroids.map { case (cid, old) =>
-        (cid, means.getOrElse(cid, old))
+        if (counts(cid) > 0) (cid, sums(cid).map(_ / counts(cid))) else (cid, old)
       }
     }
     centroids
@@ -247,7 +268,7 @@ object Similarity {
       iters: Int = 3, rerank: Int = 64): DataFrame = {
     val e = GraftSession.trackCache(vecs(spark, dir))
     val subs = GraftSession.trackCache(pqSubvectors(e, m))
-    val codebook = pqCodebook(e, subs, m, k, iters)
+    val codebook = pqCodebook(e, m, k, iters)
     val codes = GraftSession.trackCache(pqEncoded(subs, codebook))
     // ADC over the WHOLE code table (PQ alone = flat compressed scan)
     val approx = pqAdcScores(e, codes.filter(col("vec_id") >= 10),
@@ -272,7 +293,7 @@ object Similarity {
     val asg = GraftSession.trackCache(
       assignedTo(e, coarse).select(col("vec_id"), col("cid")))
     val subs = GraftSession.trackCache(pqSubvectors(e, m))
-    val codebook = pqCodebook(e, subs, m, k, iters)
+    val codebook = pqCodebook(e, m, k, iters)
     val codes = GraftSession.trackCache(pqEncoded(subs, codebook))
     // IVF pruning: (q_id, vec_id) candidates from the probed cells only
     val probe = probeCells(e.filter(col("vec_id") < 10), coarse, nprobe)
@@ -301,15 +322,27 @@ object Similarity {
   private def pqCbDf(spark: SparkSession, cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
     spark.createDataFrame(cb).toDF("m", "code", "c")
 
-  /** (vec_id, m, code): nearest codeword per subvector — broadcast join
-    * against the codebook, struct-min argmin (|sv|^2 dropped: rank-
-    * invariant per (vec_id, m) group). */
-  private def pqEncoded(frame: DataFrame, cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
-    frame.join(broadcast(pqCbDf(frame.sparkSession, cb)), Seq("m"))
-      .withColumn("d", expr("dot_product(c, c) - 2.0d * dot_product(sv, c)"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("code"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+  /** (vec_id, m, code): nearest codeword per subvector — a MAP-SIDE
+    * argmin over the codebook literal (r12; previously a broadcast join
+    * that exploded every subvector into k rows and aggregated them back:
+    * a corpus-row-count × k row stream plus a (vec_id, m) shuffle, for
+    * an argmin each row can compute locally). `transform` scores every
+    * codeword (|sv|^2 dropped: rank-invariant per row), `array_position
+    * (ds, array_min(ds))` takes the FIRST minimum — the same smaller-
+    * code tie rule as the old min(struct(d, code)). No shuffle at all:
+    * at 100 TB the encode is one pass over the corpus, exactly what a
+    * PQ index build should be. */
+  private def pqEncoded(frame: DataFrame, cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val m = cb.map(_._1).max + 1
+    val byM: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mi => cb.filter(_._1 == mi).sortBy(_._2).map(_._3))
+    frame
+      .withColumn("__cb", typedLit(byM))
+      .withColumn("__ds", expr(
+        "transform(element_at(__cb, m + 1), c -> dot_product(c, c) - 2.0d * dot_product(sv, c))"))
+      .select(col("vec_id"), col("m"),
+        (expr("array_position(__ds, array_min(__ds))") - 1).cast("int").as("code"))
+  }
 
   /** Per-subspace codebooks. Lloyd trains on a bounded deterministic
     * hash-sample, NOT the corpus: codebook quality needs a representative
@@ -319,33 +352,56 @@ object Similarity {
     * exactly once, by the final encode. (At test SFs <= the sample size
     * this trains on everything, so the recall specs exercise the same
     * arithmetic.) */
-  private def pqCodebook(e: DataFrame, subs: DataFrame, m: Int, k: Int,
+  private def pqCodebook(e: DataFrame, m: Int, k: Int,
       iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    // ONE bounded collect, local Lloyd per subspace (r12) — the
+    // [[kmeans]] rationale verbatim: the train sample is max(32k, 256)
+    // vectors by design, and the old per-iteration encode-join-agg-
+    // collect chain was pure stage-count overhead on a driver-sized
+    // frame. Arithmetic is unchanged: same hash-sample order, init from
+    // the first k sampled vectors' slices, argmin by |c|^2 - 2<sv,c>
+    // with the smaller-code tie rule (the old min(struct(d, code))),
+    // empty cells keep their codeword.
     val sub = 64 / m
-    var codebook: Seq[(Int, Int, Seq[Double])] = e
-      .withColumn("h", xxhash64(col("vec_id"))).orderBy("h").limit(k)
-      .select("v").collect().zipWithIndex.toSeq
-      .flatMap { case (r, ci) =>
-        val v = r.getSeq[Double](0)
-        (0 until m).map(mi => (mi, ci, v.slice(mi * sub, (mi + 1) * sub)))
+    val train: Array[Array[Double]] = e
+      .withColumn("h", xxhash64(col("vec_id"))).orderBy("h")
+      .limit(math.max(32 * k, 256))
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // codebook(mi)(ci) = codeword; init = slices of the first k samples
+    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      train.take(k).map(v => v.slice(mi * sub, (mi + 1) * sub))
+    }
+    for (_ <- 1 to iters; mi <- 0 until m) {
+      val cb = codebook(mi)
+      val sums = Array.fill(cb.length)(new Array[Double](sub))
+      val counts = new Array[Long](cb.length)
+      train.foreach { v =>
+        val off = mi * sub
+        var best = -1
+        var bestD = Double.PositiveInfinity
+        var ci = 0
+        while (ci < cb.length) {
+          val c = cb(ci)
+          var cc = 0.0
+          var vc = 0.0
+          var i = 0
+          while (i < sub) { cc += c(i) * c(i); vc += v(off + i) * c(i); i += 1 }
+          val d = cc - 2.0 * vc
+          if (d < bestD) { bestD = d; best = ci } // strict <: ties keep the smaller code
+          ci += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < sub) { sums(best)(i) += v(off + i); i += 1 }
       }
-    val trainIds = e.withColumn("h", xxhash64(col("vec_id"))).orderBy("h")
-      .limit(math.max(32 * k, 256)).select("vec_id")
-    val trainSubs = GraftSession.trackCache(
-      subs.join(broadcast(trainIds), Seq("vec_id")))
-    val vmean = udaf(graft.functions.VectorMeanAgg)
-    for (_ <- 1 to iters) {
-      val means = pqEncoded(trainSubs, codebook)
-        .join(trainSubs, Seq("vec_id", "m"))
-        .groupBy("m", "code").agg(vmean(col("sv")).as("c"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
-        .toMap
-      codebook = codebook.map { case (mi, ci, old) =>
-        (mi, ci, means.getOrElse((mi, ci), old))
+      var ci = 0
+      while (ci < cb.length) {
+        if (counts(ci) > 0) codebook(mi)(ci) = sums(ci).map(_ / counts(ci))
+        ci += 1
       }
     }
-    codebook
+    (for (mi <- 0 until m; ci <- codebook(mi).indices)
+      yield (mi, ci, codebook(mi)(ci).toSeq)).toSeq
   }
 
   /** ADC lookup table: partial dot of each query subvector with each
