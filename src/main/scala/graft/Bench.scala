@@ -354,6 +354,13 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-bench-warehouse").toString)
+      // shuffle files are reclaimed by ContextCleaner only after a DRIVER
+      // GC collects the dependency objects; the 30-min default means a
+      // multi-hundred-query pass accumulates every query's shuffle files
+      // (measured: 7k files / 7.5 GB mid-pass at sf5 — page-cache and
+      // disk pressure the queries then pay for). A minutely nudge keeps
+      // the block dirs bounded for the whole pass.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up pass on the smallest table to absorb JVM/codegen startup

@@ -122,9 +122,18 @@ object GraftSession {
   }
 
   /** Unpersists every cache tracked on this session (called by each
-    * SparkEntry query wrapper at entry, freeing the previous query's). */
+    * SparkEntry query wrapper at entry, freeing the previous query's).
+    * BLOCKING (r12): the async variant let a timed query start while its
+    * predecessor's blocks still occupied the block store, so mid-pass
+    * queries ran with partially-stolen storage memory — cache eviction
+    * there silently RECOMPUTES the evicted partitions (the multi-
+    * consumer caches this tracks are exactly the expensive ones), one
+    * suspected driver of the measured isolated-vs-in-bench gap (e.g.
+    * dedup_ngram_jaccard 8.5 s isolated vs 47.9 s inside the r11
+    * 171-key pass at sf5, ~5x the CPU on the identical plan). Dropping
+    * blocks is cheap; waiting for it is the deterministic choice. */
   def sweepCaches(spark: SparkSession): Unit = synchronized {
-    liveCaches.remove(spark).foreach(_.foreach(_.unpersist(blocking = false)))
+    liveCaches.remove(spark).foreach(_.foreach(_.unpersist(blocking = true)))
   }
 
   /** Registers graft functions on a session graft did not build (e.g. the

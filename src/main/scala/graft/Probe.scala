@@ -30,6 +30,9 @@ object Probe {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-probe-warehouse").toString)
+      // same shuffle-file reclamation nudge as Bench.main (the probe
+      // must replay the bench's JVM conditions to bisect its readings)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$dir/region.parquet").count() // JVM/codegen warmup
