@@ -186,7 +186,11 @@ object Bench {
     "dedup_substring", "q_user_streaks", "pipeline_shard",
     // round-12: the README's JSONEachRow queue alternative through the
     // dialect (typed from_json parse, reduced MV)
-    "ref_ch_each_row")
+    "ref_ch_each_row",
+    // round-12 widening: DSIR hashed-ngram selection (two ≤256-key
+    // distribution aggs + map-side scoring + top-k), SemDeDup-shaped
+    // within-bucket dedup, and the no-window rank-sum test
+    "pipeline_dsir", "dedup_semantic", "q_mann_whitney")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

@@ -306,6 +306,11 @@ object SparkEntry {
     // Round-11 widening: cluster-representative selection and MRL QA
     "pipeline_keep_best" -> (Pipeline.keepBest _),
     "emb_matryoshka" -> (Similarity.matryoshkaRetention _),
+    // Round-12 widening: DSIR data selection, SemDeDup-shaped bucketed
+    // embedding dedup, and the Mann-Whitney rank-sum test
+    "pipeline_dsir" -> (Pipeline.dsir _),
+    "dedup_semantic" -> ((s, d) => Dedup.semantic(s, d)),
+    "q_mann_whitney" -> (Analytics.mannWhitney _),
   )
 
   private val tokCte =
@@ -2198,5 +2203,84 @@ object SparkEntry {
         |  floor(sqrt(list_sum(list_transform(v[1:48], x -> x * x)))
         |    / sqrt(list_sum(list_transform(v, x -> x * x))) * 1e4 + 0.5) / 1e4 AS retain_48
         |FROM v""".stripMargin,
+    // DSIR importance resampling: every log2(integer) quantized once to
+    // 1e-6 (the q_entropy idiom), weights and scores exact BIGINT sums,
+    // bucket hash = first two md5 nibbles (the hashed_bow contract);
+    // deterministic top-n/5 with a doc_id tiebreak
+    "pipeline_dsir" ->
+      s"""WITH t AS ($tokCte),
+         |e AS (SELECT t.doc_id, d.lang, unnest(tk) AS tok
+         |      FROM t JOIN documents d ON t.doc_id = d.doc_id),
+         |f AS (SELECT doc_id, lang,
+         |        CAST(((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         |            + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) % 256 AS BIGINT) AS dim
+         |      FROM e),
+         |pd AS (SELECT doc_id, lang, dim, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2, 3),
+         |dist AS (SELECT dim, CAST(sum(c) AS BIGINT) AS c_raw,
+         |           CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS c_tgt
+         |         FROM pd GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+         |               CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM dist),
+         |w AS (SELECT dim,
+         |        CAST(floor(log2(CAST(c_tgt + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |      - CAST(floor(log2(CAST(t_tgt + 256 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |      - (CAST(floor(log2(CAST(c_raw + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |         - CAST(floor(log2(CAST(t_raw + 256 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS q6
+         |      FROM dist, tot),
+         |s AS (SELECT d.doc_id, d.lang,
+         |        CAST(coalesce(sum(pd.c * w.q6), 0) AS BIGINT) AS score_q6
+         |      FROM documents d
+         |      LEFT JOIN pd ON pd.doc_id = d.doc_id
+         |      LEFT JOIN w ON pd.dim = w.dim
+         |      GROUP BY 1, 2)
+         |SELECT doc_id, lang, score_q6 FROM s
+         |QUALIFY row_number() OVER (ORDER BY score_q6 DESC, doc_id)
+         |        <= (SELECT count(*) // 5 FROM documents)""".stripMargin,
+    // within-bucket pair predicate shares dedup_embedding's sequential
+    // fold + 1e-4 HALF-UP cosine contract; bucket = sign bits of the
+    // first 4 dims
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |k AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |        CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+        |           + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+        |           + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM e),
+        |d AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS w
+        |      FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |      WHERE round(list_sum(list_transform(a.v, (x, i) -> x * b.v[i]))
+        |              / (a.nrm * b.nrm), 4) >= 0.42
+        |      GROUP BY 1)
+        |SELECT k.vec_id, k.bucket,
+        |  CAST(coalesce(d.w, -1) AS BIGINT) AS dup_of,
+        |  CAST(d.w IS NULL AS BIGINT) AS kept
+        |FROM k LEFT JOIN d ON k.vec_id = d.vec_id""".stripMargin,
+    // doubled midranks keep rank sums exact BIGINT; the z normal
+    // approximation (with the tie correction) is one fixed IEEE sequence
+    // on exact integers, rounded once to 1e-4 — the welch_ttest contract
+    "q_mann_whitney" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |            FROM events WHERE event_type IN ('purchase', 'click')),
+        |b AS (SELECT v,
+        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |      FROM ev GROUP BY 1),
+        |c AS (SELECT v, n1, n2, n1 + n2 AS m,
+        |        CAST(sum(n1 + n2) OVER (ORDER BY v) AS BIGINT) AS cum_m FROM b),
+        |s AS (SELECT CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(n2) AS BIGINT) AS n2,
+        |        CAST(sum(n1 * (2 * (cum_m - m) + m + 1)) AS BIGINT) AS r1_x2,
+        |        CAST(sum(m * m * m - m) AS BIGINT) AS tie3
+        |      FROM c)
+        |SELECT 'purchase' AS group_a, 'click' AS group_b, n1, n2,
+        |  CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+        |  round((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+        |           - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |        sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |             (CAST(n1 + n2 + 1 AS DOUBLE)
+        |                - CAST(tie3 AS DOUBLE) /
+        |                  (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) AS z_score
+        |FROM s""".stripMargin,
   )
 }

@@ -508,6 +508,51 @@ object Analytics {
           .as("pct_rank"))
   }
 
+  /** Mann–Whitney U rank-sum test (`q_mann_whitney`) — the nonparametric
+    * sibling of [[welchTTest]]: do purchase and click event values come
+    * from the same distribution? Completes the two-sample battery
+    * (Welch t / KS / rank correlation) with the test practitioners
+    * reach for when values are heavy-tailed.
+    *
+    * The scalable shape is rank statistics WITHOUT ranking rows: group
+    * by exact value (integer cents — a vocabulary-sized frame), take the
+    * distributed prefix sum of the tie-block sizes over the value order
+    * ([[GlobalRank.prefixSummed]]'s two-pass backbone — no
+    * single-partition window at any scale), and derive each tie block's
+    * midrank algebraically. Everything stays EXACT integer: midranks are
+    * carried DOUBLED (`2·cum_before + m + 1`, always integral), so the
+    * rank sum `R1` and `U1` are exact BIGINTs in any engine; the only
+    * doubles are the final z-score's one fixed IEEE sequence (normal
+    * approximation WITH the tie correction `Σ(t³−t)`), rounded once to
+    * 1e-4 — the [[welchTTest]] contract. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val byV = Tables(spark, dir).events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+      .withColumn("m", col("n1") + col("n2"))
+    val cum = GlobalRank.prefixSummed(byV, col("m"), "cum_m", col("v"))
+    cum
+      .select(col("n1"), col("n2"), col("m"),
+        (lit(2L) * (col("cum_m") - col("m")) + col("m") + 1L).as("r2"))
+      .agg(sum("n1").as("n1"), sum("n2").as("n2"),
+        sum(col("n1") * col("r2")).as("r1_x2"),
+        sum(col("m") * col("m") * col("m") - col("m")).as("tie3"))
+      .select(lit("purchase").as("group_a"), lit("click").as("group_b"),
+        col("n1"), col("n2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        round(expr(
+          """(cast(r1_x2 - n1 * (n1 + 1) as double) / 2.0d
+            |   - cast(n1 as double) * cast(n2 as double) / 2.0d) /
+            |sqrt(cast(n1 as double) * cast(n2 as double) / 12.0d *
+            |     (cast(n1 + n2 + 1 as double)
+            |        - cast(tie3 as double) /
+            |          (cast(n1 + n2 as double) * cast(n1 + n2 - 1 as double))))""".stripMargin), 4)
+          .as("z_score"))
+  }
+
   /** Salted skew join as a CHECKED key — SURVEY §4's skew technique made
     * checkable instead of prose. `event_type` is the textbook hot key: a
     * 5-value vocabulary means a plain shuffle join lands EVERY row of a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preparation: the composition every LLM data
@@ -395,5 +395,70 @@ object Pipeline {
       typedLit(offsets), col("shard"))
     numbered.select(col("doc_id"), col("shard"),
       (col("rn") - offsetOf).as("pos"))
+  }
+
+  /** Hashed n-gram importance resampling (`pipeline_dsir`) — DSIR (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169): estimate a raw and a target unigram
+    * distribution in a HASHED feature space (no vocabulary pass, the
+    * [[TextAnalysis.hashedBow]] trick at B=256 buckets), score every raw
+    * document by its log importance weight
+    * `Σ_f c_f(doc) · (log p_target(f) − log p_raw(f))`, and keep the
+    * top n/5 (the paper's Gumbel-top-k made deterministic: plain top-k
+    * with a doc_id tiebreak, the variant an oracle can check). The
+    * target distribution here is the `lang = 'en'` slice of the same
+    * corpus — the stand-in for "a small trusted target set".
+    *
+    * Cross-engine float contract (the `q_entropy` idiom): each
+    * `log2(integer)` is quantized ONCE to 1e-6 units
+    * (`floor(log2(n)·1e6 + 0.5)` as BIGINT), so per-bucket weights and
+    * per-doc scores are EXACT integer sums in any engine; no double ever
+    * crosses an aggregate. The bucket hash is the engine-portable
+    * first-two-md5-nibbles (0..255), the [[split]]/[[hashedBow]]
+    * contract.
+    *
+    * Scale shape: per-doc bucket counts are one map-side explode +
+    * (doc, dim) partial/final aggregate (≤256 rows per doc reach the
+    * exchange); both DISTRIBUTIONS are one ≤256-key aggregate over that
+    * frame (map-side partials, 256 rows to the driver — feature-space-
+    * not data-sized, the DSIR design point); the per-bucket weights go
+    * back as a 256-entry literal map, so scoring is map-side arithmetic
+    * on the cached counts; selection is a global top-k
+    * (TakeOrderedAndProject: per-partition heaps, never a full sort). */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), expr(TextAnalysis.tokensExpr).as("tk"))
+    // explode_outer keeps zero-token docs (null tok -> null dim, c = 0),
+    // so every document reaches the scored frame
+    val perDoc = graft.GraftSession.trackCache(docs
+      .select(col("doc_id"), col("lang"), explode_outer(col("tk")).as("tok"))
+      .withColumn("dim",
+        (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long")) % B)
+      .groupBy("doc_id", "lang", "dim")
+      .agg(count(col("tok")).as("c")))
+    val dist = perDoc.filter(col("dim").isNotNull)
+      .groupBy("dim")
+      .agg(sum("c").as("c_raw"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("c_tgt"))
+    val tot = dist.agg(sum("c_raw"), sum("c_tgt")).collect()(0)
+    val (tRaw, tTgt) = (tot.getLong(0), tot.getLong(1))
+    // log2 quantized to 1e-6 INSIDE Spark expressions (constants included,
+    // via constant folding) so the IEEE log2 sequence is the engine's own,
+    // mirrored literally by the oracle's — never driver-side math.log
+    def l2q(c: Column): Column =
+      floor(log2(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val weights = dist.select(col("dim"),
+      (l2q(col("c_tgt") + 1) - l2q(lit(tTgt + B))
+        - (l2q(col("c_raw") + 1) - l2q(lit(tRaw + B)))).as("q6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wMap = typedLit(weights.toMap)
+    val scored = perDoc.groupBy("doc_id", "lang")
+      .agg(sum(when(col("dim").isNotNull,
+        col("c") * element_at(wMap, col("dim"))).otherwise(0L)).as("s"))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("s"), lit(0L)).as("score_q6"))
+    val k = (graft.Tables(spark, dir).documents.count() / 5L).toInt
+    scored.orderBy(col("score_q6").desc, col("doc_id")).limit(k)
   }
 }
