@@ -423,8 +423,10 @@ object Pipeline {
     * frame (map-side partials, 256 rows to the driver — feature-space-
     * not data-sized, the DSIR design point); the per-bucket weights go
     * back as a 256-entry literal map, so scoring is map-side arithmetic
-    * on the cached counts; selection is a global top-k
-    * (TakeOrderedAndProject: per-partition heaps, never a full sort). */
+    * on the cached counts; selection is the [[GlobalRank.rowNumbered]]
+    * range-partitioned rank filter (k = n/5 is a corpus FRACTION, so a
+    * driver-merged top-k heap would be data-sized — the rank backbone
+    * keeps every row on the executors and k a Long). */
   def dsir(spark: SparkSession, dir: String): DataFrame = {
     val B = 256
     val docs = graft.Tables(spark, dir).documents
@@ -458,7 +460,13 @@ object Pipeline {
         col("c") * element_at(wMap, col("dim"))).otherwise(0L)).as("s"))
       .select(col("doc_id"), col("lang"),
         coalesce(col("s"), lit(0L)).as("score_q6"))
-    val k = (graft.Tables(spark, dir).documents.count() / 5L).toInt
-    scored.orderBy(col("score_q6").desc, col("doc_id")).limit(k)
+    // selection via the distributed rank backbone, NOT orderBy+limit: k is
+    // a CORPUS FRACTION (n/5), so TakeOrderedAndProject would merge k-row
+    // heaps on the driver and Int-overflow beyond ~10.7B docs — the rank
+    // filter keeps k a Long and every row on the executors
+    val k = graft.Tables(spark, dir).documents.count() / 5L
+    GlobalRank.rowNumbered(scored, "rn", col("score_q6").desc, col("doc_id"))
+      .filter(col("rn") <= k)
+      .select("doc_id", "lang", "score_q6")
   }
 }

@@ -414,7 +414,8 @@ object RefPipeline {
     // 1's whole scan to a single task.
     val corpusBytes = java.nio.file.Files.size(
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stateParts = math.max(8L, math.min(32L, corpusBytes / (4L << 20)))
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val stateParts = math.max(8L, math.min(cores, corpusBytes / (4L << 20)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"

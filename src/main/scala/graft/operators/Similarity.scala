@@ -146,11 +146,12 @@ object Similarity {
     * inverted lists but lower recall per probe; more probes -> recall
     * back up at linear cost; more Lloyd iterations -> tighter cells.
     *
-    * Training is shuffle-lean: cell means come from the partial-aggregating
-    * [[graft.functions.VectorMeanAgg]] (one double[] accumulator per
-    * (partition, cell), merged map-side) — no per-dimension row explosion.
-    * Init is a deterministic hash-sample (first k vectors in xxhash64
-    * order), not first-k-by-id, so seeds don't share insertion locality. */
+    * Training is collect-once: [[kmeans]] pulls the bounded xxhash64
+    * sample to the driver and iterates Lloyd locally (r12 — the
+    * distributed per-iteration assign/mean/collect jobs were the stage
+    * soup the event log blamed for the index keys' wall). Init is a
+    * deterministic hash-sample (first k vectors in xxhash64 order), not
+    * first-k-by-id, so seeds don't share insertion locality. */
   /** df + per-row rank-equivalent squared-L2 distances to every centroid:
     * |v|^2 - 2<v,c> + |c|^2 with the rank-invariant |v|^2 term dropped. */
   private def withCentroids(df: DataFrame, cs: Array[(Int, Array[Double])]): DataFrame =
@@ -174,8 +175,8 @@ object Similarity {
     * quality only needs a representative sample. The full corpus is
     * touched exactly once, by the caller's final [[assignedTo]] pass.
     * (At test SFs <= the sample size this trains on everything, so the
-    * recall specs exercise identical arithmetic.) Hash-sampled init,
-    * [[graft.functions.VectorMeanAgg]] means, only k x dim collected. */
+    * recall specs exercise identical arithmetic.) Hash-sampled init;
+    * one bounded collect; only the k x dim centroids leave this call. */
   private def kmeans(e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
     // ONE bounded collect, local Lloyd (r12): the sample is
     // max(64k, 512) vectors BY DESIGN (the 100 TB argument above), so it
@@ -248,11 +249,9 @@ object Similarity {
     * is the PRUNING leg; production engines compose them (IVF-PQ).
     *
     * Everything is equi-joins and aggregations — the Spark-first shapes:
-    *  - codebook training: subvector layout (vec_id, m, sv) joins the tiny
-    *    broadcast codebook, argmin per (vec_id, m) is a struct-min
-    *    aggregation, Lloyd means come from the partial-aggregating
-    *    [[graft.functions.VectorMeanAgg]]; only the m x k x (dim/m)
-    *    codebook is ever collected.
+    *  - codebook training: one bounded xxhash64-sample collect per
+    *    subspace, Lloyd iterated locally on the driver (r12); only the
+    *    m x k x (dim/m) codebook leaves training.
     *  - encoding: same join, kept as the columnar (vec_id, m, code) table
     *    — at 100 TB this IS the compressed index layout (m bytes/vector).
     *  - ADC scan: the per-query lookup table (q_id, m, code, partial-dot)

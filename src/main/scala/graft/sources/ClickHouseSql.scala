@@ -410,11 +410,33 @@ final class ClickHouseSql(
       require(lit.length >= 2 && lit.head == '\'' && lit.last == '\'',
         s"splitByChar separator must be a quoted literal, got $lit")
       // CH rejects multi-char separators for splitByChar (that's
-      // splitByString); escaping one char-by-char would silently diverge
-      require(lit.length == 3,
-        s"splitByChar separator must be a single character, got $lit")
-      val escaped = lit.substring(1, lit.length - 1)
-        .flatMap(c => if (c.isLetterOrDigit) s"$c" else s"\\\\$c")
+      // splitByString): one literal character, OR one CH escape sequence
+      // ('\t', '\n', '\r', '\0', '\\', '\'') — a single character in CH
+      // semantics even though it spells as two source chars
+      val body = lit.substring(1, lit.length - 1)
+      val sepChar: Char = body match {
+        case b if b.length == 1 => b.head
+        case "\\t" => '\t'
+        case "\\n" => '\n'
+        case "\\r" => '\r'
+        case "\\0" => '\u0000'
+        case "\\\\" => '\\'
+        case "\\'" => '\''
+        case _ => throw new IllegalArgumentException(
+          s"splitByChar separator must be a single character, got $lit")
+      }
+      val escaped =
+        if (sepChar.isLetterOrDigit) s"$sepChar"
+        else sepChar match {
+          // regex-escape via the \xhh form for the chars whose literal
+          // spelling would collide with SQL string or regex syntax
+          case '\t' => "\\\\t"
+          case '\n' => "\\\\n"
+          case '\r' => "\\\\r"
+          case '\u0000' => "\\\\x00"
+          case '\'' => "\\\\x27"
+          case c => s"\\\\$c"
+        }
       s"split($s, '$escaped')" })
     q = rewrapFn(q, "arrayJoin", a => s"explode($a)")
     q = rewrapFnArgs(q, "has", { case Seq(arr, x) => s"array_contains($arr, $x)" })
@@ -514,19 +536,20 @@ object ClickHouseSql {
     * put commas in string literals, and a violation fails loudly in the
     * wrap's arity match rather than silently mis-splitting. */
   private[sources] def rewrapFnArgs(sql: String, fn: String,
-      wrap: Seq[String] => String): String =
+      wrap: PartialFunction[Seq[String], String]): String =
     rewrapFn(sql, fn, args => {
       val argList = splitTopLevel(args).map(_.trim)
-      // wrap callbacks are partial functions on arity — surface a wrong
-      // arity (or a string-literal comma mis-split) as the same
+      // wrap callbacks pattern-match on arity — surface a wrong arity
+      // (or a string-literal comma mis-split) as the same
       // IllegalArgumentException the rest of the translator throws,
-      // naming the function and what it received, never a raw MatchError
-      try wrap(argList)
-      catch {
-        case _: MatchError => throw new IllegalArgumentException(
-          s"$fn: unsupported argument list (${argList.size} args: " +
-            s"${argList.mkString(", ").take(120)})")
-      }
+      // naming the function and what it received. isDefinedAt tests ONLY
+      // the outer pattern, so a MatchError raised INSIDE a callback body
+      // (a genuine translator bug) stays loud instead of being
+      // misreported as an argument-list problem.
+      if (!wrap.isDefinedAt(argList)) throw new IllegalArgumentException(
+        s"$fn: unsupported argument list (${argList.size} args: " +
+          s"${argList.mkString(", ").take(120)})")
+      wrap(argList)
     })
 
   /** JSONExtractXxx(msg, 'key') rewrites (simple two-arg string-key form). */

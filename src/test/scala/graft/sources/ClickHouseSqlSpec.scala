@@ -347,6 +347,10 @@ class ClickHouseSqlSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException](
       c.translateQuery("SELECT splitByChar('ab', s) FROM t"))
     assert(e4.getMessage.contains("single character"))
+    // ...but a CH escape SEQUENCE ('\t' et al.) is a single character in
+    // CH semantics even though it spells as two source chars
+    assert(c.translateQuery("SELECT splitByChar('\\t', s) FROM t") ==
+      "SELECT split(s, '\\\\t') FROM t")
   }
 
   test("the future-timestamp cutover is invisible: any cutoff yields the identical final table") {
