@@ -2209,7 +2209,9 @@ object SparkEntry {
     // deterministic top-n/5 with a doc_id tiebreak
     "pipeline_dsir" ->
       s"""WITH t AS ($tokCte),
-         |e AS (SELECT t.doc_id, d.lang, unnest(tk) AS tok
+         |e AS (SELECT t.doc_id, d.lang,
+         |        unnest(list_concat(tk,
+         |          [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS tok
          |      FROM t JOIN documents d ON t.doc_id = d.doc_id),
          |f AS (SELECT doc_id, lang,
          |        CAST(((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16

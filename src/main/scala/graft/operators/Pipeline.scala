@@ -399,9 +399,10 @@ object Pipeline {
 
   /** Hashed n-gram importance resampling (`pipeline_dsir`) — DSIR (Xie et
     * al. 2023, "Data Selection for Language Models via Importance
-    * Resampling", arXiv:2302.03169): estimate a raw and a target unigram
-    * distribution in a HASHED feature space (no vocabulary pass, the
-    * [[TextAnalysis.hashedBow]] trick at B=256 buckets), score every raw
+    * Resampling", arXiv:2302.03169): estimate a raw and a target
+    * unigram+bigram distribution in a HASHED feature space (the paper's
+    * feature set; no vocabulary pass, the [[TextAnalysis.hashedBow]]
+    * trick at B=256 buckets), score every raw
     * document by its log importance weight
     * `Σ_f c_f(doc) · (log p_target(f) − log p_raw(f))`, and keep the
     * top n/5 (the paper's Gumbel-top-k made deterministic: plain top-k
@@ -417,32 +418,49 @@ object Pipeline {
     * first-two-md5-nibbles (0..255), the [[split]]/[[hashedBow]]
     * contract.
     *
-    * Scale shape: per-doc bucket counts are one map-side explode +
-    * (doc, dim) partial/final aggregate (≤256 rows per doc reach the
-    * exchange); both DISTRIBUTIONS are one ≤256-key aggregate over that
-    * frame (map-side partials, 256 rows to the driver — feature-space-
-    * not data-sized, the DSIR design point); the per-bucket weights go
-    * back as a 256-entry literal map, so scoring is map-side arithmetic
-    * on the cached counts; selection is the [[GlobalRank.rowNumbered]]
+    * Scale shape: two linear passes over the exploded feature stream,
+    * each aggregating on a SMALL key — pass 1 estimates both
+    * DISTRIBUTIONS as one ≤256-key aggregate (map-side partials, 256
+    * rows to the driver — feature-space- not data-sized, the DSIR
+    * design point); the per-bucket weights go back as a 256-entry
+    * literal map and pass 2 sums the per-occurrence weights doc-keyed
+    * (deliberately NO (doc, dim) count intermediate: that aggregate's
+    * map holds docs×dims keys per task and spills on any natural
+    * vocabulary); selection is the [[GlobalRank.rowNumbered]]
     * range-partitioned rank filter (k = n/5 is a corpus FRACTION, so a
     * driver-merged top-k heap would be data-sized — the rank backbone
     * keeps every row on the executors and k a Long). */
   def dsir(spark: SparkSession, dir: String): DataFrame = {
     val B = 256
-    val docs = graft.Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), expr(TextAnalysis.tokensExpr).as("tk"))
-    // explode_outer keeps zero-token docs (null tok -> null dim, c = 0),
-    // so every document reaches the scored frame
-    val perDoc = graft.GraftSession.trackCache(docs
-      .select(col("doc_id"), col("lang"), explode_outer(col("tk")).as("tok"))
-      .withColumn("dim",
-        (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long")) % B)
-      .groupBy("doc_id", "lang", "dim")
-      .agg(count(col("tok")).as("c")))
-    val dist = perDoc.filter(col("dim").isNotNull)
+    // the paper's feature space is hashed unigrams AND bigrams — the
+    // bigram stream shares [[TextAnalysis.bigramsExpr]]'s definition.
+    // explode_outer keeps zero-token docs (null tok -> null dim), so
+    // every document reaches the scored frame. The stream is NOT cached
+    // and there is deliberately NO (doc, dim) count intermediate: on a
+    // natural vocabulary each doc touches O(256) distinct dims, so a
+    // doc×dim-keyed aggregate map holds millions of entries per task
+    // (measured: 9.2 GB sort-agg spill at sf10-zipf) — while the two
+    // passes below each aggregate on a SMALL key (256 dims; then docs),
+    // spill-proof at any corpus size for two linear scans.
+    // tokenize + hash ONCE into a per-doc dim array (cache boundary: both
+    // passes explode from it; at 100 TB drop the cache and pay the second
+    // tokenize — the cleanCorpus caveat); the heavy string work
+    // (split, bigram concat, md5) never runs twice
+    val toks = graft.GraftSession.trackCache(
+      graft.Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), expr(TextAnalysis.tokensExpr).as("tk"))
+        .withColumn("feats", expr(s"concat(tk, ${TextAnalysis.bigramsExpr})"))
+        .select(col("doc_id"), col("lang"), expr(
+          s"""transform(feats, x ->
+             |  cast(conv(substring(md5(x), 1, 2), 16, 10) as bigint) % $B)""".stripMargin)
+          .as("dims")))
+    def feats = toks
+      .select(col("doc_id"), col("lang"), explode_outer(col("dims")).as("dim"))
+    // pass 1 — distributions: one 256-key partial/final aggregate
+    val dist = feats.filter(col("dim").isNotNull)
       .groupBy("dim")
-      .agg(sum("c").as("c_raw"),
-        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("c_tgt"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
     val tot = dist.agg(sum("c_raw"), sum("c_tgt")).collect()(0)
     val (tRaw, tTgt) = (tot.getLong(0), tot.getLong(1))
     // log2 quantized to 1e-6 INSIDE Spark expressions (constants included,
@@ -455,9 +473,11 @@ object Pipeline {
         - (l2q(col("c_raw") + 1) - l2q(lit(tRaw + B)))).as("q6"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val wMap = typedLit(weights.toMap)
-    val scored = perDoc.groupBy("doc_id", "lang")
+    // pass 2 — scores: per-OCCURRENCE weight lookup, doc-keyed sum
+    // (Σ over occurrences of q6(dim) == Σ_f c_f·q6(f), exact BIGINT)
+    val scored = feats.groupBy("doc_id", "lang")
       .agg(sum(when(col("dim").isNotNull,
-        col("c") * element_at(wMap, col("dim"))).otherwise(0L)).as("s"))
+        element_at(wMap, col("dim"))).otherwise(0L)).as("s"))
       .select(col("doc_id"), col("lang"),
         coalesce(col("s"), lit(0L)).as("score_q6"))
     // selection via the distributed rank backbone, NOT orderBy+limit: k is

@@ -97,7 +97,7 @@ object TextAnalysis {
   }
 
   /** Adjacent word pairs from the token array (empty below 2 tokens). */
-  private val bigramsExpr =
+  private[operators] val bigramsExpr =
     """CASE WHEN size(tk) >= 2
       |  THEN transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))
       |  ELSE cast(array() as array<string>) END""".stripMargin
