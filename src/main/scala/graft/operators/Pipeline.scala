@@ -462,7 +462,11 @@ object Pipeline {
       .agg(count(lit(1)).as("c_raw"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
     val tot = dist.agg(sum("c_raw"), sum("c_tgt")).collect()(0)
-    val (tRaw, tTgt) = (tot.getLong(0), tot.getLong(1))
+    // a zero-token corpus leaves dist empty and the sums NULL; 0/0 keeps
+    // the weights map empty and every doc at score 0 (doc_id tiebreak
+    // selection), matching the oracle's LEFT JOIN degradation
+    val (tRaw, tTgt) =
+      if (tot.isNullAt(0)) (0L, 0L) else (tot.getLong(0), tot.getLong(1))
     // log2 quantized to 1e-6 INSIDE Spark expressions (constants included,
     // via constant folding) so the IEEE log2 sequence is the engine's own,
     // mirrored literally by the oracle's — never driver-side math.log

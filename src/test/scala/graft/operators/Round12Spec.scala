@@ -100,4 +100,21 @@ class Round12Spec extends SparkSpec {
     // ties exist in cent-rounded values, so the correction must be active
     assert(tie3 > 0, "fixture has no ties - the tie-correction path is untested")
   }
+
+  test("pipeline_dsir degrades gracefully on a zero-token corpus") {
+    // every text NULL or empty -> the feature stream has only null dims,
+    // dist is EMPTY and the total sums come back NULL; the operator must
+    // select floor(n/5) docs at score 0 (doc_id tiebreak), matching the
+    // oracle's LEFT JOIN degradation - not NPE on Row.getLong
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir-empty").toString
+    Seq((1L, "en", null: String), (2L, "de", ""), (3L, "en", "   "),
+      (4L, "fr", null: String), (5L, "en", ""))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.dsir(spark, dir).collect()
+    assert(out.length == 1, s"floor(5/5)=1 doc expected, got ${out.length}")
+    assert(out.head.getLong(0) == 1L, "score-0 tiebreak must keep min doc_id")
+    assert(out.head.getLong(2) == 0L, "zero-token corpus must score 0")
+  }
 }
