@@ -190,7 +190,12 @@ object Bench {
     // round-12 widening: DSIR hashed-ngram selection (two ≤256-key
     // distribution aggs + map-side scoring + top-k), SemDeDup-shaped
     // within-bucket dedup, and the no-window rank-sum test
-    "pipeline_dsir", "dedup_semantic", "q_mann_whitney")
+    "pipeline_dsir", "dedup_semantic", "q_mann_whitney",
+    // round-12 continuation: BM25 probe-query retrieval (broadcast
+    // 3-term scoring join + quantized per-doc sum + constant-k top-20)
+    // and cosine radius search (broadcast queries, map-side τ filter,
+    // no rank/agg anywhere)
+    "text_bm25", "ann_range")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.clusters _),
     // Similarity search
     "ann_topk" -> (Similarity.topK _),
+    "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     // the driver-checked ANN configs are the EXHAUSTIVE calibration
     // points (probe all buckets / all cells): the full index machinery
     // runs — hashing, bucket equi-joins, centroid assignment, rerank —
@@ -104,6 +105,7 @@ object SparkEntry {
     "q_histogram" -> (Analytics.histogram _),
     "text_bigrams" -> (TextAnalysis.bigrams _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
+    "text_bm25" -> (TextAnalysis.bm25 _),
     "pipeline_train_mix" -> (Pipeline.trainMix _),
     "q_approx_quantile" -> (Analytics.approxQuantiles _),
     "multimodal_resize" -> (Multimodal.resizePlan _),
@@ -629,6 +631,17 @@ object SparkEntry {
          |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
          |WHERE round(list_sum(list_transform(a.v, (x, i) -> x * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.42""".stripMargin,
     "ann_topk" -> annExactSql,
+    // radius query: same scored-pair CTE, membership on the 1e-6-rounded
+    // score (the rank contract applied to a threshold) instead of a rank
+    "ann_range" ->
+      s"""$vecCtes,
+         |q AS (SELECT vec_id AS q_id, v AS va, nrm AS nrma FROM nv WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, v AS vb, nrm AS nrmb FROM nv WHERE vec_id >= 10),
+         |s AS (SELECT q_id, n_id,
+         |        list_sum(list_transform(va, (x, i) -> x * vb[i])) / (nrma * nrmb) AS cosine
+         |      FROM c, q)
+         |SELECT q_id, n_id, round(cosine, 4) AS score
+         |FROM s WHERE round(cosine, 6) >= 0.2""".stripMargin,
     // the exhaustive-probe calibration configs provably equal brute
     // force (every candidate reaches the rerank), so the index keys
     // share the exact-top-k oracle — the q_heavy_hitters pattern:
@@ -930,6 +943,30 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY round(score, 6) DESC, term) AS rn FROM s)
          |SELECT doc_id, term AS top_term, tf, df, round(score, 4) AS tfidf FROM r WHERE rn = 1""".stripMargin,
+    // BM25 replay: identical operand order in the one float expression;
+    // per-(doc,term) scores quantize to 1e-4 BIGINTs before the per-doc
+    // sum; the top-20 is deterministic via the doc_id tiebreak
+    "text_bm25" ->
+      s"""WITH t AS ($tokCte),
+         |tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+         |        FROM t WHERE len(tk) >= 1),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         |       FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |q AS (SELECT term, df FROM df
+         |      QUALIFY row_number() OVER (ORDER BY df DESC, term) IN (1, 7, 23)),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |ad AS (SELECT floor(CAST(sum(dl) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS avgdl
+         |       FROM (SELECT doc_id, max(dl) AS dl FROM tok GROUP BY doc_id) d),
+         |s AS (SELECT tf.doc_id,
+         |        CAST(floor(ln((CAST(n.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5) + 1.0)
+         |          * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         |            / (CAST(tf.tf AS DOUBLE)
+         |              + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / ad.avgdl))))
+         |          * 1e4 + 0.5) AS BIGINT) AS s_q4
+         |      FROM tf JOIN q ON tf.term = q.term CROSS JOIN n CROSS JOIN ad)
+         |SELECT doc_id, sum(s_q4) AS score_q4 FROM s GROUP BY doc_id
+         |ORDER BY score_q4 DESC, doc_id LIMIT 20""".stripMargin,
     "pipeline_train_mix" ->
       s"""$langCtes,
          |b AS (SELECT doc_id, pred_lang,

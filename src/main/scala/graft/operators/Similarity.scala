@@ -90,6 +90,33 @@ object Similarity {
     rankTop5(c.crossJoin(broadcast(q)).withColumn("cosine", cosineCol))
   }
 
+  /** Exact cosine RANGE search (`ann_range`) — the radius-query member of
+    * the retrieval family (FAISS `range_search` semantics): every corpus
+    * vector with cosine ≥ τ of each query vector, NOT a fixed top-k. The
+    * production op behind "pull everything similar enough" jobs —
+    * near-duplicate candidate harvest, hard-negative mining above a
+    * floor, semantic recall sweeps — where k is unknowable in advance.
+    *
+    * Scale shape: the tiny query set broadcasts (the corpus never
+    * shuffles), scoring is the codegen'd dot product map-side, and the
+    * τ filter runs INSIDE the same stage — no window, no rank, no
+    * aggregate anywhere: scan → broadcast-nest → filter is one narrow
+    * pipeline whose output is data-dependent by design. The boundary
+    * decision reads round(cosine, 6) ≥ τ so float reassociation can
+    * never flip membership (the [[rankTop5]] rounding contract); the
+    * banded/indexed siblings (`dedup_minhash_lsh`, `ann_ivf`) remain the
+    * sub-linear route when the query side is also corpus-sized. */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    c.crossJoin(broadcast(q)).withColumn("cosine", cosineCol)
+      .filter(round(col("cosine"), 6) >= tau)
+      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed, JVM-stable LCG),
     * flattened as `tables x planesPerTable` rows of dim doubles. */
   private[operators] def planes(nTables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] = {

@@ -205,6 +205,62 @@ object TextAnalysis {
         col("tf"), col("df"), round(col("score"), 4).as("tfidf"))
   }
 
+  /** BM25 retrieval top-k (`text_bm25`) — the production keyword-retrieval
+    * scorer (Robertson & Zaragoza 2009, the Lucene/Okapi form with the
+    * +1-shifted always-positive idf; k1 = 1.2, b = 0.75): score every
+    * document against a DETERMINISTIC three-term probe query — the
+    * df-ranked terms at positions 1, 7 and 23 (a high/mid/low
+    * document-frequency spread that exists in any corpus with ≥ 23
+    * distinct terms; df ties break on term text) — and return the global
+    * top 20 documents.
+    *
+    * Scale shape: `tf` is the same one-row-per-(doc, term) aggregate
+    * [[tfidfTop]] builds (df = a plain count over it — no second tokenize
+    * pass, no countDistinct); the probe-term table is THREE rows, so the
+    * scoring join is a genuine `broadcast` (contrast tfidf's deliberately
+    * unhinted full-vocabulary df join); `avgdl` is one map-side scan
+    * aggregate (two exact BIGINTs to one row, no shuffle), quantized to
+    * 1e-4 in-engine before use; per-(doc, term) scores quantize to 1e-4
+    * BIGINTs BEFORE the per-doc sum, so float summation order can never
+    * move the result (SURVEY §5); the final top-20 is a constant-k
+    * TakeOrderedAndProject (per-partition heaps — k is 20, never a
+    * corpus fraction). The one float expression is written once in the
+    * exact operand order the DuckDB oracle mirrors. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tok = withTokens(docs.select("doc_id", "text"))
+      .filter(expr("size(tk) >= 1"))
+      .select(col("doc_id"), expr("cast(size(tk) as bigint)").as("dl"),
+        explode(col("tk")).as("term"))
+    val tf = graft.GraftSession.trackCache(
+      tok.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // probe-query selection: vocabulary-sized frame, bounded 1-partition
+    // rank (the wh_dictionary_encode contract — never corpus-sized)
+    val q = GlobalRank.boundedRowNumbered(df, "r", col("df").desc, col("term"))
+      .filter(col("r").isin(1L, 7L, 23L)).select("term", "df")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val ad = withTokens(docs.select("doc_id", "text"))
+      .filter(expr("size(tk) >= 1"))
+      .agg((floor(sum(expr("cast(size(tk) as bigint)")).cast("double")
+        / count(lit(1)) * 1e4 + 0.5) / 1e4).as("avgdl"))
+    tf.join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(ad))
+      .withColumn("s_q4", floor(
+        log((col("n_docs").cast("double") - col("df") + 0.5)
+            / (col("df") + 0.5) + 1.0)
+          * ((col("tf").cast("double") * 2.2)
+            / (col("tf").cast("double")
+              + lit(1.2) * (lit(0.25)
+                + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+          * 1e4 + 0.5).cast("long"))
+      .groupBy("doc_id").agg(sum("s_q4").as("score_q4"))
+      .orderBy(col("score_q4").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "score_q4")
+  }
+
   /** PII patterns, written in the regex subset Java (Spark) and RE2
     * (DuckDB, Go tooling) interpret identically: character classes, bounded
     * repetition, optional groups — no backreferences, no lookaround. */

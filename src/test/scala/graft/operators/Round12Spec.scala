@@ -4,8 +4,8 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Round-12 gates for the widening keys: DSIR importance resampling,
-  * SemDeDup-shaped bucketed embedding dedup, and the Mann–Whitney
-  * rank-sum test.
+  * SemDeDup-shaped bucketed embedding dedup, the Mann–Whitney
+  * rank-sum test, and BM25 probe-query retrieval.
   *
   * The SQL oracles already pin VALUES; these tests pin the properties the
   * value-compare can't see — DSIR actually enriches the target slice,
@@ -99,6 +99,74 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(z - expectedZ) < 1e-3, s"z mismatch: $z vs $expectedZ")
     // ties exist in cent-rounded values, so the correction must be active
     assert(tie3 > 0, "fixture has no ties - the tie-correction path is untested")
+  }
+
+  test("text_bm25 equals a driver-side recomputation and broadcasts the probe join") {
+    val out = TextAnalysis.bm25(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 3-row probe-term scoring join must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the global top-20 must be a constant-k TakeOrderedAndProject, not a sort")
+    assert(!plan.contains("SortMergeJoin"),
+      "no full-shuffle join belongs in the bm25 plan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // reference: same tokenizer output, scored in plain Scala in the same
+    // IEEE operand order, quantized to 1e-4 BIGINTs before the per-doc sum
+    val docs = graft.Tables(spark, sf).documents
+    val toks = docs.select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("tk"))
+      .filter(expr("size(tk) >= 1"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val nDocs = docs.count()
+    val dl = toks.map { case (id, tk) => id -> tk.length.toLong }.toMap
+    val tf = toks.flatMap { case (id, tk) => tk.map(t => (id, t)) }
+      .groupBy(identity).map { case ((id, t), xs) => (id, t, xs.length.toLong) }
+    val dfreq = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val probe = dfreq.toSeq.sortBy { case (t, d) => (-d, t) }.zipWithIndex
+      .collect { case ((t, d), i) if Set(0, 6, 22)(i) => t -> d }.toMap
+    assert(probe.size == 3, "fixture must yield all three probe terms")
+    val avgdl = math.floor(dl.values.sum.toDouble / dl.size * 1e4 + 0.5) / 1e4
+    val expected = tf.filter(x => probe.contains(x._2)).groupBy(_._1)
+      .map { case (id, xs) =>
+        id -> xs.map { case (_, t, f) =>
+          val d = probe(t)
+          math.floor(math.log((nDocs.toDouble - d + 0.5) / (d + 0.5) + 1.0)
+            * ((f.toDouble * 2.2)
+              / (f.toDouble + 1.2 * (0.25 + 0.75 * (dl(id).toDouble / avgdl))))
+            * 1e4 + 0.5).toLong
+        }.sum
+      }.toSeq.sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(got == expected, s"top-20 mismatch:\n got      $got\n expected $expected")
+  }
+
+  test("ann_range equals the brute-force radius reference and never shuffles") {
+    graft.GraftSession.registerFunctions(spark)
+    val out = Similarity.rangeSearch(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      "radius search must be one narrow broadcast stage - no shuffle anywhere")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force reference: sequential-fold dot products on the
+    // collected frame, membership on the 1e-6-rounded score
+    val vecs = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; for (i <- a.indices) s += a(i) * b(i); s
+    }
+    def rnd(x: Double, p: Int): Double =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (qid, va) <- vecs if qid < 10
+      (nid, vb) <- vecs if nid >= 10
+      cos = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      if rnd(cos, 6) >= 0.2
+    } yield (qid, nid) -> rnd(cos, 4)).toMap
+    assert(got.nonEmpty, "fixture must yield a nonempty radius result")
+    assert(got == expected,
+      s"radius mismatch: extra=${(got.keySet -- expected.keySet).take(5)} " +
+        s"missing=${(expected.keySet -- got.keySet).take(5)}")
   }
 
   test("pipeline_dsir degrades gracefully on a zero-token corpus") {
