@@ -195,7 +195,12 @@ object Bench {
     // 3-term scoring join + quantized per-doc sum + constant-k top-20)
     // and cosine radius search (broadcast queries, map-side τ filter,
     // no rank/agg anywhere)
-    "text_bm25", "ann_range")
+    "text_bm25", "ann_range",
+    // binary-quantization cascade: packed sign words, hamming64
+    // shortlist via the bounded heap, broadcast re-fetch + exact rerank;
+    // and the distributed-GD classifier filter (3 gradient passes, each
+    // a 4-long map-side partial aggregate)
+    "ann_hamming", "pipeline_classifier_filter")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

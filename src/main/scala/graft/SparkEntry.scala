@@ -62,6 +62,7 @@ object SparkEntry {
     // Similarity search
     "ann_topk" -> (Similarity.topK _),
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "ann_hamming" -> ((s, d) => Similarity.hammingTopK(s, d)),
     // the driver-checked ANN configs are the EXHAUSTIVE calibration
     // points (probe all buckets / all cells): the full index machinery
     // runs — hashing, bucket equi-joins, centroid assignment, rerank —
@@ -106,6 +107,7 @@ object SparkEntry {
     "text_bigrams" -> (TextAnalysis.bigrams _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
     "text_bm25" -> (TextAnalysis.bm25 _),
+    "pipeline_classifier_filter" -> ((s, d) => Pipeline.classifierFilter(s, d)),
     "pipeline_train_mix" -> (Pipeline.trainMix _),
     "q_approx_quantile" -> (Analytics.approxQuantiles _),
     "multimodal_resize" -> (Multimodal.resizePlan _),
@@ -467,6 +469,65 @@ object SparkEntry {
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
+  /** `pipeline_classifier_filter` oracle: the fixed-point distillation
+    * loop unrolled as integer CTEs — per epoch a per-doc z aggregate over
+    * the hashed-dim occurrence stream (LEFT JOIN to the epoch's weight
+    * table), the hard sigmoid (floor division of the possibly-negative z
+    * via the truncated-mod identity both engines share), a per-dim
+    * gradient aggregate, and the ROUND-HALF-UP weight update; scoring
+    * joins the Polyak sum of the iterates; selection is the top-n/5
+    * rank. DuckDB HUGEINT sums CAST back down everywhere; no float
+    * enters the loop, so replay is exact by construction. */
+  private def classifierSql(iters: Int): String = {
+    // floor division for a possibly-negative dividend and positive divisor
+    def fd(a: String, b: String) =
+      s"CAST((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b) AS BIGINT)"
+    // round-half-up division: floor((2a + b) / 2b)
+    def rdiv(a: String, b: String) = fd(s"2*($a) + ($b)", s"2*($b)")
+    val head =
+      s"""WITH t AS ($tokCte),
+         |d AS (SELECT doc_id,
+         |        CASE WHEN n_tok > 0 AND least(CAST(10000 AS BIGINT), n_tok * 100)
+         |               * (10000 - (n_stop * 10000) // greatest(n_tok, 1)) >= 50000000
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+         |      FROM (SELECT doc_id,
+         |              CAST(coalesce(len(tk), 0) AS BIGINT) AS n_tok,
+         |              CAST(coalesce(len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is'))), 0) AS BIGINT) AS n_stop
+         |            FROM t)),
+         |occ AS (SELECT doc_id, CAST(((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         |              + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) % 256 AS BIGINT) AS dim
+         |        FROM (SELECT doc_id, unnest(list_concat(tk,
+         |                [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS tok FROM t)
+         |        UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |w0 AS (SELECT CAST(NULL AS BIGINT) AS dim, CAST(NULL AS BIGINT) AS w6 WHERE 1 = 0)""".stripMargin
+    val epochs = (1 to iters).map { k =>
+      s"""z$k AS (SELECT d.doc_id, d.y, CAST(coalesce(sum(w6), 0) AS BIGINT) AS z
+         |       FROM d JOIN occ USING (doc_id) LEFT JOIN w${k - 1} USING (dim)
+         |       GROUP BY d.doc_id, d.y),
+         |e$k AS (SELECT doc_id, greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+         |          ${fd("z", "4")} + 500000)) - y*1000000 AS err6
+         |       FROM z$k),
+         |g$k AS (SELECT dim, CAST(sum(err6) AS BIGINT) AS g
+         |       FROM occ JOIN e$k USING (doc_id) GROUP BY dim),
+         |w$k AS (SELECT dim, CAST(coalesce(wp.w6, 0) - ${rdiv("5 * g", "10 * n")} AS BIGINT) AS w6
+         |       FROM g$k LEFT JOIN w${k - 1} wp USING (dim) CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to iters).map(k => s"SELECT * FROM w$k").mkString(" UNION ALL ")
+    s"""$head,
+       |$epochs,
+       |ws AS (SELECT dim, CAST(sum(w6) AS BIGINT) AS w6 FROM ($unions) GROUP BY dim),
+       |sc AS (SELECT d.doc_id, d.y, CAST(coalesce(sum(w6), 0) AS BIGINT) AS score6
+       |       FROM d JOIN occ USING (doc_id) LEFT JOIN ws USING (dim)
+       |       GROUP BY d.doc_id, d.y),
+       |r AS (SELECT doc_id, y, score6,
+       |        row_number() OVER (ORDER BY score6 DESC, doc_id) AS rn FROM sc)
+       |SELECT doc_id, y AS label, score6,
+       |       CASE WHEN rn <= (SELECT n // 5 FROM nn) THEN CAST(1 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS kept
+       |FROM r""".stripMargin
+  }
+
   /** Exact cosine top-5 per query — the shared oracle for ann_topk AND
     * the exhaustive-probe index configs (ann_lsh probe-all, ann_ivf
     * nprobe=cells), whose candidate sets provably cover the corpus. */
@@ -642,6 +703,34 @@ object SparkEntry {
          |      FROM c, q)
          |SELECT q_id, n_id, round(cosine, 4) AS score
          |FROM s WHERE round(cosine, 6) >= 0.2""".stripMargin,
+    // binary-quantization cascade replay: two 32-bit sign words (exact
+    // integer pack — fold order irrelevant), bit_count(xor) Hamming,
+    // deterministic (hamming, n_id) shortlist, exact-cosine rerank
+    "ann_hamming" ->
+      s"""$vecCtes,
+         |p AS (SELECT vec_id,
+         |        CAST(list_sum(list_transform(generate_series(1, 32),
+         |          i -> CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT) AS h0,
+         |        CAST(list_sum(list_transform(generate_series(1, 32),
+         |          i -> CASE WHEN v[i + 32] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT) AS h1
+         |      FROM nv),
+         |qp AS (SELECT vec_id AS q_id, h0 AS a0, h1 AS a1 FROM p WHERE vec_id < 10),
+         |cp AS (SELECT vec_id AS n_id, h0 AS b0, h1 AS b1 FROM p WHERE vec_id >= 10),
+         |h AS (SELECT q_id, n_id,
+         |        CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS BIGINT) AS hamming
+         |      FROM cp, qp),
+         |cand AS (SELECT q_id, n_id, hamming,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rn
+         |         FROM h),
+         |s AS (SELECT cand.q_id, cand.n_id, cand.hamming,
+         |        list_sum(list_transform(a.v, (x, i) -> x * b.v[i])) / (a.nrm * b.nrm) AS cosine
+         |      FROM cand JOIN nv a ON a.vec_id = cand.q_id JOIN nv b ON b.vec_id = cand.n_id
+         |      WHERE cand.rn <= 50),
+         |r AS (SELECT q_id, n_id, hamming, round(cosine, 4) AS score,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY round(cosine, 6) DESC, n_id) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT q_id, n_id, hamming, score, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // the exhaustive-probe calibration configs provably equal brute
     // force (every candidate reaches the rerank), so the index keys
     // share the exact-top-k oracle — the q_heavy_hitters pattern:
@@ -967,6 +1056,9 @@ object SparkEntry {
          |      FROM tf JOIN q ON tf.term = q.term CROSS JOIN n CROSS JOIN ad)
          |SELECT doc_id, sum(s_q4) AS score_q4 FROM s GROUP BY doc_id
          |ORDER BY score_q4 DESC, doc_id LIMIT 20""".stripMargin,
+    // distributed-GD training replay: 3 epochs of the fixed-point
+    // hard-sigmoid logistic loop, unrolled as integer CTEs
+    "pipeline_classifier_filter" -> classifierSql(3),
     "pipeline_train_mix" ->
       s"""$langCtes,
          |b AS (SELECT doc_id, pred_lang,

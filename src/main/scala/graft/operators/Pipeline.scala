@@ -493,4 +493,102 @@ object Pipeline {
       .filter(col("rn") <= k)
       .select("doc_id", "lang", "score_q6")
   }
+
+  /** Model-based quality filtering (`pipeline_classifier_filter`) — the
+    * classifier sibling of [[dsir]] and the DCLM/FineWeb-Edu production
+    * pattern: label documents with an EXPENSIVE rule (here the
+    * [[TextAnalysis.quality]] composite ≥ 0.5, standing in for the "LLM
+    * judge grades a slice" step), DISTILL it into a cheap fastText-shaped
+    * linear model over hashed unigram+bigram bag features by distributed
+    * gradient descent, then keep the top n/5 documents by classifier
+    * score (rank selection, DCLM's top-p% — a threshold keep degenerates
+    * under class imbalance; a rank keep is non-degenerate by
+    * construction).
+    *
+    * Scale shape — the canonical distributed-GD loop, one narrow pass
+    * per epoch and NO join anywhere: the per-doc hashed dim array (the
+    * [[dsir]] md5-mod-256 contract, bigrams included, plus an appended
+    * bias pseudo-dim −1 so the bias gradient and the doc count fall out
+    * of the same aggregate) is tokenized+hashed ONCE into a cached
+    * frame. Each epoch computes z and the error MAP-SIDE from a ≤257-
+    * entry literal weight map (an `aggregate` HOF over the dim array —
+    * never a (doc, dim) intermediate, never a weight join), explodes the
+    * dims carrying the error, and aggregates Σ err per dim: ≤257 rows to
+    * the driver (feature-space-, not data-sized — the dimension-bounded
+    * collect class), where the weights update between passes.
+    *
+    * Every quantity is FIXED-POINT integer, so the oracle replays
+    * training EXACTLY (no float, no `exp`, enters the loop): weights on
+    * the 1e-6 grid; the logistic squashed by the HARD sigmoid
+    * `clamp(z/4 + 1/2, 0, 1)` (gradient `(s − y)·c`, the classical
+    * surrogate); floor division of the possibly-negative z via the
+    * truncated-mod identity `(a − ((a%b + b)%b))/b` both engines share;
+    * and the update ROUND-HALF-UP, `Δw = ⌊(2·lr·g + d)/(2d)⌋` — floor
+    * alone rounds every near-zero gradient to −1 and biases the whole
+    * model downward. Scoring uses the POLYAK SUM of the epoch iterates
+    * (rank-equivalent to the average, so it stays integer): plain batch
+    * GD on a saturating loss 2-cycles, and the averaged iterate is the
+    * textbook stabilizer — Round12Spec pins that the selection stays
+    * target-enriched. Per-dim |g| ≤ 1e6·occurrences, so gradient sums
+    * fit BIGINT to ~10¹¹ token occurrences per pass; past that train on
+    * a hash-sample (the sampled-Lloyd pattern) and score full-corpus. */
+  def classifierFilter(spark: SparkSession, dir: String, iters: Int = 3,
+      lrNum: Long = 5L, lrDen: Long = 10L): DataFrame = {
+    val B = 256
+    val docs = graft.Tables(spark, dir).documents
+    // one tokenize+hash pass: y (the distillation label) and the hashed
+    // dim array with the bias pseudo-dim appended — zero-token docs keep
+    // a bare [-1], so every document trains and scores
+    val toks = graft.GraftSession.trackCache(
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("tk", expr(TextAnalysis.tokensExpr))
+        .withColumn("n_tok", coalesce(expr("cast(size(tk) as bigint)"), lit(0L)))
+        .withColumn("n_stop", coalesce(expr(
+          "cast(size(filter(tk, x -> x IN ('the','a','of','and','in','to','is'))) as bigint)"),
+          lit(0L)))
+        .withColumn("feats", expr(s"concat(tk, ${TextAnalysis.bigramsExpr})"))
+        .select(col("doc_id"),
+          // greatest(n_tok, 1) keeps ANSI div total; the n_tok > 0 guard
+          // decides the label, so the padded divisor never leaks a value
+          when(col("n_tok") > 0 &&
+            least(lit(10000L), col("n_tok") * 100L) *
+              (lit(10000L) - expr("(n_stop * 10000) div greatest(n_tok, 1L)")) >= 50000000L,
+            1L).otherwise(0L).as("y"),
+          expr(
+            s"""concat(coalesce(transform(feats, x ->
+               |  cast(conv(substring(md5(x), 1, 2), 16, 10) as bigint) % $B),
+               |  array()), array(-1L))""".stripMargin).as("dims")))
+    val n = toks.count()
+    // z on the 1e-6 grid from the literal weight map, map-side
+    def z6(w: Map[Long, Long]): Column = {
+      val wMap = typedLit(if (w.isEmpty) Map(-2L -> 0L) else w)
+      aggregate(col("dims"), lit(0L),
+        (acc, d) => acc + coalesce(element_at(wMap, d), lit(0L)))
+    }
+    // hard sigmoid on the 1e-6 grid; pmod = the truncated-mod floor-div
+    // identity (z may be negative; `div` alone truncates toward zero)
+    val s6OfZ =
+      expr("greatest(0L, least(1000000L, ((z - pmod(z, 4)) div 4) + 500000L))")
+    var w = Map.empty[Long, Long]
+    var polyak = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val grad = toks.select(col("y"), col("dims"), z6(w).as("z"))
+        .select((s6OfZ - col("y") * 1000000L).as("e"),
+          explode(col("dims")).as("dim"))
+        .groupBy("dim").agg(sum("e").as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // round-half-up fixed-point update: Δw6 = ⌊(2·lrNum·g + lrDen·n)/(2·lrDen·n)⌋
+      w = grad.map { case (d, g) =>
+        d -> (w.getOrElse(d, 0L) -
+          Math.floorDiv(2L * lrNum * g + lrDen * n, 2L * lrDen * n))
+      }.toMap
+      polyak = w.map { case (d, v) => d -> (polyak.getOrElse(d, 0L) + v) }
+    }
+    val k = n / 5L
+    val scored = toks.select(col("doc_id"), col("y").as("label"),
+      z6(polyak).as("score6"))
+    GlobalRank.rowNumbered(scored, "rn", col("score6").desc, col("doc_id"))
+      .select(col("doc_id"), col("label"), col("score6"),
+        when(col("rn") <= k, 1L).otherwise(0L).as("kept"))
+  }
 }

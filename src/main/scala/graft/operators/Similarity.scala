@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
@@ -115,6 +115,69 @@ object Similarity {
     c.crossJoin(broadcast(q)).withColumn("cosine", cosineCol)
       .filter(round(col("cosine"), 6) >= tau)
       .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("score"))
+  }
+
+  /** Sign-bit pack of a 32-dim word: bit `i` is set iff dimension
+    * `offset + i` of `v` is > 0. Two words cover the 64-dim vectors.
+    * The 32-bit word width is the ORACLE contract — DuckDB's checked
+    * BIGINT arithmetic cannot form the bit-63 term — and costs nothing:
+    * two hamming64 calls over half-empty words are the same two
+    * XOR+POPCNT instructions as one call over a full word. The pack is
+    * exact integer arithmetic (a sum of distinct powers of two), so
+    * fold order is irrelevant and both engines agree bit-for-bit. */
+  private def signPack(offset: Int): Column = expr(
+    s"""aggregate(transform(slice(v, ${offset + 1}, 32),
+       |  (x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)""".stripMargin)
+
+  /** Binary-quantized retrieval cascade (`ann_hamming`) — the 1-bit
+    * sibling of [[int8Quantize]] and the fourth point on the engine's
+    * quantization axis (float exact / PQ / int8 / binary): sign-bit
+    * vectors give 64× scan compression (one bit per dimension) and a
+    * Hamming distance that is two XOR+POPCNT instructions, which is how
+    * production binary indexes (FAISS `IndexBinaryFlat`, the "binary
+    * quantization" tier of vector stores) run their first pass.
+    *
+    * Cascade: (1) pack each vector into two 32-bit sign words MAP-SIDE —
+    * the full-corpus Hamming scan then moves ~17 bytes/row instead of the
+    * 512-byte double vector, the point of the method at 100 TB; (2)
+    * shortlist the `shortlist` nearest corpus vectors per broadcast query
+    * by (hamming, n_id) — the native codegen'd [[graft.functions
+    * .HammingDistance64]] per word, ranked by the bounded-heap
+    * [[graft.plans.TopKPerKey]] rewrite (never a partition sort); (3)
+    * re-fetch ONLY the shortlisted vectors by id (the candidate set is
+    * queries × shortlist rows — broadcast, so the corpus side of the
+    * re-fetch join never shuffles) and rerank by exact cosine to the
+    * final top-5 under the [[rankTop5]] rounding contract. With
+    * `shortlist` ≥ corpus the cascade provably equals brute force
+    * (every vector reaches the exact rerank) — Round12Spec pins that,
+    * the checked config's oracle replays the pruned cascade exactly,
+    * and the pruned config's recall floor is spec-asserted. */
+  def hammingTopK(spark: SparkSession, dir: String, shortlist: Int = 50): DataFrame = {
+    val e = vecs(spark, dir)
+    val packed = e.select(col("vec_id"), signPack(0).as("h0"), signPack(32).as("h1"))
+    val qp = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("h0").as("a0"), col("h1").as("a1"))
+    val cp = packed.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("h0").as("b0"), col("h1").as("b1"))
+    val cand = cp.crossJoin(broadcast(qp))
+      .withColumn("hamming",
+        (expr("hamming64(a0, b0)") + expr("hamming64(a1, b1)")).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("hamming"), col("n_id"))))
+      .filter(col("rn") <= shortlist)
+      .select("q_id", "n_id", "hamming")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    c.join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cosineCol)
+      .withColumn("rnk_i", row_number().over(
+        Window.partitionBy("q_id").orderBy(round(col("cosine"), 6).desc, col("n_id"))))
+      .filter(col("rnk_i") <= 5)
+      .select(col("q_id"), col("n_id"), col("hamming"),
+        round(col("cosine"), 4).as("score"), col("rnk_i").cast("long").as("rnk"))
   }
 
   /** Deterministic random hyperplanes (fixed seed, JVM-stable LCG),

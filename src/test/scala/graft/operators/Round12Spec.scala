@@ -169,6 +169,106 @@ class Round12Spec extends SparkSpec {
         s"missing=${(expected.keySet -- got.keySet).take(5)}")
   }
 
+  test("ann_hamming with an exhaustive shortlist equals brute-force top-k") {
+    graft.GraftSession.registerFunctions(spark)
+    // shortlist >= corpus: every vector reaches the exact rerank, so the
+    // cascade IS brute force (the ann_lsh/ann_ivf calibration pattern)
+    val exhaustive = Similarity.hammingTopK(spark, sf, shortlist = 1000)
+      .select("q_id", "n_id", "score", "rnk").collect().map(_.toSeq).toSet
+    val exact = Similarity.topK(spark, sf)
+      .select("q_id", "n_id", "score", "rnk").collect().map(_.toSeq).toSet
+    assert(exhaustive == exact,
+      "exhaustive-shortlist cascade must equal the brute-force oracle tier")
+  }
+
+  test("ann_hamming pruned cascade: recall floor, heap + broadcast plan shape") {
+    graft.GraftSession.registerFunctions(spark)
+    val pruned = Similarity.hammingTopK(spark, sf)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("hamming64"),
+      "the shortlist stage must score via the native hamming64 expression")
+    assert(plan.contains("TopKPerKey 50") && plan.contains("TopKPerKey 5"),
+      "both rank stages must run as the bounded-heap operator, not a sort")
+    assert(!plan.contains("Window "),
+      "no WindowExec partition sort belongs in the cascade")
+    assert(!plan.contains("SortMergeJoin"),
+      "the re-fetch joins are candidate-set-sized and must broadcast")
+    // recall@5 vs the exact tier: 64-bit sign sketches + a 50-deep
+    // shortlist keep most true neighbors on this corpus; floor at 60%
+    val got = pruned.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topK(spark, sf).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, f"hamming cascade recall@5 too low: $recall%.2f")
+  }
+
+  test("pipeline_classifier_filter equals a driver-side fixed-point replay and enriches the label") {
+    val out = Pipeline.classifierFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver replay: same tokenizer + md5 dims, same integer grids, same
+    // hard-sigmoid GD with round-half-up updates and Polyak-summed
+    // iterates — every operation exact, so equality is bitwise
+    val docs = graft.Tables(spark, sf).documents
+      .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("tk"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getSeq[String](1)).getOrElse(Seq.empty[String])))
+    val stops = Set("the", "a", "of", "and", "in", "to", "is")
+    def dimOf(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((h(0).toInt & 0xff).toLong) % 256L
+    }
+    val feats = docs.map { case (id, tk) =>
+      val nTok = tk.length.toLong
+      val nStop = tk.count(stops).toLong
+      val y = if (nTok > 0 &&
+        math.min(10000L, nTok * 100L) * (10000L - nStop * 10000L / nTok) >= 50000000L)
+        1L else 0L
+      val grams = tk ++ tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      (id, y, grams.map(dimOf).toArray :+ -1L)
+    }
+    val n = feats.length.toLong
+    def z(w: Map[Long, Long], dims: Array[Long]): Long =
+      dims.map(w.getOrElse(_, 0L)).sum
+    def s6(zv: Long): Long =
+      math.max(0L, math.min(1000000L, Math.floorDiv(zv, 4L) + 500000L))
+    var w = Map.empty[Long, Long]
+    var polyak = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val g = scala.collection.mutable.Map.empty[Long, Long]
+      feats.foreach { case (_, y, dims) =>
+        val e = s6(z(w, dims)) - y * 1000000L
+        dims.foreach(d => g(d) = g.getOrElse(d, 0L) + e)
+      }
+      w = g.map { case (d, gv) =>
+        d -> (w.getOrElse(d, 0L) -
+          Math.floorDiv(2L * 5L * gv + 10L * n, 2L * 10L * n))
+      }.toMap
+      polyak = w.map { case (d, v) => d -> (polyak.getOrElse(d, 0L) + v) }
+    }
+    val scored = feats.map { case (id, y, dims) => (id, y, z(polyak, dims)) }
+    val k = n / 5L
+    val keptIds = scored.sortBy { case (id, _, s) => (-s, id) }
+      .take(k.toInt).map(_._1).toSet
+    val expected = scored.map { case (id, y, s) =>
+      id -> ((y, s, if (keptIds(id)) 1L else 0L))
+    }.toMap
+    assert(out == expected, {
+      val bad = out.collect { case (q, v) if expected.get(q) != Some(v) =>
+        (q, v, expected.get(q)) }.take(3)
+      s"fixed-point replay mismatch, e.g. $bad"
+    })
+    // the method's point: the kept top-n/5 must be ENRICHED in the
+    // distillation label relative to the corpus base rate
+    assert(out.values.count(_._3 == 1L).toLong == k, s"must keep exactly $k docs")
+    val kept = out.values.filter(_._3 == 1L)
+    val prec = kept.count(_._1 == 1L).toDouble / kept.size
+    val base = out.values.count(_._1 == 1L).toDouble / out.size
+    assert(prec > base,
+      f"distilled selection must enrich the label: precision $prec%.3f <= base $base%.3f")
+  }
+
   test("pipeline_dsir degrades gracefully on a zero-token corpus") {
     // every text NULL or empty -> the feature stream has only null dims,
     // dist is EMPTY and the total sums come back NULL; the operator must
