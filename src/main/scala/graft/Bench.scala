@@ -199,7 +199,7 @@ object Bench {
     // binary-quantization cascade: packed sign words, hamming64
     // shortlist via the bounded heap, broadcast re-fetch + exact rerank;
     // and the distributed-GD classifier filter (3 gradient passes, each
-    // a 4-long map-side partial aggregate)
+    // one narrow scan into a ≤257-key map-side partial aggregate)
     "ann_hamming", "pipeline_classifier_filter")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:

@@ -241,9 +241,11 @@ object TextAnalysis {
     val q = GlobalRank.boundedRowNumbered(df, "r", col("df").desc, col("term"))
       .filter(col("r").isin(1L, 7L, 23L)).select("term", "df")
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val ad = withTokens(docs.select("doc_id", "text"))
-      .filter(expr("size(tk) >= 1"))
-      .agg((floor(sum(expr("cast(size(tk) as bigint)")).cast("double")
+    // avgdl off the CACHED tf aggregate (per-doc dl rides every tf row),
+    // not a second tokenize scan — the dsir "heavy string work never
+    // runs twice" rule; same doc set (both exclude zero-token docs)
+    val ad = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg((floor(sum(col("dl")).cast("double")
         / count(lit(1)) * 1e4 + 0.5) / 1e4).as("avgdl"))
     tf.join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(n)).crossJoin(broadcast(ad))

@@ -4,14 +4,19 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Round-12 gates for the widening keys: DSIR importance resampling,
-  * SemDeDup-shaped bucketed embedding dedup, the Mann–Whitney
-  * rank-sum test, and BM25 probe-query retrieval.
+  * SemDeDup-shaped bucketed embedding dedup, the Mann–Whitney rank-sum
+  * test, BM25 probe-query retrieval, exact cosine radius search, the
+  * binary-quantization Hamming cascade, and the distilled fixed-point
+  * GD classifier filter.
   *
   * The SQL oracles already pin VALUES; these tests pin the properties the
   * value-compare can't see — DSIR actually enriches the target slice,
   * dedup_semantic's keep/drop decisions agree with a brute-force
-  * within-bucket reference, and the distributed no-window rank statistics
-  * equal a plain single-partition window formulation.
+  * within-bucket reference, the distributed no-window rank statistics
+  * equal a plain single-partition window formulation, the retrieval
+  * cascades equal brute force in their exhaustive configs and hold their
+  * plan shapes (broadcast joins, bounded heaps, zero shuffles where
+  * promised), and classifier training replays bit-for-bit driver-side.
   */
 class Round12Spec extends SparkSpec {
 
@@ -187,7 +192,7 @@ class Round12Spec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("hamming64"),
       "the shortlist stage must score via the native hamming64 expression")
-    assert(plan.contains("TopKPerKey 50") && plan.contains("TopKPerKey 5"),
+    assert(plan.contains("TopKPerKey 50,") && plan.contains("TopKPerKey 5,"),
       "both rank stages must run as the bounded-heap operator, not a sort")
     assert(!plan.contains("Window "),
       "no WindowExec partition sort belongs in the cascade")
