@@ -200,7 +200,14 @@ object Bench {
     // shortlist via the bounded heap, broadcast re-fetch + exact rerank;
     // and the distributed-GD classifier filter (3 gradient passes, each
     // one narrow scan into a ≤257-key map-side partial aggregate)
-    "ann_hamming", "pipeline_classifier_filter")
+    "ann_hamming", "pipeline_classifier_filter",
+    // fixed-point PageRank: one cached pre-partitioned edge build, then
+    // 5 Pregel-shaped iterations (rank shuffle + ≤V-key agg each); and
+    // the frozen-merge BPE encode (HOF merge loop per DISTINCT word)
+    "q_pagerank", "text_bpe_encode",
+    // Large-Star/Small-Star connected components (8 alternations over a
+    // non-increasing edge set) and the map-side context-window chunker
+    "q_components", "text_chunk")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

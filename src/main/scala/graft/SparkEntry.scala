@@ -315,6 +315,18 @@ object SparkEntry {
     "pipeline_dsir" -> (Pipeline.dsir _),
     "dedup_semantic" -> ((s, d) => Dedup.semantic(s, d)),
     "q_mann_whitney" -> (Analytics.mannWhitney _),
+    // fixed-point PageRank over the bipartite customer↔supplier order
+    // graph: 5 Pregel-shaped join+agg iterations, exact 1e-12-unit BIGINT
+    "q_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    // frozen-merge-table BPE application: encode once per DISTINCT word,
+    // re-expand by word count — tokenizer cost rides the vocabulary
+    "text_bpe_encode" -> (TextAnalysis.bpeEncode _),
+    // Large-Star/Small-Star connected components of the repeat-trade
+    // graph (Kiveris et al. 2014): 8 fixed alternations, oracle-replayed
+    "q_components" -> ((s, d) => Graph.components(s, d)),
+    // RAG/context-window chunking: one narrow map-side pass, exact
+    // integer chunk grid, md5 content identity per window
+    "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
   )
 
   private val tokCte =
@@ -468,6 +480,124 @@ object SparkEntry {
   private val vecCtes =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  /** `text_bpe_encode` oracle: the frozen-merge-table encode replayed as
+    * a recursive CTE — one merge per recursion step (leftmost occurrence
+    * of the min-rank adjacent pair, [[operators.TextAnalysis.bpeStepExpr]]'s
+    * exact rule), terminal rows = states where no pair ranks. The merge
+    * table renders from the same [[operators.TextAnalysis.bpeMerges]]
+    * literal the Spark side uses — one source of truth. */
+  private def bpeSql: String = {
+    val arms = operators.TextAnalysis.bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"WHEN '$a $b' THEN ${i + 1}" }.mkString(" ")
+    def pr(s: String) =
+      s"list_transform(range(1, len($s)), i -> CASE $s[i] || ' ' || $s[i + 1] $arms END)"
+    s"""WITH RECURSIVE wds AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents) GROUP BY 1),
+       |ch AS (SELECT w, c, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+       |       FROM wds),
+       |enc AS (
+       |  SELECT w, c, syms FROM ch
+       |  UNION ALL
+       |  SELECT w, c,
+       |    syms[1:pos - 1] || [syms[pos] || syms[pos + 1]] || syms[pos + 2:] AS syms
+       |  FROM (
+       |    SELECT w, c, syms, CAST(list_position(pr, best) AS BIGINT) AS pos
+       |    FROM (SELECT w, c, syms, pr,
+       |            list_min(list_filter(pr, r -> r IS NOT NULL)) AS best
+       |          FROM (SELECT w, c, syms, ${pr("syms")} AS pr FROM enc))
+       |    WHERE best IS NOT NULL)),
+       |fin AS (
+       |  SELECT w, c, syms FROM (
+       |    SELECT w, c, syms,
+       |      list_min(list_filter(${pr("syms")}, r -> r IS NOT NULL)) AS best
+       |    FROM enc)
+       |  WHERE best IS NULL),
+       |tok AS (SELECT w, c, unnest(syms) AS token FROM fin)
+       |SELECT token, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+       |FROM tok GROUP BY 1 ORDER BY n_tokens DESC, token LIMIT 30""".stripMargin
+  }
+
+  /** `q_pagerank` oracle: the integer damped-walk recurrence unrolled —
+    * iteration k = per-destination inflow aggregate over the shared edge
+    * CTE joined to iteration k-1's rank CTE, then the `(15*r0 + 85*in)
+    * div 100` update. All operands positive, so DuckDB's flooring `//`
+    * equals Spark's truncating `div` everywhere it appears. */
+  private def pageRankSql(iters: Int): String = {
+    val base =
+      """WITH pr_pairs AS (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |pr_ed AS (SELECT c AS src, s AS dst, w FROM pr_pairs
+        |          UNION ALL SELECT s AS src, c AS dst, w FROM pr_pairs),
+        |pr_dg AS (SELECT src, sum(w) AS wtot FROM pr_ed GROUP BY 1),
+        |pr_e AS (SELECT pr_ed.src, pr_ed.dst, pr_ed.w, pr_dg.wtot
+        |         FROM pr_ed JOIN pr_dg ON pr_ed.src = pr_dg.src),
+        |pr_n AS (SELECT DISTINCT src AS node FROM pr_ed),
+        |pr_p AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS r0 FROM pr_n),
+        |it0 AS (SELECT node, (SELECT r0 FROM pr_p) AS r FROM pr_n)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""it$k AS (SELECT n.node,
+         |  CAST((15 * (SELECT r0 FROM pr_p) + 85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS r
+         |  FROM pr_n n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum((r.r * e.w) // e.wtot) AS BIGINT) AS inflow
+         |    FROM pr_e e JOIN it${k - 1} r ON e.src = r.node GROUP BY 1) f
+         |  ON n.node = f.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |       node // 2 AS node_key, r AS rank_q12
+         |FROM it$iters ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** `q_components` oracle: the Large-Star/Small-Star alternation
+    * unrolled — per round, the symmetric closure, the neighborhood-min
+    * aggregate, the large-star emission (strictly larger neighbors → m),
+    * then the small-star re-point of each canonical neighborhood. Set
+    * semantics (`DISTINCT`/`UNION`) make both engines carry identical
+    * edge sets at every round, so the replay is exact with no numeric
+    * contract at all. Every round CTE is `AS MATERIALIZED`: each level
+    * references the previous one 2-4 times, so DuckDB's default CTE
+    * inlining re-instantiates the base scan exponentially across the 8
+    * unrolled rounds (measured: "Too many open files" at fd-limit 20000
+    * before the hint, 0.1 s with it) — the mirror of the Spark side's
+    * per-round localCheckpoint. */
+  private def componentsSql(rounds: Int): String = {
+    val base =
+      """WITH cc_p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |cc_e0 AS MATERIALIZED (SELECT greatest(c, s) AS u, least(c, s) AS v FROM cc_p WHERE w >= 2)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""cc_sym$k AS MATERIALIZED (SELECT u, v FROM cc_e${k - 1}
+         |             UNION ALL SELECT v AS u, u AS v FROM cc_e${k - 1}),
+         |cc_lm$k AS MATERIALIZED (SELECT u, least(min(v), u) AS m FROM cc_sym$k GROUP BY u),
+         |cc_ls$k AS MATERIALIZED (SELECT DISTINCT s.v AS u, m.m AS v
+         |            FROM cc_sym$k s JOIN cc_lm$k m ON s.u = m.u WHERE s.v > s.u),
+         |cc_sm$k AS MATERIALIZED (SELECT u, min(v) AS m FROM cc_ls$k GROUP BY u),
+         |cc_e$k AS MATERIALIZED (SELECT DISTINCT x.u, x.v FROM (
+         |  SELECT l.u AS u, m.m AS v FROM cc_ls$k l JOIN cc_sm$k m ON l.u = m.u
+         |  UNION ALL
+         |  SELECT l.v AS u, m.m AS v FROM cc_ls$k l JOIN cc_sm$k m ON l.u = m.u
+         |  WHERE l.v <> m.m) x)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |, cc_mem AS (
+         |  SELECT DISTINCT u AS node, v AS root FROM cc_e$rounds
+         |  UNION SELECT DISTINCT v AS node, v AS root FROM cc_e$rounds)
+         |SELECT CASE WHEN root % 2 = 0 THEN 'customer' ELSE 'supplier' END AS root_type,
+         |       root // 2 AS root_key,
+         |       CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+         |FROM cc_mem GROUP BY root
+         |ORDER BY n_nodes DESC, root LIMIT 20""".stripMargin
+  }
 
   /** `pipeline_classifier_filter` oracle: the fixed-point distillation
     * loop unrolled as integer CTEs — per epoch a per-doc z aggregate over
@@ -2413,5 +2543,22 @@ object SparkEntry {
         |                - CAST(tie3 AS DOUBLE) /
         |                  (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) AS z_score
         |FROM s""".stripMargin,
+    // 5 unrolled integer damped-walk iterations over the shared edge CTEs
+    "q_pagerank" -> pageRankSql(5),
+    // recursive-CTE replay of the frozen-merge BPE encode
+    "text_bpe_encode" -> bpeSql,
+    // 8 unrolled Large-Star/Small-Star alternations, pure set semantics
+    "q_components" -> componentsSql(8),
+    // the exact integer chunk grid + md5 window identity
+    "text_chunk" ->
+      """SELECT doc_id, ci AS chunk_idx,
+        |  CAST(least(16, n - ci * 12) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(tk[ci * 12 + 1 : ci * 12 + least(16, n - ci * 12)], ' ')) AS chunk_hash
+        |FROM (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    unnest(range(0, 1 + CASE WHEN len(tk) > 16 THEN (len(tk) - 16 + 11) // 12 ELSE 0 END)) AS ci
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents) d
+        |  WHERE len(tk) > 0) q""".stripMargin,
   )
 }

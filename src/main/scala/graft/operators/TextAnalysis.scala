@@ -613,4 +613,113 @@ object TextAnalysis {
           .as("dim"))
       .groupBy("doc_id", "dim")
       .agg(count(lit(1)).as("n"))
+
+  /** The frozen BPE merge table — the production pipeline applies a
+    * tokenizer ARTIFACT (a GPT-2/Llama-style ordered merge list shipped
+    * with the model), it does not train one mid-pipeline, so the list is
+    * a literal here and in the DuckDB oracle (one source of truth: this
+    * val renders into both engines' expressions). Rank = position
+    * (1-based); pair key = `a + " " + b` — whitespace tokenization
+    * guarantees tokens never contain the separator. */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "o" -> "r",
+    "e" -> "r", "s" -> "t", "a" -> "t", "r" -> "o", "ro" -> "w",
+    "j" -> "o", "jo" -> "i", "joi" -> "n", "s" -> "c", "sc" -> "a",
+    "sca" -> "n", "h" -> "a", "ha" -> "s", "has" -> "h", "d" -> "a",
+    "da" -> "t", "dat" -> "a", "k" -> "e", "ke" -> "y")
+
+  /** One deterministic encode step shared by the corpus operator and the
+    * Round12Spec driver replay: merge the LEFTMOST occurrence of the
+    * MINIMUM-rank adjacent pair, one merge per step (re-ranking after
+    * every merge — a tie-free refinement of the classic merge-all-at-
+    * once encode; budgeting `len(word)-1` steps covers every productive
+    * merge, later steps are no-ops once no pair ranks). */
+  private def bpeStepExpr: String = {
+    val rmap = bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"'$a $b', ${i + 1}" }
+      .mkString("map(", ", ", ")")
+    // pair ranks via two shifted slices — no sequence(), so the 1-char
+    // case degrades to [] instead of a descending range
+    def prOf(s: String) =
+      s"zip_with(slice($s, 1, size($s) - 1), slice($s, 2, size($s) - 1), " +
+        s"(x, y) -> element_at($rmap, concat(x, ' ', y)))"
+    // single-element-array transform = a `let`: pr / best / pos each
+    // computed once instead of re-inlining the rank-map expression
+    s"""(syms, it) -> element_at(transform(array(${prOf("syms")}), pr ->
+       |  element_at(transform(array(array_min(filter(pr, r -> r IS NOT NULL))), best ->
+       |    CASE WHEN best IS NULL THEN syms ELSE
+       |      element_at(transform(array(cast(array_position(pr, best) as int)), pos ->
+       |        concat(slice(syms, 1, pos - 1),
+       |               array(concat(element_at(syms, pos), element_at(syms, pos + 1))),
+       |               slice(syms, pos + 2, greatest(size(syms) - pos - 1, 0)))), 1)
+       |    END), 1)), 1)""".stripMargin
+  }
+
+  /** BPE tokenizer application (`text_bpe_encode`): encode the corpus
+    * with the frozen [[bpeMerges]] table and report the top-30 resulting
+    * token histogram — the vocabulary-coverage QA every tokenization run
+    * ships (are merges firing? what reaches the model as one token?).
+    *
+    * Scale shape — encode cost rides the VOCABULARY, not the corpus:
+    * the token stream collapses map-side into per-word counts first
+    * (partial agg, ≤vocab rows reach the exchange), the iterative merge
+    * loop (a nested-HOF fold: `len-1` steps of [[bpeStepExpr]]) runs
+    * once per DISTINCT word, and the histogram re-expands by weight
+    * without ever touching documents again. 100 TB of text with a 10M-
+    * word vocabulary pays the HOF ~10M times total, not per token. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val words = withTokens(Tables(spark, dir).documents.select("text"))
+      .select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val enc = words.withColumn("syms",
+      expr(s"""CASE WHEN length(w) < 2 THEN array(w)
+              | ELSE aggregate(sequence(1, length(w) - 1),
+              |   filter(split(w, ''), ch -> ch <> ''),
+              |   $bpeStepExpr) END""".stripMargin))
+    // explode_outer, deliberately: plain explode makes the optimizer
+    // infer a `size(syms) > 0` pruning filter and PUSH IT BELOW the
+    // per-word aggregate (syms is a function of the group key), which
+    // re-evaluates the whole interpreted merge fold twice per corpus
+    // TOKEN instead of once per distinct word — measured 1812 cpu-s vs
+    // ~tokenize-cost at sf5. syms is never empty (CASE guards the 1-char
+    // path), so outer ≡ inner here and the inferred filter disappears.
+    enc.select(col("w"), col("c"), explode_outer(col("syms")).as("token"))
+      .groupBy("token")
+      .agg(sum("c").as("n_tokens"), countDistinct("w").as("n_words"))
+      .orderBy(col("n_tokens").desc, col("token"))
+      .limit(30)
+  }
+
+  /** Context-window chunking (`text_chunk`) — the RAG / pretraining
+    * sequence-packing primitive: split each document's token stream into
+    * overlapping windows of `win` tokens advancing by `stride`
+    * (production values are model-context-sized, e.g. 1024/896; the key
+    * uses 16/12 so the driver fixture's ~54-token docs genuinely
+    * overlap). Chunk count k = 1 + ceil((n − win) / stride) for n > win
+    * else 1 — integer ceil as `(n − win + stride − 1) div stride`, so
+    * the chunk grid is exact arithmetic in both engines; the last chunk
+    * is the residual `n − (k−1)·stride ∈ (win − stride, win]` tokens, so
+    * every token is covered and no window is empty. Zero-token docs emit
+    * no chunks.
+    *
+    * Scale shape: ONE narrow map-side pass — tokenize, a per-doc
+    * `sequence(0, k−1)` explode, `slice` + `md5` per window. No shuffle,
+    * no state, embarrassingly parallel at 100 TB; chunk identity is the
+    * deterministic (doc_id, chunk_idx) pair and the content hash is what
+    * downstream exact-dedup / packing keys on (Round12Spec pins the
+    * no-keyed-exchange plan and a full driver-side replay). */
+  def chunk(spark: SparkSession, dir: String,
+      win: Int = 16, stride: Int = 12): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), expr(tokensExpr).as("tk"))
+      .where(size(col("tk")) > 0)
+      .withColumn("k",
+        expr(s"1 + CASE WHEN size(tk) > $win THEN (size(tk) - $win + $stride - 1) div $stride ELSE 0 END"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0, k - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(tk, chunk_idx * $stride + 1, least($win, size(tk) - chunk_idx * $stride))").as("ctk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("ctk"))).as("chunk_hash"))
 }

@@ -290,4 +290,164 @@ class Round12Spec extends SparkSpec {
     assert(out.head.getLong(0) == 1L, "score-0 tiebreak must keep min doc_id")
     assert(out.head.getLong(2) == 0L, "zero-token corpus must score 0")
   }
+
+  test("q_pagerank equals a driver-side integer replay; bounded top-k, no window") {
+    val out = Graph.pageRank(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must run as the bounded TakeOrderedAndProject, not a global sort")
+    assert(!plan.contains("Window "), "no WindowExec belongs in the rank loop")
+    assert(plan.contains("InMemoryTableScan"),
+      "the edge frame must be cached once and re-read per iteration")
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // exact replay of the 1e-12-unit recurrence on the collected graph
+    val t = graft.Tables(spark, sf)
+    val ord = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    t.lineitem.select("l_orderkey", "l_suppkey").collect().foreach { r =>
+      ord.get(r.getLong(0)).foreach { ck => w((ck * 2, r.getLong(1) * 2 + 1)) += 1L }
+    }
+    val edges = w.toSeq.flatMap { case ((c, s2), wt) => Seq((c, s2, wt), (s2, c, wt)) }
+    val wtot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = edges.map(_._1).distinct.sorted
+    val r0 = 1000000000000L / nodes.size
+    var rank = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst, wt) => inflow(dst) += rank(src) * wt / wtot(src) }
+      rank = nodes.map(n => n -> (15L * r0 + 85L * inflow(n)) / 100L).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (n, rk) => (-rk, n) }.take(20)
+      .map { case (n, rk) => (if (n % 2 == 0) "customer" else "supplier", n / 2, rk) }
+    assert(rows == expected, s"rank recurrence must replay bit-for-bit; " +
+      s"got ${rows.take(3)} vs ${expected.take(3)}")
+  }
+
+  test("text_bpe_encode equals a driver-side merge-rule replay over the vocabulary") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    // driver replay of the exact step rule: leftmost occurrence of the
+    // min-rank adjacent pair, one merge per step, until no pair ranks
+    val rank = TextAnalysis.bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => (a, b) -> (i + 1) }.toMap
+    def encode(w: String): Seq[String] = {
+      var syms = w.map(_.toString)
+      var done = false
+      while (!done) {
+        val ranked = syms.indices.dropRight(1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        if (ranked.isEmpty) done = true
+        else {
+          val best = ranked.minBy { case (r, i) => (r, i) }._1
+          val pos = ranked.filter(_._1 == best).map(_._2).min
+          syms = syms.take(pos) ++ Seq(syms(pos) + syms(pos + 1)) ++ syms.drop(pos + 2)
+        }
+      }
+      syms
+    }
+    val docs = graft.Tables(spark, sf).documents
+    val words = docs.selectExpr(s"explode(${TextAnalysis.tokensExpr}) AS w")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // tokens of every encoded word must reconstruct the word (lossless)
+    words.foreach { case (w, _) =>
+      assert(encode(w).mkString == w, s"encode must be lossless for '$w'") }
+    // expected histogram from the replay
+    val hist = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    words.foreach { case (w, c) =>
+      encode(w).groupBy(identity).foreach { case (tok, occ) =>
+        val (nt, nw) = hist.getOrElse(tok, (0L, 0L))
+        hist(tok) = (nt + c * occ.size, nw + 1)
+      }
+    }
+    val expected = hist.toSeq.map { case (t, (nt, nw)) => (t, nt, nw) }
+      .sortBy { case (t, nt, _) => (-nt, t) }.take(30)
+    val out = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected, s"histogram must replay exactly; " +
+      s"got ${out.take(5)} vs ${expected.take(5)}")
+    // and the merge table must actually fire on this corpus — a frozen
+    // tokenizer that never merges would pass the lossless check trivially
+    assert(out.exists(_._1.length > 1), "at least one multi-char token expected")
+  }
+
+  test("q_components labeling equals a driver-side union-find; round 8 is a fixed point") {
+    // brute-force reference: union-find over the same w>=2 edge rule
+    val t = graft.Tables(spark, sf)
+    val ord = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    t.lineitem.select("l_orderkey", "l_suppkey").collect().foreach { r =>
+      ord.get(r.getLong(0)).foreach { ck => w((ck * 2, r.getLong(1) * 2 + 1)) += 1L }
+    }
+    // iterator first: collect on a Map would rebuild a MAP from the
+    // emitted (c, s) tuples, silently collapsing the edge list to one
+    // edge per distinct c (measured: 1299 -> 150 edges on sf0.001)
+    val edges = w.iterator.collect { case ((c, s), n) if n >= 2 => (c, s) }.toSeq
+    assert(edges.nonEmpty, "fixture must produce repeat-trade edges")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes.map(n => (n, find(n))).toSet
+
+    val got = Graph.componentMembers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"star labeling must equal union-find; diff=${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    // the fixed-round contract: one more alternation changes nothing
+    val extra = Graph.componentMembers(spark, sf, rounds = 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(extra == got, "round 8 must already be a fixed point on the fixture")
+    // and the aggregated key agrees with the reference's component sizes
+    val sizes = expected.groupBy(_._2).map { case (root, m) => root -> m.size.toLong }
+    val top = Graph.components(spark, sf).collect()
+    top.foreach { r =>
+      val root = r.getLong(1) * 2 + (if (r.getString(0) == "supplier") 1 else 0)
+      assert(sizes(root) == r.getLong(2), s"component $root size mismatch")
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4), "type split must sum to size")
+    }
+  }
+
+  test("text_chunk equals a driver-side replay and stays map-side (no keyed shuffle)") {
+    val out = TextAnalysis.chunk(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      "chunking must be one narrow map-side pass — no keyed exchange")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val (win, stride) = (16, 12)
+    val expected = graft.Tables(spark, sf).documents
+      .select("doc_id", "text").collect().flatMap { r =>
+        val tk = r.getString(1).split(" ").filter(_.nonEmpty)
+        val n = tk.length
+        if (n == 0) Seq.empty
+        else {
+          val k = 1 + (if (n > win) (n - win + stride - 1) / stride else 0)
+          (0 until k).map { ci =>
+            val len = math.min(win, n - ci * stride)
+            val slice = tk.slice(ci * stride, ci * stride + len)
+            (r.getLong(0), ci.toLong, len.toLong, md5hex(slice.mkString(" ")))
+          }
+        }
+      }.toSet
+    assert(got == expected, s"chunk grid must replay exactly; " +
+      s"diff=${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    // overlap sanity: consecutive chunks of a long doc share win-stride tokens
+    val longDoc = graft.Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .find(_.getString(1).split(" ").count(_.nonEmpty) > win)
+    assert(longDoc.isDefined, "fixture should contain a doc longer than one window")
+  }
 }
