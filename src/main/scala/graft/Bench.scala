@@ -207,7 +207,10 @@ object Bench {
     "q_pagerank", "text_bpe_encode",
     // Large-Star/Small-Star connected components (8 alternations over a
     // non-increasing edge set) and the map-side context-window chunker
-    "q_components", "text_chunk")
+    "q_components", "text_chunk",
+    // degree-oriented triangle counting on the co-trade projection,
+    // weighted HITS (4 L1 half-step pairs), and PMI collocations
+    "q_triangles", "q_hits", "text_collocations")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

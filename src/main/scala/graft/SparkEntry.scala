@@ -327,6 +327,14 @@ object SparkEntry {
     // RAG/context-window chunking: one narrow map-side pass, exact
     // integer chunk grid, md5 content identity per window
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    // degree-oriented triangle counting (Suri-Vassilvitskii) on the
+    // co-trade projection + exact-integer clustering coefficient
+    "q_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    // weighted HITS, 4 L1-normalized half-step pairs in 1e-9-unit BIGINT
+    "q_hits" -> ((s, d) => Graph.hits(s, d)),
+    // PMI collocations over adjacent word pairs, support floor 5,
+    // tfidf's pinned-operand-order ln contract
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
   )
 
   private val tokCte =
@@ -597,6 +605,78 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
          |FROM cc_mem GROUP BY root
          |ORDER BY n_nodes DESC, root LIMIT 20""".stripMargin
+  }
+
+  /** `q_triangles` oracle: the same degree-oriented wedge construction —
+    * co-trade projection, (deg, id) edge orientation, wedge self-join,
+    * EXISTS against the oriented edge set — in plain SQL. Pure integer
+    * set semantics; the quantized clustering coefficient is one flooring
+    * division of positive BIGINTs (`//` == Spark `div`). */
+  private def trianglesSql: String =
+    """WITH tr_cs AS MATERIALIZED (
+      |  SELECT l_suppkey AS s, o_custkey AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tr_e0 AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
+      |          FROM tr_cs x JOIN tr_cs y ON x.s = y.s AND x.c < y.c),
+      |tr_dg AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+      |    SELECT a AS n FROM tr_e0 UNION ALL SELECT b AS n FROM tr_e0)
+      |  GROUP BY 1),
+      |tr_ed AS MATERIALIZED (
+      |  SELECT CASE WHEN ga.d < gb.d OR (ga.d = gb.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+      |         CASE WHEN ga.d < gb.d OR (ga.d = gb.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst,
+      |         CASE WHEN ga.d < gb.d OR (ga.d = gb.d AND e.a < e.b) THEN gb.d ELSE ga.d END AS dd
+      |  FROM tr_e0 e JOIN tr_dg ga ON e.a = ga.n JOIN tr_dg gb ON e.b = gb.n),
+      |tr_tri AS MATERIALIZED (
+      |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      |  FROM tr_ed e1 JOIN tr_ed e2
+      |    ON e1.src = e2.src AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      |  WHERE EXISTS (SELECT 1 FROM tr_ed e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+      |tr_per AS (SELECT n, count(*) AS n_triangles FROM (
+      |    SELECT u AS n FROM tr_tri UNION ALL SELECT v AS n FROM tr_tri
+      |    UNION ALL SELECT w AS n FROM tr_tri)
+      |  GROUP BY 1)
+      |SELECT p.n AS c_custkey, p.n_triangles, g.d AS degree,
+      |       (2000000 * p.n_triangles) // (g.d * (g.d - 1)) AS cc_q6
+      |FROM tr_per p JOIN tr_dg g ON p.n = g.n
+      |ORDER BY p.n_triangles DESC, p.n LIMIT 20""".stripMargin
+
+  /** `q_hits` oracle: the weighted HITS recurrence unrolled — per
+    * iteration an authority half-step (in-edge `Σ h·w` + `raw·M // tot`
+    * L1 normalization) then the mirrored hub half-step. All operands
+    * positive BIGINTs, so the replay is exact. Every raw CTE is `AS
+    * MATERIALIZED`: each is referenced twice (scores + its own L1
+    * total), so DuckDB's default inlining doubles the evaluation tree
+    * per half-step — the exact SQL mirror of the Spark side's
+    * cache-the-raw-aggregate discipline (2^(2·iters) blowup without
+    * it). */
+  private def hitsSql(iters: Int): String = {
+    val m = 1000000000L
+    val base =
+      s"""WITH ht_e AS MATERIALIZED (
+         |  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+         |ht_c AS (SELECT DISTINCT c FROM ht_e),
+         |ht_h0 AS MATERIALIZED (SELECT c, CAST($m // (SELECT count(*) FROM ht_c) AS BIGINT) AS h FROM ht_c)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""ht_ar$k AS MATERIALIZED (SELECT e.s, CAST(sum(h.h * e.w) AS BIGINT) AS raw
+         |  FROM ht_e e JOIN ht_h${k - 1} h ON e.c = h.c GROUP BY 1),
+         |ht_a$k AS MATERIALIZED (SELECT s, CAST((raw * $m) // (SELECT sum(raw) FROM ht_ar$k) AS BIGINT) AS a
+         |  FROM ht_ar$k),
+         |ht_hr$k AS MATERIALIZED (SELECT e.c, CAST(sum(a.a * e.w) AS BIGINT) AS raw
+         |  FROM ht_e e JOIN ht_a$k a ON e.s = a.s GROUP BY 1),
+         |ht_h$k AS MATERIALIZED (SELECT c, CAST((raw * $m) // (SELECT sum(raw) FROM ht_hr$k) AS BIGINT) AS h
+         |  FROM ht_hr$k)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT side, node_key, score_q9 FROM (
+         |  SELECT 'authority' AS side, s AS node_key, a AS score_q9
+         |  FROM ht_a$iters ORDER BY a DESC, s LIMIT 10)
+         |UNION ALL
+         |SELECT side, node_key, score_q9 FROM (
+         |  SELECT 'hub' AS side, c AS node_key, h AS score_q9
+         |  FROM ht_h$iters ORDER BY h DESC, c LIMIT 10)""".stripMargin
   }
 
   /** `pipeline_classifier_filter` oracle: the fixed-point distillation
@@ -2549,6 +2629,29 @@ object SparkEntry {
     "text_bpe_encode" -> bpeSql,
     // 8 unrolled Large-Star/Small-Star alternations, pure set semantics
     "q_components" -> componentsSql(8),
+    // degree-oriented wedge construction + EXISTS closure, pure set
+    // semantics; cc is one flooring division of positive BIGINTs
+    "q_triangles" -> trianglesSql,
+    // 4 unrolled authority/hub half-step pairs, exact 1e-9-unit BIGINT
+    "q_hits" -> hitsSql(4),
+    // PMI over adjacent word pairs: exact-BIGINT products cast once,
+    // the identical libm ln on the identical double, HALF-UP 1e-6 floor
+    "text_collocations" ->
+      s"""WITH t AS ($tokCte),
+         |co_u AS (SELECT unnest(tk) AS w FROM t),
+         |co_uni AS (SELECT w, count(*) AS cu FROM co_u GROUP BY 1),
+         |co_b AS (SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bigram
+         |         FROM t WHERE len(tk) >= 2),
+         |co_bg AS (SELECT bigram, count(*) AS cab FROM co_b GROUP BY 1),
+         |co_n AS (SELECT sum(cab) AS n FROM co_bg)
+         |SELECT g.bigram, g.cab AS n_pair, u1.cu AS n_w1, u2.cu AS n_w2,
+         |  CAST(floor(ln(CAST((SELECT n FROM co_n) * g.cab AS DOUBLE)
+         |                / CAST(u1.cu * u2.cu AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS pmi_q6
+         |FROM co_bg g
+         |JOIN co_uni u1 ON split_part(g.bigram, ' ', 1) = u1.w
+         |JOIN co_uni u2 ON split_part(g.bigram, ' ', 2) = u2.w
+         |WHERE g.cab >= 5
+         |ORDER BY pmi_q6 DESC, g.bigram LIMIT 30""".stripMargin,
     // the exact integer chunk grid + md5 window identity
     "text_chunk" ->
       """SELECT doc_id, ci AS chunk_idx,

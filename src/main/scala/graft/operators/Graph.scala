@@ -194,4 +194,155 @@ object Graph {
           .as("root_type"),
         expr("root div 2").as("root_key"),
         col("n_nodes"), col("n_customers"), col("n_suppliers"))
+
+  /** Triangle counting + local clustering coefficient (`q_triangles`)
+    * over the co-trade projection (customers linked iff some supplier
+    * counts BOTH among its repeat customers — the co-citation projection
+    * of the [[components]] bipartite edge rule). Community cohesion is
+    * the classic next question after component labeling: a component can
+    * be a hairball or a clique, and the clustering coefficient is the
+    * scale-standard way to tell.
+    *
+    * Scale shape is the MapReduce triangle-counting canon (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011): orient every projected edge from the
+    * (degree, id)-SMALLER endpoint to the larger, build wedges only
+    * between each node's out-neighbors, and semi-join the wedge list
+    * against the oriented edge set. Orientation bounds per-node
+    * out-degree by O(√m) on any graph, so the wedge stream — the only
+    * super-linear intermediate — is O(m^1.5) worst-case instead of the
+    * Σ deg² a hub would pay under id-only orientation; each triangle is
+    * emitted exactly once (its ≺-minimal vertex owns it). The projection
+    * self-join runs on ONE cached supplier-partitioned (s, c) frame (one
+    * exchange serves both sides), and per-supplier fan-out is bounded by
+    * the repeat-trade rule (w ≥ 2 pairs thin out as corpora grow — the
+    * coincidence density argument in PLANS round-12).
+    *
+    * Everything is exact integer arithmetic: the clustering coefficient
+    * is quantized once as `(2e6 · tri) div (deg · (deg−1))` — operands
+    * positive, so Spark `div` == DuckDB `//`; nodes in the output have
+    * deg ≥ 2 by construction (a triangle forces pairwise edges), so the
+    * denominator is never 0. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val cs0 = t.lineitem.select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select("s", "c")
+    // ONE supplier exchange, cached, serving BOTH sides of the
+    // projection self-join — the join is co-partitioned by construction
+    val cs = graft.GraftSession.trackCache(cs0.repartition(col("s")))
+    val edges = graft.GraftSession.trackCache(
+      cs.as("x").join(cs.as("y"),
+          col("x.s") === col("y.s") && col("x.c") < col("y.c"))
+        .select(col("x.c").as("a"), col("y.c").as("b"))
+        .distinct())
+    val deg = edges.select(col("a").as("n"))
+      .unionByName(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient a→b iff (deg, id) of a precedes b's; keep the dst's degree
+    // so the wedge build can order out-neighbors by the same total order
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val ed = graft.GraftSession.trackCache(edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("dd")))
+    val prec = col("e1.dd") < col("e2.dd") ||
+      (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))
+    val wedges = ed.as("e1").join(ed.as("e2"),
+        col("e1.src") === col("e2.src") && prec)
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(
+      ed.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "left_semi")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+      .join(deg, "n")
+      .orderBy(col("n_triangles").desc, col("n"))
+      .limit(20)
+      .select(col("n").as("c_custkey"), col("n_triangles"),
+        col("d").as("degree"),
+        expr("(2000000 * n_triangles) div (d * (d - 1))").as("cc_q6"))
+  }
+
+  /** Weighted HITS (`q_hits`, Kleinberg 1999) on the directed
+    * customer→supplier order graph — hubs are customers, authorities are
+    * suppliers, the natural reading of a bipartite trade graph (a page ↔
+    * host graph in curation terms: hub quality flows to what it links,
+    * authority flows back). 4 mutual-reinforcement iterations, L1
+    * normalization each half-step.
+    *
+    * Exact fixed-point contract: scores live in 1e-9 units (mass
+    * M = 1e9). Per half-step the raw score is the exact BIGINT
+    * `Σ score·w` over in-edges and the normalization is `raw·M div T`
+    * (T = Σ raw) — all operands positive, Spark `div` == DuckDB `//`,
+    * so the full recurrence replays bit-for-bit. Bounds: Σ score ≤ M
+    * after every normalization, so raw ≤ M·wmax and raw·M ≤ wmax·1e18 —
+    * safe while the max per-pair lineitem count stays ≤ 9 (fixture max
+    * is ~6); a 100 TB run drops the quantum to 1e6 units the way
+    * [[pageRank]]'s scaladoc drops its own.
+    *
+    * Scale shape mirrors [[pageRank]]: the weighted edge list is built
+    * from ONE lineitem⨝orders scan and cached TWICE — once partitioned
+    * by customer, once by supplier — because the two half-steps join on
+    * alternating keys and each must stream its cached layout against a
+    * shuffle_hash build of the node-sized score table; totals ride a
+    * broadcast single-row crossJoin. No collect anywhere; node and edge
+    * state stays distributed. */
+  def hits(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val m = 1000000000L
+    val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val byC = graft.GraftSession.trackCache(pairs.repartition(col("c")))
+    val byS = graft.GraftSession.trackCache(byC.repartition(col("s")))
+    val custs = graft.GraftSession.trackCache(byC.select("c").distinct())
+    val nC = custs.count()
+    var hub = custs.select(col("c"), lit(m / nC).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      // authority half-step: raw = Σ h·w over in-edges, then L1-normalize.
+      // Lineage discipline, load-bearing twice per half-step: the raw
+      // aggregate is CACHED (node-sized) because it feeds BOTH sides of
+      // its normalization crossJoin — uncached, every half-step
+      // re-executes its full prior lineage twice, so the recompute tree
+      // doubles per half-step (2^(2·iters) edge-sized shuffles by the
+      // last iteration; measured: a full sf5 disk fill). And the
+      // normalized score table is eagerly localCheckpoint-ed — the cache
+      // alone cuts EXECUTION but not the PLAN, which still embeds both
+      // crossJoin branches and doubles per half-step (the 8-step plan
+      // string alone OOMs the driver). Same per-round cut as
+      // [[componentMembers]]; a multi-executor deployment would flip to
+      // reliable `checkpoint` on shared storage.
+      val aRaw = graft.GraftSession.trackCache(
+        byC.join(hub.hint("shuffle_hash"), "c")
+          .groupBy("s").agg(sum(expr("h * w")).as("raw")))
+      auth = aRaw
+        .crossJoin(broadcast(aRaw.select(sum("raw").as("tot"))))
+        .select(col("s"), expr(s"(raw * ${m}L) div tot").as("a"))
+        .localCheckpoint()
+      val hRaw = graft.GraftSession.trackCache(
+        byS.join(auth.hint("shuffle_hash"), "s")
+          .groupBy("c").agg(sum(expr("a * w")).as("raw")))
+      hub = hRaw
+        .crossJoin(broadcast(hRaw.select(sum("raw").as("tot"))))
+        .select(col("c"), expr(s"(raw * ${m}L) div tot").as("h"))
+        .localCheckpoint()
+    }
+    auth.orderBy(col("a").desc, col("s")).limit(10)
+      .select(lit("authority").as("side"), col("s").as("node_key"),
+        col("a").as("score_q9"))
+      .unionByName(
+        hub.orderBy(col("h").desc, col("c")).limit(10)
+          .select(lit("hub").as("side"), col("c").as("node_key"),
+            col("h").as("score_q9")))
+  }
 }

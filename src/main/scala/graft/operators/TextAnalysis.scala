@@ -722,4 +722,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("ctk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("ctk"))).as("chunk_hash"))
+
+  /** PMI collocations (`text_collocations`) — pointwise mutual
+    * information over adjacent word pairs, the corpus-linguistics
+    * standard for "which bigrams are units, not coincidences" (Church &
+    * Hanks 1990). Tokenizer-vocabulary curation ranks merge candidates
+    * and multi-word-expression lists exactly this way; it is the
+    * association-scored sibling of the raw-count [[bigrams]].
+    *
+    * PMI = ln(N·c(a,b) / (c(a)·c(b))) with N = total bigram positions
+    * (unfiltered — the c(a,b) ≥ 5 support floor prunes the REPORTED
+    * pairs, the probability space stays the whole corpus). The float
+    * contract is [[text_tfidf]]'s: one double expression with pinned
+    * operand order — `ln((N·cab) / (ca·cb))`, numerator and denominator
+    * each an exact-BIGINT product cast once — quantized ONCE to 1e-6 by
+    * the HALF-UP floor, so both engines evaluate the identical libm call
+    * on the identical double.
+    *
+    * Scale shape: both aggregates are map-side partial (token and bigram
+    * streams collapse before their exchanges); the scored join routes
+    * the support-filtered pair table through TWO natural-cardinality
+    * unigram joins (vocabulary keys — the [[tfidf]] salting lesson does
+    * not apply because c(a)·c(b) needs the UNIGRAM table, which is
+    * head-heavy only in value, not in join key count after the ≥5 pair
+    * floor); N rides a broadcast single row; top-30 is a constant-k
+    * TakeOrderedAndProject. */
+  def collocations(spark: SparkSession, dir: String,
+      minCount: Int = 5): DataFrame = {
+    val docs = withTokens(Tables(spark, dir).documents.select("text"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bgAll = graft.GraftSession.trackCache(
+      docs.select(explode(expr(bigramsExpr)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cab")))
+    val n = bgAll.select(sum("cab").as("n"))
+    bgAll.where(col("cab") >= minCount)
+      .select(
+        col("bigram"), col("cab"),
+        expr("substring_index(bigram, ' ', 1)").as("w1"),
+        expr("substring_index(bigram, ' ', -1)").as("w2"))
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("cab").as("n_pair"),
+        col("c1").as("n_w1"), col("c2").as("n_w2"),
+        expr("cast(floor(ln(cast(n * cab as double) / cast(c1 * c2 as double)) * 1e6 + 0.5) as bigint)")
+          .as("pmi_q6"))
+      .orderBy(col("pmi_q6").desc, col("bigram"))
+      .limit(30)
+  }
 }

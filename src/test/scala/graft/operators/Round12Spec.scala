@@ -450,4 +450,115 @@ class Round12Spec extends SparkSpec {
       .find(_.getString(1).split(" ").count(_.nonEmpty) > win)
     assert(longDoc.isDefined, "fixture should contain a doc longer than one window")
   }
+
+  /** The repeat-trade (supplier, customer) pairs and the co-trade
+    * projection edges, collected — shared by the triangle tests. */
+  private def coTradeEdges(): Seq[(Long, Long)] = {
+    val t = graft.Tables(spark, sf)
+    val ord = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    t.lineitem.select("l_orderkey", "l_suppkey").collect().foreach { r =>
+      ord.get(r.getLong(0)).foreach { ck => w((r.getLong(1), ck)) += 1L }
+    }
+    val bySupp = w.iterator.collect { case ((s, c), n) if n >= 2 => (s, c) }
+      .toSeq.groupBy(_._1).values
+    bySupp.flatMap { cs =>
+      val cands = cs.map(_._2).distinct.sorted
+      for (i <- cands.indices; j <- (i + 1) until cands.size)
+        yield (cands(i), cands(j))
+    }.toSeq.distinct
+  }
+
+  test("q_triangles equals a brute-force triangle count with exact clustering coefficients") {
+    val edges = coTradeEdges()
+    assert(edges.nonEmpty, "fixture must produce co-trade edges")
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    // brute force: for each edge, intersect neighborhoods; each triangle
+    // is seen once per edge = 3 times total
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total3 = 0L
+    edges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).foreach { c => triPerNode(c) += 1L; total3 += 1L }
+    }
+    // per-edge common-neighbor counting hits each node once per INCIDENT
+    // edge pair: node u is counted via edges (v,w) — exactly its triangle
+    // count; but the loop above credits the THIRD vertex of each edge, so
+    // each triangle credits all three vertices exactly once overall
+    assert(total3 % 3 == 0, "each triangle must be seen via its three edges")
+    val expected = triPerNode.toSeq
+      .map { case (n, tri) => (n, tri, deg(n), 2000000L * tri / (deg(n) * (deg(n) - 1))) }
+      .sortBy { case (n, tri, _, _) => (-tri, n) }.take(20)
+    val got = Graph.triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"triangle counts must match brute force; " +
+      s"got ${got.take(3)} vs ${expected.take(3)}")
+    assert(got.exists(_._2 > 0), "fixture must contain at least one triangle")
+  }
+
+  test("q_hits equals a driver-side integer replay; bounded top-k per side") {
+    val out = Graph.hits(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "per-side top-10 must be the bounded TakeOrderedAndProject")
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val t = graft.Tables(spark, sf)
+    val ord = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    t.lineitem.select("l_orderkey", "l_suppkey").collect().foreach { r =>
+      ord.get(r.getLong(0)).foreach { ck => w((ck, r.getLong(1))) += 1L }
+    }
+    val edges = w.toSeq.map { case ((c, s), n) => (c, s, n) }
+    val m = 1000000000L
+    val custs = edges.map(_._1).distinct
+    var hub = custs.map(_ -> (m / custs.size)).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val ar = edges.groupBy(_._2).view
+        .mapValues(_.map { case (c, _, wt) => hub(c) * wt }.sum).toMap
+      val at = ar.values.sum
+      auth = ar.view.mapValues(r => r * m / at).toMap
+      val hr = edges.groupBy(_._1).view
+        .mapValues(_.map { case (_, s, wt) => auth(s) * wt }.sum).toMap
+      val ht = hr.values.sum
+      hub = hr.view.mapValues(r => r * m / ht).toMap
+    }
+    val expected =
+      auth.toSeq.sortBy { case (s, a) => (-a, s) }.take(10)
+        .map { case (s, a) => ("authority", s, a) } ++
+      hub.toSeq.sortBy { case (c, h) => (-h, c) }.take(10)
+        .map { case (c, h) => ("hub", c, h) }
+    assert(got == expected, s"HITS recurrence must replay bit-for-bit; " +
+      s"got ${got.take(3)} vs ${expected.take(3)}")
+  }
+
+  test("text_collocations equals a driver-side PMI replay and ranks real collocations") {
+    val docs = graft.Tables(spark, sf).documents.select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { tk =>
+      tk.foreach(uni(_) += 1L)
+      tk.sliding(2).withFilter(_.size == 2).foreach(p => bg(p.mkString(" ")) += 1L)
+    }
+    val n = bg.values.sum
+    val expected = bg.toSeq.collect { case (b, cab) if cab >= 5 =>
+      val Array(a, c) = b.split(" ", 2)
+      val pmi = math.floor(math.log((n * cab).toDouble / (uni(a) * uni(c)).toDouble) * 1e6 + 0.5).toLong
+      (b, cab, uni(a), uni(c), pmi)
+    }.sortBy { case (b, _, _, _, p) => (-p, b) }.take(30)
+    val got = TextAnalysis.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"PMI ranking must replay exactly; " +
+      s"got ${got.take(3)} vs ${expected.take(3)}")
+    // PMI must actually reorder vs raw counts on this corpus (else the
+    // key degenerates to text_bigrams)
+    val byCount = bg.toSeq.filter(_._2 >= 5).sortBy { case (b, c) => (-c, b) }
+      .take(30).map(_._1)
+    assert(got.map(_._1) != byCount, "PMI order should differ from raw-count order")
+  }
 }
