@@ -210,7 +210,10 @@ object Bench {
     "q_components", "text_chunk",
     // degree-oriented triangle counting on the co-trade projection,
     // weighted HITS (4 L1 half-step pairs), and PMI collocations
-    "q_triangles", "q_hits", "text_collocations")
+    "q_triangles", "q_hits", "text_collocations",
+    // per-source corpus release statistics (one scan + one rollup),
+    // capped multi-source BFS, and the log2 degree histogram
+    "pipeline_data_card", "q_seed_distance", "q_degree_dist")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

@@ -335,6 +335,14 @@ object SparkEntry {
     // PMI collocations over adjacent word pairs, support floor 5,
     // tfidf's pinned-operand-order ln contract
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    // per-source + overall corpus release statistics: one narrow scan
+    // pass, one rollup Expand, exact-integer ratios
+    "pipeline_data_card" -> (Pipeline.dataCard _),
+    // capped multi-source BFS from a deterministic 3-node seed set;
+    // per-round localCheckpoint (the q_hits lineage lesson)
+    "q_seed_distance" -> ((s, d) => Graph.seedDistance(s, d)),
+    // log2-bucketed degree histogram via exact binary-string length
+    "q_degree_dist" -> ((s, d) => Graph.degreeDist(s, d)),
   )
 
   private val tokCte =
@@ -677,6 +685,41 @@ object SparkEntry {
          |SELECT side, node_key, score_q9 FROM (
          |  SELECT 'hub' AS side, c AS node_key, h AS score_q9
          |  FROM ht_h$iters ORDER BY h DESC, c LIMIT 10)""".stripMargin
+  }
+
+  /** `q_seed_distance` oracle: the capped BFS min-distance recurrence
+    * unrolled — per round, propagate frontier+1 over the symmetric edge
+    * set, union the previous table, take the per-node min. Every round
+    * CTE is `AS MATERIALIZED` (referenced twice per round — the same
+    * inlining blowup hitsSql documents). */
+  private def seedDistanceSql(rounds: Int): String = {
+    val base =
+      """WITH sd_p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |sd_e AS MATERIALIZED (
+        |  SELECT c AS src, s AS dst FROM sd_p WHERE w >= 2
+        |  UNION ALL SELECT s AS src, c AS dst FROM sd_p WHERE w >= 2),
+        |sd_n AS MATERIALIZED (SELECT DISTINCT src AS node FROM sd_e),
+        |sd_d0 AS MATERIALIZED (
+        |  SELECT node, CAST(0 AS BIGINT) AS d
+        |  FROM (SELECT node FROM sd_n ORDER BY node LIMIT 3))""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""sd_d$k AS MATERIALIZED (
+         |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+         |    SELECT e.dst AS node, p.d + 1 AS d
+         |    FROM sd_e e JOIN sd_d${k - 1} p ON e.src = p.node
+         |    UNION ALL SELECT node, d FROM sd_d${k - 1})
+         |  GROUP BY 1)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT coalesce(d.d, -1) AS dist,
+         |       CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(sum(CASE WHEN n.node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |       CAST(sum(CASE WHEN n.node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+         |FROM sd_n n LEFT JOIN sd_d$rounds d ON n.node = d.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** `pipeline_classifier_filter` oracle: the fixed-point distillation
@@ -2632,6 +2675,42 @@ object SparkEntry {
     // degree-oriented wedge construction + EXISTS closure, pure set
     // semantics; cc is one flooring division of positive BIGINTs
     "q_triangles" -> trianglesSql,
+    // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds
+    "q_seed_distance" -> seedDistanceSql(4),
+    // exact log2 bucket via binary-string length (no float log at the
+    // power-of-2 boundaries), identical bin() semantics in both engines
+    "q_degree_dist" ->
+      """WITH dd_p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |dd_e AS (
+        |  SELECT c AS src, s AS dst FROM dd_p WHERE w >= 2
+        |  UNION ALL SELECT s AS src, c AS dst FROM dd_p WHERE w >= 2),
+        |dd_g AS (SELECT src, count(*) AS deg FROM dd_e GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+        |       CAST(sum(CASE WHEN src % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+        |       CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM dd_g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one narrow per-doc fact pass joined to the shared langId vote,
+    // GROUPING SETS rollup, exact-integer ratio quantizations
+    "pipeline_data_card" ->
+      s"""$langCtes,
+         |dc_f AS (
+         |  SELECT d.doc_id, d.source, d.n_chars,
+         |         len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tok,
+         |         md5(d.text) AS th, l.pred_lang
+         |  FROM documents d JOIN l ON d.doc_id = l.doc_id)
+         |SELECT coalesce(source, 'ALL') AS source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       (100 * CAST(sum(n_tok) AS BIGINT)) // count(*) AS avg_tokens_q2,
+         |       (10000 * (count(*) - count(DISTINCT th))) // count(*) AS dup_rate_q4,
+         |       (10000 * CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS en_share_q4
+         |FROM dc_f GROUP BY GROUPING SETS ((source), ())
+         |ORDER BY 1""".stripMargin,
     // 4 unrolled authority/hub half-step pairs, exact 1e-9-unit BIGINT
     "q_hits" -> hitsSql(4),
     // PMI over adjacent word pairs: exact-BIGINT products cast once,

@@ -345,4 +345,87 @@ object Graph {
           .select(lit("hub").as("side"), col("c").as("node_key"),
             col("h").as("score_q9")))
   }
+
+  /** The symmetric repeat-trade edge set (both directions of every
+    * customer↔supplier pair with ≥ 2 lineitems), interleaved node ids as
+    * in [[pageRank]] — shared by [[seedDistance]] and [[degreeDist]].
+    * Cached hash-partitioned by `src`: the BFS loop joins on it every
+    * round and the degree aggregate reuses the same exchange. */
+  private def repeatTradeSym(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+    graft.GraftSession.trackCache(pairs
+      .select(explode(array(
+          struct(col("c").as("src"), col("s").as("dst")),
+          struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")))
+  }
+
+  /** Multi-source BFS seed distance (`q_seed_distance`) — hop distance
+    * from a fixed seed set, capped at `rounds` hops: the TrustRank /
+    * seed-propagation primitive (Gyöngyi et al., VLDB 2004 compute
+    * trust as distance-discounted flow from a hand-verified seed set;
+    * curation stacks use hop-distance-from-known-good as a quality
+    * prior). Seeds = the 3 smallest node ids with any repeat-trade edge
+    * (deterministic; a production run passes its audited seed list).
+    *
+    * Semantics: dist(v) = min hops from any seed, reported for
+    * dist ≤ rounds; nodes beyond the cap (or in seedless components)
+    * report −1 ("unreached at radius r" — a DECLARED cap, mirrored
+    * exactly by the oracle, not a convergence guess). Output: per
+    * distance, node count split by side.
+    *
+    * Scale shape: each round is one edges⨝frontier shuffle_hash join
+    * (edge stream never sorted, distance table is node-sized) + one
+    * min aggregate, with the round result eagerly localCheckpoint-ed —
+    * the [[hits]] lesson applies verbatim: the distance table feeds both
+    * the join AND the union every round, so an uncut plan doubles per
+    * round. Seeds ride a 3-row broadcast. No collect anywhere. */
+  def seedDistance(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val sym = repeatTradeSym(spark, dir)
+    val nodes = graft.GraftSession.trackCache(sym.select("src").distinct())
+    val seeds = nodes.orderBy(col("src")).limit(3)
+    var dist = seeds.select(col("src").as("node"), lit(0L).as("d")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      dist = sym.join(dist.hint("shuffle_hash"), sym("src") === dist("node"))
+        .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+        .unionByName(dist)
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    nodes.select(col("src").as("node"))
+      .join(dist, Seq("node"), "left")
+      .select(coalesce(col("d"), lit(-1L)).as("dist"), col("node"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy("dist")
+  }
+
+  /** Degree distribution (`q_degree_dist`) — log2-bucketed degree
+    * histogram of the repeat-trade graph, the power-law diagnostic every
+    * graph pipeline prints before committing to a partitioning strategy
+    * (a heavy tail means skew salting / orientation tricks are needed;
+    * see [[triangles]]). Bucket = ⌊log2(deg)⌋ computed EXACTLY as
+    * `length(bin(deg)) − 1` (binary-string length — no float log near
+    * the power-of-2 boundaries, identical in both engines). One degree
+    * aggregate on the shared cached edge layout, one ≤64-key rollup. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame =
+    repeatTradeSym(spark, dir)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src"), col("deg"),
+        (length(expr("bin(deg)")) - 1).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("src") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("src") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("bucket")
 }

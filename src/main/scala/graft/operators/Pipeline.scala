@@ -591,4 +591,50 @@ object Pipeline {
       .select(col("doc_id"), col("label"), col("score6"),
         when(col("rn") <= k, 1L).otherwise(0L).as("kept"))
   }
+
+  /** Corpus data card (`pipeline_data_card`) — the per-source statistics
+    * table every corpus release publishes (FineWeb/Dolma/RedPajama-style
+    * "composition" section): per source AND overall, document/token/char
+    * volume, exact-duplicate rate, and predicted-English share. This is
+    * the rollup a curation run reads FIRST — before any of the dedup or
+    * filter keys run — to decide where the mass and the duplication live.
+    *
+    * Scale shape: per-doc facts are ONE narrow map-side scan pass —
+    * token count, md5 text hash AND the shared language vote
+    * ([[TextAnalysis.withLangVote]], the same expression `text_langid`
+    * ships) all computed next to the parquet scan, no doc_id self-join
+    * anywhere. The rollup is `rollup(source)`: Spark Expands each row
+    * once per grouping set map-side and runs ONE partial/final aggregate
+    * shuffle — no per-set rescan; `countDistinct` of the text hash rides
+    * the same Expand (a second distinct-aggregate pass over the
+    * exchange, still one scan). Ratios are exact-integer quantizations:
+    * `(100·tokens) div docs`, `(10000·dupes) div docs`, `(10000·en) div
+    * docs` — positive operands, Spark `div` == DuckDB `//`. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    // ONE scan pass: the shared langId vote is inlined next to the fact
+    // columns (TextAnalysis.withLangVote — one source of truth for the
+    // marker lists), so the card needs NO doc_id self-join at all; the
+    // only shuffle is the rollup aggregate itself
+    val facts = TextAnalysis.withLangVote(
+        graft.Tables(spark, dir).documents
+          .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+          .withColumn("tk", expr(TextAnalysis.tokensExpr)))
+      .select(col("source"), col("n_chars"),
+        size(col("tk")).cast("long").as("n_tok"),
+        md5(col("text")).as("th"), col("pred_lang"))
+    facts.rollup("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("th").as("n_uniq"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("(100 * n_tokens) div n_docs").as("avg_tokens_q2"),
+        expr("(10000 * (n_docs - n_uniq)) div n_docs").as("dup_rate_q4"),
+        expr("(10000 * n_en) div n_docs").as("en_share_q4"))
+      .orderBy("source")
+  }
 }

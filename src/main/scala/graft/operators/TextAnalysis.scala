@@ -74,27 +74,34 @@ object TextAnalysis {
     expr(s"cast(size(filter(tk, x -> $cond)) as bigint)")
   }
 
-  /** Language-ID by marker-stopword voting (the classic fastText-free
-    * n-gram heuristic). Deterministic argmax with fixed priority order. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** Appends `hits_en/de/fr/es` and the `pred_lang` vote to any frame
+    * carrying a `tk` token column — ONE source of truth for the marker
+    * lists and the argmax priority order, shared by [[langId]] and
+    * `Pipeline.dataCard` (which inlines the vote into its own scan pass
+    * instead of self-joining two documents-derived frames). */
+  private[operators] def withLangVote(df: DataFrame): DataFrame = {
     val en = Seq("the", "a", "of", "and", "is")
     val de = Seq("der", "die", "das", "und", "ist")
     val fr = Seq("le", "la", "et", "est", "les")
     val es = Seq("el", "los", "y", "es", "las")
-    withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
-      .withColumn("hits_en", hits(en))
+    df.withColumn("hits_en", hits(en))
       .withColumn("hits_de", hits(de))
       .withColumn("hits_fr", hits(fr))
       .withColumn("hits_es", hits(es))
-      .select(
-        col("doc_id"), col("hits_en"), col("hits_de"), col("hits_fr"), col("hits_es"),
+      .withColumn("pred_lang",
         when(col("hits_en") + col("hits_de") + col("hits_fr") + col("hits_es") === 0, "unknown")
           .when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr") &&
             col("hits_en") >= col("hits_es"), "en")
           .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es"), "de")
           .when(col("hits_fr") >= col("hits_es"), "fr")
-          .otherwise("es").as("pred_lang"))
+          .otherwise("es"))
   }
+
+  /** Language-ID by marker-stopword voting (the classic fastText-free
+    * n-gram heuristic). Deterministic argmax with fixed priority order. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withLangVote(withTokens(Tables(spark, dir).documents.select("doc_id", "text")))
+      .select("doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "pred_lang")
 
   /** Adjacent word pairs from the token array (empty below 2 tokens). */
   private[operators] val bigramsExpr =

@@ -561,4 +561,94 @@ class Round12Spec extends SparkSpec {
       .take(30).map(_._1)
     assert(got.map(_._1) != byCount, "PMI order should differ from raw-count order")
   }
+
+  test("pipeline_data_card equals a driver-side rollup replay; ALL row sums the sources") {
+    val got = Pipeline.dataCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val langs = TextAnalysis.langId(spark, sf).select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        r.getString(3).split(" ").count(_.nonEmpty).toLong,
+        r.getString(3), langs(r.getLong(0))))
+    def card(rows: Seq[(String, Long, Long, String, String)], label: String) = {
+      val nd = rows.size.toLong
+      val nt = rows.map(_._3).sum
+      val nc = rows.map(_._2).sum
+      val nu = rows.map(_._4).distinct.size.toLong
+      val ne = rows.count(_._5 == "en").toLong
+      (label, nd, nt, nc, 100 * nt / nd, 10000 * (nd - nu) / nd, 10000 * ne / nd)
+    }
+    val expected = (docs.groupBy(_._1).map { case (s, rows) => card(rows.toSeq, s) }.toSeq
+      :+ card(docs.toSeq, "ALL")).sortBy(_._1)
+    assert(got == expected, s"data card must replay exactly; " +
+      s"got ${got.take(2)} vs ${expected.take(2)}")
+    assert(got.map(_._1).contains("ALL") && got.size >= 3,
+      "fixture must have at least two sources plus the ALL row")
+  }
+
+  test("q_seed_distance equals a driver-side capped BFS; unreached reported as -1") {
+    val edges = {
+      val t = graft.Tables(spark, sf)
+      val ord = t.orders.select("o_orderkey", "o_custkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      t.lineitem.select("l_orderkey", "l_suppkey").collect().foreach { r =>
+        ord.get(r.getLong(0)).foreach { ck => w((ck * 2, r.getLong(1) * 2 + 1)) += 1L }
+      }
+      w.iterator.collect { case ((c, s), n) if n >= 2 => (c, s) }.toSeq
+        .flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet
+    val seeds = nodes.toSeq.sorted.take(3)
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    seeds.foreach(dist(_) = 0L)
+    var frontier = seeds.toSet
+    for (k <- 1 to 4) {
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(dist(_) = k.toLong)
+    }
+    val expected = nodes.toSeq.map(n => (dist.getOrElse(n, -1L), n))
+      .groupBy(_._1).toSeq.map { case (d, ns) =>
+        (d, ns.size.toLong,
+          ns.count(_._2 % 2 == 0).toLong, ns.count(_._2 % 2 == 1).toLong)
+      }.sortBy(_._1)
+    val got = Graph.seedDistance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"BFS distances must replay exactly; " +
+      s"got $got vs $expected")
+    assert(got.head._1 == -1L || got.map(_._1).max > 0L,
+      "fixture should reach beyond the seed set")
+  }
+
+  test("q_degree_dist buckets are exact log2 and cover every node once") {
+    val out = Graph.degreeDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    out.foreach { case (b, _, _, _, lo, hi) =>
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b must contain degrees in [2^$b, 2^${b + 1}): got [$lo, $hi]")
+    }
+    // node-count conservation against the components fixture edge rule
+    val t = graft.Tables(spark, sf)
+    val ord = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    t.lineitem.select("l_orderkey", "l_suppkey").collect().foreach { r =>
+      ord.get(r.getLong(0)).foreach { ck => w((ck * 2, r.getLong(1) * 2 + 1)) += 1L }
+    }
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    w.foreach { case ((c, s), n) => if (n >= 2) { deg(c) += 1; deg(s) += 1 } }
+    assert(out.map(_._2).sum == deg.size.toLong, "every node exactly once")
+    val expected = deg.toSeq.map { case (n, d) =>
+      (63 - java.lang.Long.numberOfLeadingZeros(d), n, d)
+    }.groupBy(_._1).toSeq.map { case (b, xs) =>
+      (b.toLong, xs.size.toLong, xs.count(_._2 % 2 == 0).toLong,
+        xs.count(_._2 % 2 == 1).toLong, xs.map(_._3).min, xs.map(_._3).max)
+    }.sortBy(_._1)
+    assert(out == expected, s"degree histogram must replay exactly; got $out vs $expected")
+  }
 }
