@@ -95,6 +95,15 @@ object Graph {
       // node set — re-joining the node list would add an 800k×800k
       // sort-merge join per iteration for rows that cannot exist. The
       // DuckDB oracle keeps the LEFT JOIN form; equality is the proof.
+      // No per-iteration localCheckpoint here, unlike hits/seedDistance:
+      // ranks has ONE consumer per iteration, so the lineage is linear
+      // and executes exactly once — a checkpoint variant measured
+      // IDENTICAL wall and spill at sf5 (44.2 vs 45.2 s, ~15 GB both).
+      // That spill ≈ the shuffle volume itself (spillMB tracks the
+      // shuffle writer's external sort of the ~3 GB/iteration
+      // contribution exchange inside the 8 GB bench JVM), i.e. the
+      // structural cost of 5 aggregateMessages rounds on a 60M-edge
+      // graph — not recoverable by plan shape, only by more memory.
       ranks = inflow.select(col("dst").as("node"),
         expr(s"(15 * ${r0}L + 85 * inflow) div 100").as("r"))
     }
