@@ -213,7 +213,10 @@ object Bench {
     "q_triangles", "q_hits", "text_collocations",
     // per-source corpus release statistics (one scan + one rollup),
     // capped multi-source BFS, and the log2 degree histogram
-    "pipeline_data_card", "q_seed_distance", "q_degree_dist")
+    "pipeline_data_card", "q_seed_distance", "q_degree_dist",
+    // continuous top-k: streamed complete-state hourly aggregate with
+    // the bounded-heap rank in the serving query
+    "streaming_topk")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

@@ -343,6 +343,9 @@ object SparkEntry {
     "q_seed_distance" -> ((s, d) => Graph.seedDistance(s, d)),
     // log2-bucketed degree histogram via exact binary-string length
     "q_degree_dist" -> ((s, d) => Graph.degreeDist(s, d)),
+    // continuous top-k serving: streamed windowed aggregate (complete
+    // state), bounded-heap rank in the serving query
+    "streaming_topk" -> ((s, d) => RefPipeline.streamingTopK(s, d)),
   )
 
   private val tokCte =
@@ -2677,6 +2680,18 @@ object SparkEntry {
     "q_triangles" -> trianglesSql,
     // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds
     "q_seed_distance" -> seedDistanceSql(4),
+    // the batch rendition of the streamed hourly aggregate + rank:
+    // equality proves the complete-mode state converged to the batch
+    // answer (hour key = exact epoch-second integer in both engines)
+    "streaming_topk" ->
+      """WITH tk_e AS (SELECT event_type,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_s FROM events),
+        |tk_g AS (SELECT hour_s, event_type, count(*) AS n FROM tk_e GROUP BY 1, 2),
+        |tk_r AS (SELECT hour_s, event_type, n,
+        |    row_number() OVER (PARTITION BY hour_s ORDER BY n DESC, event_type) AS rn
+        |  FROM tk_g)
+        |SELECT hour_s, event_type, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
+        |FROM tk_r WHERE rn <= 3 ORDER BY hour_s, rn""".stripMargin,
     // exact log2 bucket via binary-string length (no float log at the
     // power-of-2 boundaries), identical bin() semantics in both engines
     "q_degree_dist" ->

@@ -166,6 +166,57 @@ object RefPipeline {
     spark.table(sink)
   }
 
+  /** Continuous top-k serving (`streaming_topk`) — the dashboard pattern
+    * every streaming analytics stack ships: a watermarkable windowed
+    * aggregation maintained by the STREAM (hourly event counts per type,
+    * complete-mode state), with the top-k rank computed by the SERVING
+    * query over the maintained state — rank is not incrementally
+    * maintainable, so production splits exactly here (the aggregation is
+    * the materialized view, the rank is the reader; the reference
+    * engine's MV + `LIMIT n BY` reader is the same split).
+    *
+    * Scale shape: streaming state = (hours × types) rows, partitions
+    * sized to state volume (the [[streamingDistinctUsers]] note); the
+    * serving rank runs on the bounded-heap TopKPerKey rewrite (constant
+    * k per window, never a full sort). The hour key is exposed as epoch
+    * SECONDS (`unix_timestamp` of the window start — exact integer,
+    * engine-portable: the `q_session_window` contract). Oracle = the
+    * batch rendition of the same aggregate + rank; equality proves the
+    * streamed state converged to the batch answer. */
+  def streamingTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sink = "graft_streaming_topk"
+    spark.catalog.dropTempView(sink)
+    // ts arrives as TIMESTAMP(NANOS) → LongType under nanosAsLong (the
+    // sentinel-builder branch in streamingLateData documents the same)
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts")
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events.[p]arquet")
+        .groupBy(window(tsCol, "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(sink)
+      .select(unix_timestamp(col("w.start")).as("hour_s"), col("event_type"), col("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("hour_s").orderBy(col("n").desc, col("event_type"))))
+      .where(col("rn") <= k)
+      .orderBy(col("hour_s"), col("rn"))
+      .select(col("hour_s"), col("event_type"), col("n"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** README.rst Step 3's MV backfill + cutover trick as a CHECKED key —
     * the reference's cleverest move: the materialized view is created with
     * `WHERE timestamp >= <future cutover>`, so the MV owns every row that

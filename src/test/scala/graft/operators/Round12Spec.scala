@@ -651,4 +651,28 @@ class Round12Spec extends SparkSpec {
     }.sortBy(_._1)
     assert(out == expected, s"degree histogram must replay exactly; got $out vs $expected")
   }
+
+  test("streaming_topk: streamed state equals the batch answer; rank rides the bounded heap") {
+    val out = RefPipeline.streamingTopK(spark, sf)
+    assert(out.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "the serving rank must run on the bounded-heap TopKPerKey rewrite")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // batch replay: hourly counts per type, top-3 per hour by (n desc, type)
+    val rows = graft.Tables(spark, sf).events
+      .select(org.apache.spark.sql.functions.unix_timestamp(col("ts")).as("t"),
+        col("event_type")).collect()
+      .map(r => ((r.getLong(0) / 3600L) * 3600L, r.getString(1)))
+    val counts = rows.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((h, ty), n) => (h, ty, n) }
+    val expected = counts.groupBy(_._1).toSeq.flatMap { case (h, xs) =>
+      xs.sortBy { case (_, ty, n) => (-n, ty) }.take(3).zipWithIndex
+        .map { case ((_, ty, n), i) => (h, ty, n, i + 1L) }
+    }.sortBy { case (h, _, _, rn) => (h, rn) }
+    assert(got == expected, s"streamed top-k must equal the batch rank; " +
+      s"got ${got.take(4)} vs ${expected.take(4)}")
+    assert(got.nonEmpty && got.exists(_._4 == 3L),
+      "fixture must produce at least one full top-3 hour")
+  }
 }
