@@ -215,8 +215,9 @@ object Bench {
     // capped multi-source BFS, and the log2 degree histogram
     "pipeline_data_card", "q_seed_distance", "q_degree_dist",
     // continuous top-k: streamed complete-state hourly aggregate with
-    // the bounded-heap rank in the serving query
-    "streaming_topk")
+    // the bounded-heap rank in the serving query; Newman assortativity
+    // on the exact-moment contract
+    "streaming_topk", "q_assortativity")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

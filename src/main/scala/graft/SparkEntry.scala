@@ -346,6 +346,8 @@ object SparkEntry {
     // continuous top-k serving: streamed windowed aggregate (complete
     // state), bounded-heap rank in the serving query
     "streaming_topk" -> ((s, d) => RefPipeline.streamingTopK(s, d)),
+    // Newman degree assortativity on the q_corr exact-moment contract
+    "q_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
   )
 
   private val tokCte =
@@ -2680,6 +2682,28 @@ object SparkEntry {
     "q_triangles" -> trianglesSql,
     // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds
     "q_seed_distance" -> seedDistanceSql(4),
+    // exact BIGINT moments over the symmetric edge list + the q_corr
+    // pinned-operand-order double chain, rounded once
+    "q_assortativity" ->
+      """WITH as_p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |as_e AS MATERIALIZED (
+        |  SELECT c AS src, s AS dst FROM as_p WHERE w >= 2
+        |  UNION ALL SELECT s AS src, c AS dst FROM as_p WHERE w >= 2),
+        |as_g AS MATERIALIZED (SELECT src AS n, count(*) AS d FROM as_e GROUP BY 1),
+        |as_m AS (
+        |  SELECT count(*) AS n,
+        |         sum(ga.d) AS sx, sum(gb.d) AS sy,
+        |         sum(ga.d * ga.d) AS sxx, sum(gb.d * gb.d) AS syy,
+        |         sum(ga.d * gb.d) AS sxy
+        |  FROM as_e e JOIN as_g ga ON e.src = ga.n JOIN as_g gb ON e.dst = gb.n)
+        |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    AS assortativity
+        |FROM as_m""".stripMargin,
     // the batch rendition of the streamed hourly aggregate + rank:
     // equality proves the complete-mode state converged to the batch
     // answer (hour key = exact epoch-second integer in both engines)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative link analysis over join-derived graphs — the web-graph
@@ -416,6 +416,39 @@ object Graph {
         sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
         sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
       .orderBy("dist")
+  }
+
+  /** Degree assortativity (`q_assortativity`, Newman, PRL 2002) — the
+    * Pearson correlation of endpoint degrees over the symmetric edge
+    * set: do hubs trade with hubs (r > 0, social-network shape) or with
+    * leaves (r < 0, the disassortative shape of the web/infrastructure
+    * graphs corpus curation actually crawls)? The single summary number
+    * read next to [[degreeDist]]'s histogram.
+    *
+    * Float contract = `q_corr`'s exactly: every moment (Σx, Σxy, Σx²…)
+    * is an exact BIGINT sum over the directed edge list (both
+    * directions, so the pair multiset is symmetric and r is the
+    * undirected coefficient), then ONE pinned-operand-order double
+    * chain, rounded once to 4 decimals. Scale shape: degree aggregate on
+    * the shared cached edge layout, two node-sized degree joins
+    * (shuffle_hash, edge stream never sorted), one single-row moment
+    * aggregate — no collect, no window. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val sym = repeatTradeSym(spark, dir)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg.select(col("src"), col("d").as("x")).hint("shuffle_hash"), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("y")).hint("shuffle_hash"), "dst")
+    val d = (c: Column) => c.cast("double")
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+      sum(expr("x * y")).as("sxy"))
+    val cxy = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    m.select(col("n").as("n_directed_edges"),
+      round(cxy / (sqrt(vx) * sqrt(vy)), 4).as("assortativity"))
   }
 
   /** Degree distribution (`q_degree_dist`) — log2-bucketed degree

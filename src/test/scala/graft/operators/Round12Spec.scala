@@ -675,4 +675,39 @@ class Round12Spec extends SparkSpec {
     assert(got.nonEmpty && got.exists(_._4 == 3L),
       "fixture must produce at least one full top-3 hour")
   }
+
+  test("q_assortativity equals a driver-side exact-moment replay") {
+    val edges = coTradeSymEdges()
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (n, sx, sy, sxx, syy, sxy) = edges.foldLeft((0L, 0L, 0L, 0L, 0L, 0L)) {
+      case ((cn, cx, cy, cxx, cyy, cxy), (u, v)) =>
+        val (x, y) = (deg(u), deg(v))
+        (cn + 1, cx + x, cy + y, cxx + x * x, cyy + y * y, cxy + x * y)
+    }
+    val r = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    val expected = BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Graph.assortativity(spark, sf).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == n, "directed edge count must match")
+    assert(out.head.getDouble(1) == expected,
+      s"assortativity must replay exactly: got ${out.head.getDouble(1)} vs $expected")
+    // symmetric multiset sanity: sx == sy by construction
+    assert(sx == sy, "directed edge list must be degree-symmetric")
+  }
+
+  /** Symmetric (both directions) repeat-trade edges with interleaved
+    * node ids — the Graph family's edge rule, collected. */
+  private def coTradeSymEdges(): Seq[(Long, Long)] = {
+    val t = graft.Tables(spark, sf)
+    val ord = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    t.lineitem.select("l_orderkey", "l_suppkey").collect().foreach { r =>
+      ord.get(r.getLong(0)).foreach { ck => w((ck * 2, r.getLong(1) * 2 + 1)) += 1L }
+    }
+    w.iterator.collect { case ((c, s), x) if x >= 2 => (c, s) }.toSeq
+      .flatMap { case (c, s) => Seq((c, s), (s, c)) }
+  }
 }
