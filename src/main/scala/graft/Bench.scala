@@ -217,7 +217,10 @@ object Bench {
     // continuous top-k: streamed complete-state hourly aggregate with
     // the bounded-heap rank in the serving query; Newman assortativity
     // on the exact-moment contract
-    "streaming_topk", "q_assortativity")
+    "streaming_topk", "q_assortativity",
+    // k-core peel: 8 degree-agg + survivor-semi-join rounds over a
+    // non-increasing edge set
+    "q_kcore")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

@@ -348,6 +348,8 @@ object SparkEntry {
     "streaming_topk" -> ((s, d) => RefPipeline.streamingTopK(s, d)),
     // Newman degree assortativity on the q_corr exact-moment contract
     "q_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    // k-core peeling profile, fixed 8-round contract, pure set semantics
+    "q_kcore" -> ((s, d) => Graph.kcore(s, d)),
   )
 
   private val tokCte =
@@ -725,6 +727,35 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN n.node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
          |FROM sd_n n LEFT JOIN sd_d$rounds d ON n.node = d.node
          |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** `q_kcore` oracle: the k=3 peel unrolled — per round, survivors =
+    * sources with degree ≥ 3, edges = both endpoints surviving; the
+    * profile unions one count row per round. Pure set semantics; every
+    * round CTE `AS MATERIALIZED` (each is referenced three times — the
+    * hitsSql inlining note). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH kc_p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |kc_e0 AS MATERIALIZED (
+        |  SELECT c AS src, s AS dst FROM kc_p WHERE w >= 2
+        |  UNION ALL SELECT s AS src, c AS dst FROM kc_p WHERE w >= 2)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""kc_k$r AS MATERIALIZED (
+         |  SELECT src FROM kc_e${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |kc_e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM kc_e${r - 1} e
+         |  WHERE e.src IN (SELECT src FROM kc_k$r)
+         |    AND e.dst IN (SELECT src FROM kc_k$r))""".stripMargin
+    }
+    val profile = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM kc_e$r) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM kc_e$r) AS n_directed_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (base +: steps).mkString(",\n") + "\n" + profile + "\nORDER BY round"
   }
 
   /** `pipeline_classifier_filter` oracle: the fixed-point distillation
@@ -2682,6 +2713,8 @@ object SparkEntry {
     "q_triangles" -> trianglesSql,
     // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds
     "q_seed_distance" -> seedDistanceSql(4),
+    // 8 unrolled MATERIALIZED peel rounds, pure set semantics
+    "q_kcore" -> kcoreSql(3, 8),
     // exact BIGINT moments over the symmetric edge list + the q_corr
     // pinned-operand-order double chain, rounded once
     "q_assortativity" ->

@@ -451,6 +451,42 @@ object Graph {
       round(cxy / (sqrt(vx) * sqrt(vy)), 4).as("assortativity"))
   }
 
+  /** k-core peeling profile (`q_kcore`, k=3) — iteratively remove nodes
+    * of degree < k and report the shrinkage profile: the graph-cohesion
+    * tool curation stacks use to separate densely-embedded structure
+    * from peripheral noise (spam farms sit in shallow cores; Kumar et
+    * al.'s web-community work and every large-graph toolkit ship it).
+    * The deliverable is (round, n_nodes, n_directed_edges) for rounds
+    * 0..8 — a FIXED 8-round contract like [[componentMembers]]'s: the
+    * peel provably converges when a round removes nothing, Round12Spec
+    * asserts round 9 changes nothing on the fixture, and the oracle
+    * replays the identical unrolled recurrence (pure set semantics).
+    *
+    * Scale shape: each round is one degree aggregate on the current
+    * (non-increasing) edge set + two left-semi joins against the
+    * node-sized survivor list, eagerly localCheckpoint-ed (the family's
+    * per-round lineage cut — the edge set is referenced by the degree
+    * agg AND both semi-joins). The 9 profile counts are scalar actions
+    * (bounded collect — the GlobalRank P-slice discipline), never row
+    * data on the driver. */
+  def kcore(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 8): DataFrame = {
+    var e = repeatTradeSym(spark, dir).localCheckpoint()
+    val profile = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    profile += ((0L, e.select("src").distinct().count(), e.count()))
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      profile += ((r.toLong, e.select("src").distinct().count(), e.count()))
+    }
+    import spark.implicits._
+    profile.toSeq.toDF("round", "n_nodes", "n_directed_edges")
+  }
+
   /** Degree distribution (`q_degree_dist`) — log2-bucketed degree
     * histogram of the repeat-trade graph, the power-law diagnostic every
     * graph pipeline prints before committing to a partitioning strategy

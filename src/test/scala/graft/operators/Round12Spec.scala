@@ -697,6 +697,32 @@ class Round12Spec extends SparkSpec {
     assert(sx == sy, "directed edge list must be degree-symmetric")
   }
 
+  test("q_kcore equals a driver-side peel replay; round 8 is a fixed point") {
+    def peel(edges0: Seq[(Long, Long)], k: Int, rounds: Int): Seq[(Long, Long, Long)] = {
+      var e = edges0
+      val prof = scala.collection.mutable.ArrayBuffer(
+        (0L, e.map(_._1).distinct.size.toLong, e.size.toLong))
+      for (r <- 1 to rounds) {
+        val keep = e.groupBy(_._1).collect { case (n, xs) if xs.size >= k => n }.toSet
+        e = e.filter { case (u, v) => keep(u) && keep(v) }
+        prof += ((r.toLong, e.map(_._1).distinct.size.toLong, e.size.toLong))
+      }
+      prof.toSeq
+    }
+    val edges = coTradeSymEdges()
+    val expected = peel(edges, 3, 8)
+    val got = Graph.kcore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == expected, s"peel profile must replay exactly; got $got vs $expected")
+    // the fixed-round contract: a 9th round removes nothing
+    val nine = peel(edges, 3, 9)
+    assert(nine(9)._2 == nine(8)._2 && nine(9)._3 == nine(8)._3,
+      "round 9 must be a fixed point on the fixture")
+    // and the peel must actually bite (else the key degenerates)
+    assert(got.last._2 < got.head._2, "the k=3 peel should remove peripheral nodes")
+  }
+
   /** Symmetric (both directions) repeat-trade edges with interleaved
     * node ids — the Graph family's edge rule, collected. */
   private def coTradeSymEdges(): Seq[(Long, Long)] = {
