@@ -1343,7 +1343,7 @@ object SparkEntry {
          |              + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / ad.avgdl))))
          |          * 1e4 + 0.5) AS BIGINT) AS s_q4
          |      FROM tf JOIN q ON tf.term = q.term CROSS JOIN n CROSS JOIN ad)
-         |SELECT doc_id, sum(s_q4) AS score_q4 FROM s GROUP BY doc_id
+         |SELECT doc_id, CAST(sum(s_q4) AS BIGINT) AS score_q4 FROM s GROUP BY doc_id
          |ORDER BY score_q4 DESC, doc_id LIMIT 20""".stripMargin,
     // distributed-GD training replay: 3 epochs of the fixed-point
     // hard-sigmoid logistic loop, unrolled as integer CTEs

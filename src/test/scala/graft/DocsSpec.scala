@@ -41,6 +41,46 @@ class DocsSpec extends AnyFunSuite {
       s"SURVEY §2 header count $headerCount != true key count ${actual.size}")
   }
 
+  test("SURVEY §6 header states the current key/entry counts") {
+    // §6's opening bold line went stale in round 12 ("173-key /
+    // 179-entry" against a 186/192 surface) — pin it the way §2's
+    // header already is
+    val header = survey.split("## §6 Benchmarks")(1).take(400)
+    val m = "(\\d+)-key / (\\d+)-entry".r.findFirstMatchIn(header)
+    assert(m.isDefined, "SURVEY §6 header lacks the 'N-key / M-entry' count line")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY §6 key count ${m.get.group(1)} != ${SparkEntry.queries.size}")
+    // the bench artifact carries benchQueries plus the one standalone
+    // timing phase (`shingle_layout_build`, emitted directly by
+    // Bench/Probe rather than through the query map)
+    val entrySurface = Bench.benchQueries.size + 1
+    assert(m.get.group(2).toInt == entrySurface,
+      s"SURVEY §6 entry count ${m.get.group(2)} != $entrySurface")
+  }
+
+  test("no oracle's final projection aliases a bare integer sum()") {
+    // DuckDB's sum(BIGINT) returns HUGEINT (int128); a bare `sum(x) AS c`
+    // in an oracle's FINAL projection therefore hash-mismatches Spark's
+    // BIGINT even when every value is identical — exactly the text_bm25
+    // red row of round 12. Intermediate CTE sums are fine (consumed by
+    // casted expressions); the guard covers the last SELECT's projection.
+    val bare = "(?i)(?<!CAST\\()\\bsum\\((?:[^()]|\\([^()]*\\))*\\)\\s+AS\\s".r
+    val offenders = SparkEntry.oracleSql.collect { case (k, sql)
+        if {
+          val lastSel = sql.toUpperCase.lastIndexOf("SELECT")
+          val proj = sql.substring(lastSel)
+          val upTo = proj.toUpperCase.indexOf("FROM") match {
+            case -1 => proj
+            case i  => proj.substring(0, i)
+          }
+          bare.findFirstIn(upTo).isDefined
+        } => k
+    }
+    assert(offenders.isEmpty,
+      s"oracles alias a bare sum() in their final projection (DuckDB " +
+        s"HUGEINT vs Spark BIGINT hash trap): ${offenders.toSeq.sorted}")
+  }
+
   test("every query key has either a SQL oracle or a declared rows-only rationale") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the declared rows-only set: sketch/approx keys whose register
