@@ -57,13 +57,25 @@ object Graph {
     // reuse; measured ~2× the build cost at sf5), and ONE exchange by
     // `src` then serves the degree aggregate, the degree join's
     // co-location AND the cached layout the iteration loop joins against.
+    // EXPLICIT-count repartition, not repartition(col): the count-less
+    // form plans at AQE's 512 initial partitions and materializes the
+    // cache behind an AdaptiveSparkPlan whose coalesced output
+    // partitioning does NOT satisfy the loop join's required hash
+    // distribution — EnsureRequirements then re-exchanged the WHOLE 60M-
+    // edge frame EVERY iteration (measured sf5: five 958 MB / 60M-record
+    // exchanges, one per iteration — 4.8 GB of the query's 14.7 GB
+    // total, plus the recompute spill). REPARTITION_BY_NUM is exempt
+    // from AQE coalescing, so the cache reports exact
+    // hashpartitioning(src, N) and each iteration shuffles ONLY the
+    // node-sized rank table onto it (sf5: 4.3 MB vs 958 MB).
+    val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges0 = pairs
       .select(explode(array(
           struct(col("c").as("src"), col("s").as("dst")),
           struct(col("s").as("src"), col("c").as("dst")))).as("e"),
         col("w"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("w"))
-      .repartition(col("src"))
+      .repartition(nShuf, col("src"))
     // no exchange: edges0 is already hash-partitioned by src, so the
     // degree agg and the join below both reuse that partitioning; the
     // shuffle_hash hint builds from the node-sized degree side instead
@@ -97,15 +109,25 @@ object Graph {
       // DuckDB oracle keeps the LEFT JOIN form; equality is the proof.
       // No per-iteration localCheckpoint here, unlike hits/seedDistance:
       // ranks has ONE consumer per iteration, so the lineage is linear
-      // and executes exactly once — a checkpoint variant measured
-      // IDENTICAL wall and spill at sf5 (44.2 vs 45.2 s, ~15 GB both).
-      // That spill ≈ the shuffle volume itself (spillMB tracks the
-      // shuffle writer's external sort of the ~3 GB/iteration
-      // contribution exchange inside the 8 GB bench JVM), i.e. the
-      // structural cost of 5 aggregateMessages rounds on a 60M-edge
-      // graph — not recoverable by plan shape, only by more memory.
+      // and executes exactly once. The r12 "structural spill" reading
+      // (~15 GB at sf5) was NOT structural: it was the edge frame being
+      // re-exchanged every iteration because the cache's AQE-coalesced
+      // partitioning failed the join's distribution check (see the
+      // repartition notes above/below). With both explicit-count
+      // repartitions in place the sf5 measurement is 28.6 s wall,
+      // 5.4 GB total shuffle, ZERO spill (r12: 41 s / 14.7 GB / 15.6 GB
+      // spill) — per iteration the moved bytes are the ~8 MB rank
+      // exchange plus the ~185 MB map-side-combined inflow partials.
+      // explicit-count repartition BACK onto the edge layout: the inflow
+      // aggregate's own exchange is AQE-coalesced to some N ≠ nShuf, and
+      // when the next iteration's join sees hash(node, N) vs the cache's
+      // hash(src, nShuf), EnsureRequirements resolves the mismatch by
+      // re-exchanging the EDGE side (958 MB / 60M records per iteration
+      // at sf5) — re-shuffling the node-sized rank table instead is
+      // ~4 MB. REPARTITION_BY_NUM again so AQE can't re-coalesce it.
       ranks = inflow.select(col("dst").as("node"),
-        expr(s"(15 * ${r0}L + 85 * inflow) div 100").as("r"))
+          expr(s"(15 * ${r0}L + 85 * inflow) div 100").as("r"))
+        .repartition(nShuf, col("node"))
     }
     ranks
       .orderBy(col("r").desc, col("node"))
