@@ -264,8 +264,11 @@ object Graph {
       .where(col("w") >= 2)
       .select("s", "c")
     // ONE supplier exchange, cached, serving BOTH sides of the
-    // projection self-join — the join is co-partitioned by construction
-    val cs = graft.GraftSession.trackCache(cs0.repartition(col("s")))
+    // projection self-join — the join is co-partitioned by construction.
+    // Explicit count so the cache reports exact hashpartitioning the
+    // self-join can consume (the pageRank cached-partitioning trap).
+    val cs = graft.GraftSession.trackCache(cs0.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("s")))
     val edges = graft.GraftSession.trackCache(
       cs.as("x").join(cs.as("y"),
           col("x.s") === col("y.s") && col("x.c") < col("y.c"))
@@ -333,8 +336,16 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("w"))
-    val byC = graft.GraftSession.trackCache(pairs.repartition(col("c")))
-    val byS = graft.GraftSession.trackCache(byC.repartition(col("s")))
+    // explicit-count repartitions (REPARTITION_BY_NUM): the countless
+    // form cached behind an AQE-coalesced partitioning that fails the
+    // half-step joins' distribution check, so EnsureRequirements
+    // re-exchanged the EDGE side every half-step — 8 edge-sized
+    // exchanges per run (the q_pagerank trap; see pageRank's notes).
+    // With exact hashpartitioning on the cache, only the node-sized
+    // checkpointed score table is shuffled each half-step.
+    val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val byC = graft.GraftSession.trackCache(pairs.repartition(nShuf, col("c")))
+    val byS = graft.GraftSession.trackCache(byC.repartition(nShuf, col("s")))
     val custs = graft.GraftSession.trackCache(byC.select("c").distinct())
     val nC = custs.count()
     var hub = custs.select(col("c"), lit(m / nC).as("h"))
@@ -390,12 +401,16 @@ object Graph {
       .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
+    // explicit-count repartition — same cached-partitioning trap as
+    // pageRank/hits: the BFS loop must consume this layout, not
+    // re-exchange it every round
     graft.GraftSession.trackCache(pairs
       .select(explode(array(
           struct(col("c").as("src"), col("s").as("dst")),
           struct(col("s").as("src"), col("c").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("src")))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("src")))
   }
 
   /** Multi-source BFS seed distance (`q_seed_distance`) — hop distance
