@@ -190,7 +190,7 @@ object Bench {
     // round-12 widening: DSIR hashed-ngram selection (two ≤256-key
     // distribution aggs + map-side scoring + top-k), SemDeDup-shaped
     // within-bucket dedup, and the no-window rank-sum test
-    "pipeline_dsir", "dedup_semantic", "q_mann_whitney",
+    "pipeline_dsir", "dedup_semantic", "dedup_semantic_kmeans", "q_mann_whitney",
     // round-12 continuation: BM25 probe-query retrieval (broadcast
     // 3-term scoring join + quantized per-doc sum + constant-k top-20)
     // and cosine radius search (broadcast queries, map-side τ filter,
@@ -239,7 +239,12 @@ object Bench {
       "ann_lsh_pruned" -> ((s: SparkSession, d: String) => operators.Similarity.lshTopK(s, d)),
       "ann_ivf_pruned" -> ((s: SparkSession, d: String) => operators.Similarity.ivfTopK(s, d)),
       "ann_pq_pruned" -> ((s: SparkSession, d: String) => operators.Similarity.pqTopK(s, d)),
-      "ann_ivfpq_pruned" -> ((s: SparkSession, d: String) => operators.Similarity.ivfPqTopK(s, d)))
+      "ann_ivfpq_pruned" -> ((s: SparkSession, d: String) => operators.Similarity.ivfPqTopK(s, d)),
+      // the capped-k-means production bucketing of dedup_semantic (the
+      // pruned-config pattern: SemanticKMeansSpec owns the cap/soundness
+      // contract, this phase owns its cost)
+      "dedup_semantic_kmeans" -> ((s: SparkSession, d: String) =>
+        operators.Dedup.semanticKMeans(s, d)))
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -251,8 +251,9 @@ object Similarity {
           |  named_struct('d', dot_product(c._2, c._2) - 2.0d * dot_product(v, c._2),
           |               'cid', c._1))""".stripMargin))
 
-  /** Nearest-centroid assignment (adds `cid`). */
-  private def assignedTo(df: DataFrame, cs: Array[(Int, Array[Double])]): DataFrame =
+  /** Nearest-centroid assignment (adds `cid`). Shared with
+    * [[Dedup.semanticKMeans]]'s capped-cell bucketing. */
+  private[operators] def assignedTo(df: DataFrame, cs: Array[(Int, Array[Double])]): DataFrame =
     withCentroids(df, cs)
       .withColumn("cid", expr("array_min(dists).cid"))
       .drop("cs", "dists")
@@ -266,8 +267,9 @@ object Similarity {
     * touched exactly once, by the caller's final [[assignedTo]] pass.
     * (At test SFs <= the sample size this trains on everything, so the
     * recall specs exercise identical arithmetic.) Hash-sampled init;
-    * one bounded collect; only the k x dim centroids leave this call. */
-  private def kmeans(e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
+    * one bounded collect; only the k x dim centroids leave this call.
+    * Shared with [[Dedup.semanticKMeans]]'s capped-cell bucketing. */
+  private[operators] def kmeans(e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
     // ONE bounded collect, local Lloyd (r12): the sample is
     // max(64k, 512) vectors BY DESIGN (the 100 TB argument above), so it
     // always fits on the driver — and the previous shape paid

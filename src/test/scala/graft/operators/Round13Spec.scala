@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 gates: the capped-k-means bucketing of dedup_semantic
+  * (`dedup_semantic_kmeans` — benched, not oracle-replayable: Lloyd's
+  * float means have no exact DuckDB unroll, so these properties ARE its
+  * correctness contract) and the streaming_topk serving-plan shape.
+  */
+class Round13Spec extends SparkSpec {
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+    BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("dedup_semantic_kmeans: hard cap holds, decisions are exact within buckets, runs are deterministic") {
+    graft.GraftSession.registerFunctions(spark)
+    // cap=8 on the 500-vector fixture: with k=16 the ~31-row average cell
+    // FORCES sub-splitting, so the invariant is exercised, not vacuous
+    val cap = 8
+    val out = Dedup.semanticKMeans(spark, sf, k = 16, cap = cap).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    val byId = out.toMap
+    // 1. every vector appears exactly once
+    val vecs = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(out.length == vecs.length && byId.keySet == vecs.map(_._1).toSet)
+    // 2. the HARD cap: no bucket exceeds `cap` members
+    val sizes = out.groupBy(_._2._1).view.mapValues(_.length)
+    val over = sizes.filter(_._2 > cap)
+    assert(over.isEmpty, s"buckets over the cap: ${over.toMap}")
+    assert(sizes.size > vecs.length / cap, "fixture produced no sub-splitting")
+    // 3. within-bucket exactness: given the bucketing, keep/drop + witness
+    //    must equal the brute-force min-id-witness reference (same
+    //    contract Round12Spec pins for the sign-bucket instance)
+    val vm = vecs.toMap
+    out.groupBy(_._2._1).values.foreach { members =>
+      val sorted = members.map(_._1).sorted
+      sorted.foreach { id =>
+        val expected = sorted.takeWhile(_ < id)
+          .find(w => cos(vm(w), vm(id)) >= 0.42)
+        val (_, dupOf, kept) = byId(id)
+        expected match {
+          case Some(w) => assert(kept == 0L && dupOf == w,
+            s"$id should drop with witness $w, got kept=$kept dup_of=$dupOf")
+          case None => assert(kept == 1L && dupOf == -1L,
+            s"$id should keep, got kept=$kept dup_of=$dupOf")
+        }
+      }
+    }
+    // 4. the fixture exercises both branches
+    assert(out.exists(_._2._3 == 0L), "fixture has no within-bucket dups")
+    assert(out.exists(_._2._3 == 1L), "fixture keeps nothing")
+    // 5. soundness across configs: every emitted witness pair is a true
+    //    near-dup pair (>= tau), regardless of bucketing
+    out.filter(_._2._3 == 0L).foreach { case (id, (_, w, _)) =>
+      assert(cos(vm(w), vm(id)) >= 0.42, s"witness pair ($w, $id) below tau")
+    }
+    // 6. deterministic: sampled-Lloyd init/iteration is hash-pinned, so a
+    //    second run must reproduce the identical labeling
+    val again = Dedup.semanticKMeans(spark, sf, k = 16, cap = cap).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == byId, "semanticKMeans is not deterministic across runs")
+  }
+
+  test("dedup_semantic_kmeans default config emits work at the test fixture") {
+    graft.GraftSession.registerFunctions(spark)
+    val out = Dedup.semanticKMeans(spark, sf)
+    assert(out.count() == graft.Tables(spark, sf).embeddings.count())
+  }
+}
