@@ -348,6 +348,24 @@ object Graph {
     val byS = graft.GraftSession.trackCache(byC.repartition(nShuf, col("s")))
     val custs = graft.GraftSession.trackCache(byC.select("c").distinct())
     val nC = custs.count()
+    // loud overflow guard (r12 advice), on the TIGHT quantity: the
+    // worst-case bound raw ≤ M·wmax would demand wmax ≤ 9, but it binds
+    // only when one node captures ALL the opposite side's mass at max
+    // weight — the fixtures run wmax = 13 with max(raw) three orders
+    // below the cliff. So the guard rides the actual iterate instead:
+    // each half-step's normalization multiplies raw·M, which wraps
+    // silently under Spark's non-ANSI BIGINT while the DuckDB oracle's
+    // HUGEINT path diverges — checked below per half-step as one tiny
+    // aggregate over the CACHED node-sized raw frame (the cache
+    // materializes in the same job it would anyway). A corpus that
+    // trips it needs the scaladoc's quantum drop (m = 1e6), not a
+    // silent wrong answer.
+    def guardRaw(raw: DataFrame, side: String): Unit = {
+      val mx = raw.agg(max("raw")).head.getLong(0)
+      require(mx <= Long.MaxValue / m,
+        s"hits: $side max raw score $mx overflows the normalization " +
+          s"multiply raw*$m (>= 2^63); lower the quantum m for this corpus")
+    }
     var hub = custs.select(col("c"), lit(m / nC).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
@@ -367,6 +385,7 @@ object Graph {
       val aRaw = graft.GraftSession.trackCache(
         byC.join(hub.hint("shuffle_hash"), "c")
           .groupBy("s").agg(sum(expr("h * w")).as("raw")))
+      guardRaw(aRaw, "authority")
       auth = aRaw
         .crossJoin(broadcast(aRaw.select(sum("raw").as("tot"))))
         .select(col("s"), expr(s"(raw * ${m}L) div tot").as("a"))
@@ -374,6 +393,7 @@ object Graph {
       val hRaw = graft.GraftSession.trackCache(
         byS.join(auth.hint("shuffle_hash"), "s")
           .groupBy("c").agg(sum(expr("a * w")).as("raw")))
+      guardRaw(hRaw, "hub")
       hub = hRaw
         .crossJoin(broadcast(hRaw.select(sum("raw").as("tot"))))
         .select(col("c"), expr(s"(raw * ${m}L) div tot").as("h"))
