@@ -53,7 +53,11 @@ class BenchSpec extends SparkSpec {
     val expected = ("shingle_layout_build" +: Bench.headline).toSet
     // cwd-relative like DocsSpec's SURVEY.md resolution (sbt runs tests
     // from the repo root)
-    val sidecars = Seq("bench_probe.json", "bench_probe_sf1.json", "bench_probe_sf5.json")
+    // sf10 joined the gated set in r13 (r12 advice #6: the sf5→sf10
+    // doubling is the only committed slope evidence above sf5, and it
+    // must cover the whole surface, not a 21-key subset)
+    val sidecars = Seq("bench_probe.json", "bench_probe_sf1.json",
+        "bench_probe_sf5.json", "bench_probe_sf10.json")
       .map(n => java.nio.file.Paths.get(n))
       .filter(java.nio.file.Files.exists(_))
     assert(sidecars.nonEmpty, "no committed probe sidecar found")
