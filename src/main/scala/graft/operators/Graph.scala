@@ -415,6 +415,14 @@ object Graph {
     * round and the degree aggregate reuses the same exchange. */
   private def repeatTradeSym(spark: SparkSession, dir: String): DataFrame = {
     val t = graft.Tables(spark, dir)
+    // NOTE (r13 A/B at sf10, measured): the probe's high "spillMB" on
+    // the graph family is memoryBytesSpilled ACCOUNTING (uncompressed
+    // in-memory size), not disk — a stage-level listener shows ~1.4 GB
+    // of actual disk spill in the pairs aggregate. Both candidate
+    // "fixes" (explicit pre-repartition before the groupBy, containment-
+    // style; shuffle_hash hint on the orders join) measured ~15% WORSE
+    // wall (12.1 → 14.0 s) because the extra raw-row exchange costs
+    // more than the partial-agg fallback it avoids. Kept as-is.
     val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
       .join(t.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
