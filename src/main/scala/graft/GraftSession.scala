@@ -98,6 +98,18 @@ object GraftSession {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      // the AppStatusListener populates its InMemoryStore even with the
+      // UI off, at the DEFAULT retentions (1000 jobs/stages with up to
+      // 100k tasks each, 1000 SQL executions with full metric graphs) —
+      // across a 192-query sf10 bench pass that store alone exhausted
+      // the 8 g driver heap (r13: the single-pass probe died with JVM
+      // exit 52 after 179 keys). Monitoring state is not evidence — the
+      // probe's own accumulator listener is retention-independent — so
+      // keep only a small diagnostic window.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()
