@@ -220,7 +220,9 @@ object Bench {
     "streaming_topk", "q_assortativity",
     // k-core peel: 8 degree-agg + survivor-semi-join rounds over a
     // non-increasing edge set
-    "q_kcore")
+    "q_kcore",
+    // synchronous LPA: 4 label-mode rounds on the shared cached edge layout
+    "q_label_prop")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

@@ -350,6 +350,9 @@ object SparkEntry {
     "q_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
     // k-core peeling profile, fixed 8-round contract, pure set semantics
     "q_kcore" -> ((s, d) => Graph.kcore(s, d)),
+    // synchronous label propagation, 4 fixed rounds, smallest-label tie
+    // rule — the deterministic (oracle-replayable) LPA variant
+    "q_label_prop" -> ((s, d) => Graph.labelProp(s, d)),
   )
 
   private val tokCte =
@@ -620,6 +623,43 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
          |FROM cc_mem GROUP BY root
          |ORDER BY n_nodes DESC, root LIMIT 20""".stripMargin
+  }
+
+  /** `q_label_prop` oracle: the identical synchronous LPA recurrence,
+    * unrolled — per round, the neighbor-label count aggregate and a
+    * (count DESC, label ASC) row_number window picking each node's new
+    * label; pure integer set semantics, the same pinned tie rule the
+    * Spark side's max_by(lbl, struct(c, -lbl)) encodes. Every per-round
+    * CTE is MATERIALIZED (the componentsSql lesson: default inlining
+    * re-instantiates the recurrence exponentially). */
+  private def labelPropSql(rounds: Int): String = {
+    val base =
+      """WITH lp_p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |lp_e AS MATERIALIZED (
+        |  SELECT c AS src, s AS dst FROM lp_p WHERE w >= 2
+        |  UNION ALL SELECT s AS src, c AS dst FROM lp_p WHERE w >= 2),
+        |lp_l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM lp_e)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""lp_c$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.lbl, count(*) AS c
+         |  FROM lp_e e JOIN lp_l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |lp_l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM lp_c$k) WHERE rn = 1)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'supplier' END AS label_type,
+         |       lbl // 2 AS label_key,
+         |       CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+         |FROM lp_l$rounds GROUP BY lbl
+         |ORDER BY n_nodes DESC, lbl LIMIT 20""".stripMargin
   }
 
   /** `q_triangles` oracle: the same degree-oriented wedge construction —
@@ -2715,6 +2755,9 @@ object SparkEntry {
     "q_seed_distance" -> seedDistanceSql(4),
     // 8 unrolled MATERIALIZED peel rounds, pure set semantics
     "q_kcore" -> kcoreSql(3, 8),
+    // 4 unrolled synchronous LPA rounds: per-node neighbor-label mode
+    // with the (count DESC, label ASC) deterministic window tie rule
+    "q_label_prop" -> labelPropSql(4),
     // exact BIGINT moments over the symmetric edge list + the q_corr
     // pinned-operand-order double chain, rounded once
     "q_assortativity" ->

@@ -483,6 +483,62 @@ object Graph {
       .orderBy("dist")
   }
 
+  /** Synchronous label propagation (`q_label_prop`, Raghavan et al.,
+    * Phys. Rev. E 2007) over the repeat-trade graph — the near-linear
+    * community-detection primitive curation stacks run where
+    * [[components]]' exact connectivity is too coarse (a giant connected
+    * component usually hides many trade communities; LPA splits it by
+    * neighborhood majority). Labels init to node ids; each of the fixed
+    * `rounds` SYNCHRONOUS rounds relabels every node to its neighbors'
+    * most frequent label, ties → the SMALLEST label — the deterministic
+    * variant (asynchronous/random-tie LPA is not replayable; the same
+    * pinned tie rule makes the recurrence pure integer set semantics,
+    * so the DuckDB oracle unrolls it exactly like [[componentMembers]]).
+    * `rounds` = 4 is a fixed CONTRACT mirrored by the oracle, not a
+    * convergence guess (Round13Spec pins the labeling against a
+    * driver-side replay).
+    *
+    * Scale shape: per round, one labels⨝edges join onto the SHARED
+    * cached hash(src, n) layout of [[repeatTradeSym]] (shuffle_hash —
+    * the edge stream is never sorted and never re-exchanged: the
+    * explicit-count repartition pins the iterate back onto the cache's
+    * partitioning, the r13 lesson), one (dst, lbl) count aggregate, one
+    * per-dst argmax via `max_by(lbl, struct(c, -lbl))` (largest count,
+    * then smallest label — exact BIGINT, no float). Labels have ONE
+    * consumer per round, so the lineage is linear like [[pageRank]]'s —
+    * no checkpoint needed. Every node occurs as a dst of the symmetric
+    * edge set, so the relabeling covers exactly the node set. Output:
+    * top-20 communities by size (ties → smaller label), with the
+    * customer/supplier member split — [[components]]' shape, so the two
+    * keys read side by side. */
+  def labelProp(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val sym = repeatTradeSym(spark, dir)
+    val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .repartition(nShuf, col("node"))
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels.hint("shuffle_hash"), sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
+        .repartition(nShuf, col("node"))
+    }
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy(col("n_nodes").desc, col("lbl"))
+      .limit(20)
+      .select(
+        when(col("lbl") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("label_type"),
+        expr("lbl div 2").as("label_key"),
+        col("n_nodes"), col("n_customers"), col("n_suppliers"))
+  }
+
   /** Degree assortativity (`q_assortativity`, Newman, PRL 2002) — the
     * Pearson correlation of endpoint degrees over the symmetric edge
     * set: do hubs trade with hubs (r > 0, social-network shape) or with

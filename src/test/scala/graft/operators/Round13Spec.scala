@@ -68,6 +68,40 @@ class Round13Spec extends SparkSpec {
     assert(again == byId, "semanticKMeans is not deterministic across runs")
   }
 
+  test("q_label_prop equals a driver-side synchronous-LPA replay") {
+    val out = Graph.labelProp(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // reference: the same 4 synchronous rounds, plain Scala
+    val pairs = graft.Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables(spark, sf).orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    pairs.foreach { case (c, s) => adj(c) ::= s; adj(s) ::= c }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lbl).view.mapValues(_.size)
+        // max count, tie -> smallest label: the pinned deterministic rule
+        n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    // top-20 by (size desc, label asc) — the query's exact order
+    val expSorted = lbl.groupBy(_._2).toSeq.map { case (l, m) =>
+      (l, m.keys.toSeq)
+    }.sortBy { case (l, ms) => (-ms.size, l) }.take(20).map { case (l, ms) =>
+      (if (l % 2 == 0) "customer" else "supplier", l / 2,
+        ms.size.toLong, ms.count(_ % 2 == 0).toLong, ms.count(_ % 2 == 1).toLong)
+    }
+    assert(out == expSorted, s"LPA labeling mismatch:\n got $out\n exp $expSorted")
+    // the fixture must form a non-trivial community structure
+    assert(out.exists(_._3 > 1), "no community larger than a singleton")
+  }
+
   test("dedup_semantic_kmeans default config emits work at the test fixture") {
     graft.GraftSession.registerFunctions(spark)
     val out = Dedup.semanticKMeans(spark, sf)
