@@ -390,6 +390,12 @@ object Graph {
         .crossJoin(broadcast(aRaw.select(sum("raw").as("tot"))))
         .select(col("s"), expr(s"(raw * ${m}L) div tot").as("a"))
         .localCheckpoint()
+      // the eager checkpoint above fully consumed aRaw — release its
+      // blocks NOW instead of at the next query's sweep: 8 dead
+      // node-sized caches accumulating per run is exactly the marginal
+      // heap pressure that tipped a 192-key sf10 pass into executor
+      // OOM at this key (r13, disclosed in SURVEY §6)
+      aRaw.unpersist()
       val hRaw = graft.GraftSession.trackCache(
         byS.join(auth.hint("shuffle_hash"), "s")
           .groupBy("c").agg(sum(expr("a * w")).as("raw")))
@@ -398,6 +404,7 @@ object Graph {
         .crossJoin(broadcast(hRaw.select(sum("raw").as("tot"))))
         .select(col("c"), expr(s"(raw * ${m}L) div tot").as("h"))
         .localCheckpoint()
+      hRaw.unpersist() // same early release as aRaw above
     }
     auth.orderBy(col("a").desc, col("s")).limit(10)
       .select(lit("authority").as("side"), col("s").as("node_key"),
