@@ -102,6 +102,50 @@ class Round13Spec extends SparkSpec {
     assert(out.exists(_._3 > 1), "no community larger than a singleton")
   }
 
+  test("q_pagerank plan shape: the cached edge side is never re-exchanged in the loop") {
+    // the r13 headline fix as a regression pin: every per-iteration join
+    // must stream the edge cache DIRECTLY (InMemoryTableScan with no
+    // Exchange above it on that side); a countless repartition or an
+    // un-pinned rank iterate re-introduces one edge-sized exchange per
+    // iteration (958 MB x 5 at sf5 before the fix)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val df = Graph.pageRank(spark, sf)
+    df.collect() // materialize so the AQE final plan exists
+    def expand(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case other => other
+    }
+    // count exchanges sitting on the STREAMED (edge) side of each rank
+    // join: walk from each ShuffledHashJoin's left child down to the
+    // first InMemoryTableScan or Exchange
+    var rankJoins = 0
+    var edgeExchanges = 0
+    def walk(p0: SparkPlan): Unit = {
+      val p = expand(p0)
+      p match {
+        case j: ShuffledHashJoinExec if j.leftKeys.map(_.sql).exists(_.contains("src")) =>
+          rankJoins += 1
+          def down(c0: SparkPlan): Unit = expand(c0) match {
+            case _: ShuffleExchangeLike => edgeExchanges += 1
+            case n if n.nodeName.contains("InMemoryTableScan") => ()
+            case n => n.children.foreach(down)
+          }
+          down(j.left)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(rankJoins >= 5, s"expected the 5 per-iteration rank joins, saw $rankJoins")
+    assert(edgeExchanges == 0,
+      s"$edgeExchanges exchange(s) above the cached edge side — the r13 " +
+        "cached-partitioning fix has regressed (see Graph.pageRank's scaladoc)")
+  }
+
   test("dedup_semantic_kmeans default config emits work at the test fixture") {
     graft.GraftSession.registerFunctions(spark)
     val out = Dedup.semanticKMeans(spark, sf)
