@@ -222,7 +222,9 @@ object Bench {
     // non-increasing edge set
     "q_kcore",
     // synchronous LPA: 4 label-mode rounds on the shared cached edge layout
-    "q_label_prop")
+    "q_label_prop",
+    // Newman modularity of the LPA partition (exact moments + one chain)
+    "q_modularity")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

@@ -353,6 +353,9 @@ object SparkEntry {
     // synchronous label propagation, 4 fixed rounds, smallest-label tie
     // rule — the deterministic (oracle-replayable) LPA variant
     "q_label_prop" -> ((s, d) => Graph.labelProp(s, d)),
+    // Newman modularity of the LPA partition: exact BIGINT moments +
+    // one pinned double chain (the assortativity contract)
+    "q_modularity" -> ((s, d) => Graph.modularity(s, d)),
   )
 
   private val tokCte =
@@ -632,7 +635,39 @@ object SparkEntry {
     * Spark side's max_by(lbl, struct(c, -lbl)) encodes. Every per-round
     * CTE is MATERIALIZED (the componentsSql lesson: default inlining
     * re-instantiates the recurrence exponentially). */
-  private def labelPropSql(rounds: Int): String = {
+  private def labelPropSql(rounds: Int): String =
+    labelPropCtes(rounds) +
+      s"""
+         |SELECT CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'supplier' END AS label_type,
+         |       lbl // 2 AS label_key,
+         |       CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+         |FROM lp_l$rounds GROUP BY lbl
+         |ORDER BY n_nodes DESC, lbl LIMIT 20""".stripMargin
+
+  /** `q_modularity` oracle: the same unrolled LPA labeling, then the
+    * identical exact-BIGINT moments (M, A, S2, community count) and the
+    * identical pinned double chain A/M − S2/(M·M), rounded once. */
+  private def modularitySql(rounds: Int): String =
+    labelPropCtes(rounds) +
+      s"""
+         |, qm_am AS (SELECT count(*) AS m,
+         |         sum(CASE WHEN ls.lbl = ld.lbl THEN 1 ELSE 0 END) AS a
+         |       FROM lp_e e JOIN lp_l$rounds ls ON e.src = ls.node
+         |                   JOIN lp_l$rounds ld ON e.dst = ld.node),
+         |qm_d AS (SELECT src, count(*) AS d FROM lp_e GROUP BY 1),
+         |qm_dc AS (SELECT l.lbl, sum(d.d) AS dc
+         |          FROM qm_d d JOIN lp_l$rounds l ON d.src = l.node GROUP BY 1),
+         |qm_s AS (SELECT sum(dc * dc) AS s2, count(*) AS n_communities FROM qm_dc)
+         |SELECT CAST(m AS BIGINT) AS n_directed_edges,
+         |       CAST(n_communities AS BIGINT) AS n_communities,
+         |       round(CAST(a AS DOUBLE) / CAST(m AS DOUBLE)
+         |         - CAST(s2 AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 4)
+         |         AS modularity
+         |FROM qm_am CROSS JOIN qm_s""".stripMargin
+
+  private def labelPropCtes(rounds: Int): String = {
     val base =
       """WITH lp_p AS MATERIALIZED (
         |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, count(*) AS w
@@ -651,15 +686,7 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
          |    FROM lp_c$k) WHERE rn = 1)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
-      s"""
-         |SELECT CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'supplier' END AS label_type,
-         |       lbl // 2 AS label_key,
-         |       CAST(count(*) AS BIGINT) AS n_nodes,
-         |       CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
-         |       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
-         |FROM lp_l$rounds GROUP BY lbl
-         |ORDER BY n_nodes DESC, lbl LIMIT 20""".stripMargin
+    (base +: steps).mkString(",\n")
   }
 
   /** `q_triangles` oracle: the same degree-oriented wedge construction —
@@ -2758,6 +2785,8 @@ object SparkEntry {
     // 4 unrolled synchronous LPA rounds: per-node neighbor-label mode
     // with the (count DESC, label ASC) deterministic window tie rule
     "q_label_prop" -> labelPropSql(4),
+    // the same LPA rounds + exact moments + the pinned Q double chain
+    "q_modularity" -> modularitySql(4),
     // exact BIGINT moments over the symmetric edge list + the q_corr
     // pinned-operand-order double chain, rounded once
     "q_assortativity" ->

@@ -518,7 +518,10 @@ object Graph {
     * top-20 communities by size (ties → smaller label), with the
     * customer/supplier member split — [[components]]' shape, so the two
     * keys read side by side. */
-  def labelProp(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+  /** The (node, lbl) frame after `rounds` synchronous LPA rounds —
+    * [[labelProp]]'s loop, exposed for [[modularity]] and the spec. */
+  private[graft] def labelPropMembers(spark: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame = {
     val sym = repeatTradeSym(spark, dir)
     val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
     var labels = sym.select(col("src").as("node")).distinct()
@@ -533,7 +536,11 @@ object Graph {
         .select(col("dst").as("node"), col("lbl"))
         .repartition(nShuf, col("node"))
     }
-    labels.groupBy("lbl")
+    labels
+  }
+
+  def labelProp(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    labelPropMembers(spark, dir, rounds).groupBy("lbl")
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
         sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
@@ -544,6 +551,47 @@ object Graph {
           .as("label_type"),
         expr("lbl div 2").as("label_key"),
         col("n_nodes"), col("n_customers"), col("n_suppliers"))
+  }
+
+  /** Newman modularity (`q_modularity`, Newman & Girvan, Phys. Rev. E
+    * 2004) of the [[labelProp]] partition — the standard quality score
+    * read next to any community labeling: Q = Σ_c [e_c/M − (d_c/M)²]
+    * over the symmetric directed edge list (M = directed edge count,
+    * e_c = directed intra-community edges, d_c = the community's degree
+    * sum). Q > 0 means denser-than-chance communities — the number that
+    * tells a curation stack whether the LPA split is structure or noise.
+    *
+    * Exactness contract = [[assortativity]]'s: every moment (M, A = Σe_c,
+    * S2 = Σd_c², community count) is an exact BIGINT aggregate, then ONE
+    * pinned-operand-order double chain `A/M − S2/(M·M)`, rounded once to
+    * 4 decimals. d_c ≤ M keeps S2 ≤ M² < 2^63 while M < 3e9 — far past
+    * any tested corpus; the oracle replays the identical LPA rounds and
+    * the identical chain. Scale shape: the member labeling is
+    * localCheckpoint-ed once (node-sized; it feeds THREE consumers — two
+    * endpoint joins and the degree join — so the 4-round plan would
+    * otherwise triple), then two shuffle_hash label joins stream the
+    * cached edge layout, and everything downstream is node-sized or a
+    * single-row moment aggregate. No collect, no window. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val sym = repeatTradeSym(spark, dir)
+    val labels = labelPropMembers(spark, dir).localCheckpoint()
+    val am = sym
+      .join(labels.select(col("node").as("src"), col("lbl").as("sl"))
+        .hint("shuffle_hash"), "src")
+      .join(labels.select(col("node").as("dst"), col("lbl").as("dl"))
+        .hint("shuffle_hash"), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("sl") === col("dl"), 1L).otherwise(0L)).as("a"))
+    val s2 = sym.groupBy("src").agg(count(lit(1)).as("d"))
+      .join(labels.select(col("node").as("src"), col("lbl"))
+        .hint("shuffle_hash"), "src")
+      .groupBy("lbl").agg(sum("d").as("dc"))
+      .agg(sum(expr("dc * dc")).as("s2"), count(lit(1)).as("n_communities"))
+    val d = (c: Column) => c.cast("double")
+    am.crossJoin(broadcast(s2))
+      .select(col("m").as("n_directed_edges"), col("n_communities"),
+        round(d(col("a")) / d(col("m")) -
+          d(col("s2")) / (d(col("m")) * d(col("m"))), 4).as("modularity"))
   }
 
   /** Degree assortativity (`q_assortativity`, Newman, PRL 2002) — the

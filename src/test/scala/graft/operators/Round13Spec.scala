@@ -102,6 +102,38 @@ class Round13Spec extends SparkSpec {
     assert(out.exists(_._3 > 1), "no community larger than a singleton")
   }
 
+  test("q_modularity equals the driver-side Q of the replayed LPA partition") {
+    val row = Graph.modularity(spark, sf).collect().head
+    val (gm, gc, gq) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // replay: the Round13Spec LPA reference labeling, then Q by hand
+    val pairs = graft.Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables(spark, sf).orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    pairs.foreach { case (c, s) => adj(c) ::= s; adj(s) ::= c }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lbl = adj.map { case (n, nbrs) =>
+        n -> nbrs.groupBy(lbl).view.mapValues(_.size)
+          .toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    val dirEdges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val m = dirEdges.length.toLong
+    val a = dirEdges.count { case (u, v) => lbl(u) == lbl(v) }.toLong
+    val dc = dirEdges.groupBy { case (u, _) => lbl(u) }.view.mapValues(_.length.toLong)
+    val s2 = dc.values.map(d => d * d).sum
+    val q = BigDecimal(a.toDouble / m.toDouble - s2.toDouble / (m.toDouble * m.toDouble))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gm == m, s"directed edge count: got $gm expected $m")
+    assert(gc == dc.size, s"community count: got $gc expected ${dc.size}")
+    assert(gq == q, s"modularity: got $gq expected $q")
+  }
+
   test("q_pagerank plan shape: the cached edge side is never re-exchanged in the loop") {
     // the r13 headline fix as a regression pin: every per-iteration join
     // must stream the edge cache DIRECTLY (InMemoryTableScan with no
