@@ -910,7 +910,7 @@ object SparkEntry {
       |                          ROWS UNBOUNDED PRECEDING) AS sid
       |      FROM m)
       |SELECT user_id, min(t) AS start_s, max(t) + 1800 AS end_s,
-      |       count(*) AS n_events, round(sum(value), 4) AS total_value
+      |       count(*) AS n_events, round(CAST(sum(value) AS DOUBLE), 4) AS total_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -920,7 +920,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "events_count" -> "SELECT count(*) AS n FROM events",
     "points_by_type" ->
-      """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
+      """SELECT event_type, round(CAST(sum(value) AS DOUBLE), 4) AS total_points, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "attendance_granular" ->
       """SELECT CAST(ts AS DATE) AS day, extract(hour FROM ts) AS hr, event_type, count(*) AS n
@@ -946,14 +946,14 @@ object SparkEntry {
         |                          ROWS UNBOUNDED PRECEDING) AS session_no
         |      FROM m)
         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
-        |       min(t) AS start_s, max(t) AS end_s, round(sum(value), 4) AS total_value
+        |       min(t) AS start_s, max(t) AS end_s, round(CAST(sum(value) AS DOUBLE), 4) AS total_value
         |FROM s GROUP BY user_id, session_no""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |round(sum(l_quantity), 4) AS sum_qty,
-        |sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
-        |sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
-        |sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0 AS sum_charge,
+        |round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+        |CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+        |CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+        |CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
         |round(avg(l_quantity), 4) AS avg_qty,
         |round(avg(l_extendedprice), 4) AS avg_price,
         |round(avg(l_discount), 4) AS avg_disc,
@@ -961,7 +961,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= DATE '2000-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
-      """SELECT l_orderkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+      """SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
         |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -970,7 +970,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
-      """SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+      """SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -978,7 +978,7 @@ object SparkEntry {
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name""".stripMargin,
     "q_top_customers" ->
-      """WITH spend AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spent,
+      """WITH spend AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spent,
         |                      count(*) AS n_orders
         |               FROM orders GROUP BY o_custkey)
         |SELECT CAST(row_number() OVER (ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk,
@@ -998,7 +998,7 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+        |       count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
@@ -1149,11 +1149,11 @@ object SparkEntry {
         |SELECT doc_id, patch_idx, least(256, n_bytes - patch_idx * 256) AS patch_len
         |FROM p""".stripMargin,
     "q_sample" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+      """SELECT event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 4) AS total
         |FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |GROUP BY event_type""".stripMargin,
     "q_top_spenders" ->
-      """WITH u AS (SELECT event_type, user_id, round(sum(value), 4) AS total
+      """WITH u AS (SELECT event_type, user_id, round(CAST(sum(value) AS DOUBLE), 4) AS total
         |           FROM events GROUP BY event_type, user_id),
         |r AS (SELECT event_type, user_id,
         |        row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rnk
@@ -1161,11 +1161,11 @@ object SparkEntry {
         |SELECT event_type, string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rnk) AS top_users
         |FROM r WHERE rnk <= 3 GROUP BY event_type""".stripMargin,
     "q_running_total" ->
-      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS daily
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, round(CAST(sum(value) AS DOUBLE), 4) AS daily
         |           FROM events GROUP BY 1, 2)
         |SELECT event_type, day, daily,
-        |  round(sum(daily) OVER (PARTITION BY event_type ORDER BY day
-        |                         ROWS UNBOUNDED PRECEDING), 4) AS running
+        |  round(CAST(sum(daily) OVER (PARTITION BY event_type ORDER BY day
+        |                         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running
         |FROM d""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
@@ -1184,7 +1184,7 @@ object SparkEntry {
     "q_funnel" ->
       """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS first_signup
         |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
-        |p AS (SELECT e.user_id, count(*) AS purchases_7d, round(sum(value), 4) AS spend_7d
+        |p AS (SELECT e.user_id, count(*) AS purchases_7d, round(CAST(sum(value) AS DOUBLE), 4) AS spend_7d
         |      FROM events e JOIN s ON e.user_id = s.user_id
         |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.first_signup
         |        AND epoch_us(e.ts) < s.first_signup + 604800000000
@@ -1276,15 +1276,15 @@ object SparkEntry {
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+        |       count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus AS status,
-        |  sum(CAST(round(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_urgent,
-        |  sum(CAST(round(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_high,
-        |  sum(CAST(round(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_medium,
-        |  sum(CAST(round(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_notspec,
-        |  sum(CAST(round(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END * 100) AS BIGINT)) / 100.0 AS p_low
+        |  CAST(sum(CAST(round(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT) / 100.0 AS p_urgent,
+        |  CAST(sum(CAST(round(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT) / 100.0 AS p_high,
+        |  CAST(sum(CAST(round(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT) / 100.0 AS p_medium,
+        |  CAST(sum(CAST(round(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT) / 100.0 AS p_notspec,
+        |  CAST(sum(CAST(round(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT) / 100.0 AS p_low
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_anti_join" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_customers
@@ -1302,32 +1302,32 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
     "q_moving_sum" ->
-      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS daily
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, round(CAST(sum(value) AS DOUBLE), 4) AS daily
         |           FROM events GROUP BY 1, 2)
         |SELECT event_type, day, daily,
-        |  round(sum(daily) OVER (PARTITION BY event_type ORDER BY day
-        |                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS sum_7d,
+        |  round(CAST(sum(daily) OVER (PARTITION BY event_type ORDER BY day
+        |                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS sum_7d,
         |  count(*) OVER (PARTITION BY event_type ORDER BY day
         |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
         |FROM d""".stripMargin,
     "streaming_points_by_type" ->
-      """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
+      """SELECT event_type, round(CAST(sum(value) AS DOUBLE), 4) AS total_points, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "wh_colocated_join" ->
-      """SELECT o_orderpriority, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+      """SELECT o_orderpriority, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q_ntile" ->
-      """WITH s AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spent
+      """WITH s AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spent
         |           FROM orders GROUP BY 1),
         |q AS (SELECT total_spent,
         |        CAST(ntile(4) OVER (ORDER BY total_spent DESC, o_custkey) AS BIGINT) AS quartile
         |      FROM s)
-        |SELECT quartile, count(*) AS n_customers, sum(CAST(round(total_spent * 100) AS BIGINT)) / 100.0 AS total
+        |SELECT quartile, count(*) AS n_customers, CAST(sum(CAST(round(total_spent * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
         |FROM q GROUP BY quartile""".stripMargin,
     "jdbc_sink_roundtrip" ->
-      """SELECT event_type, round(sum(value), 4) AS total_points, count(*) AS n
+      """SELECT event_type, round(CAST(sum(value) AS DOUBLE), 4) AS total_points, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     // the dHash replayed byte-for-byte in SQL (same-arithmetic-both-
     // sides, the text_fingerprint precedent): pairs at Hamming <= 3 via
@@ -1558,13 +1558,13 @@ object SparkEntry {
          |  (cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS n_seqs
          |FROM c""".stripMargin,
     "wh_partition_prune" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+      """SELECT event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 4) AS total
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+        |       count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     // direct aggregation over raw events: equality proves the stored
     // (sum, count, min, max) state merge is lossless
@@ -1582,7 +1582,7 @@ object SparkEntry {
     // exactly once
     "streaming_backfill_cutover" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
-        |       round(sum(value), 4) AS total, count(*) AS n
+        |       round(CAST(sum(value) AS DOUBLE), 4) AS total, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
     // session_window semantics on second-quantized time: TOUCHING windows
     // MERGE — the split rule is > gap, same as sessionize's lag rule
@@ -1610,7 +1610,7 @@ object SparkEntry {
     // the raw table
     "wh_zorder_range" ->
       """SELECT count(*) AS n,
-        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 3000
         |  AND l_partkey BETWEEN 100 AND 800""".stripMargin,
@@ -1703,7 +1703,7 @@ object SparkEntry {
     "wh_orc_roundtrip" ->
       """SELECT l_returnflag,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
         |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
         |GROUP BY 1""".stripMargin,
     // CSV wire leg: same index arithmetic replayed from range()
@@ -2321,7 +2321,7 @@ object SparkEntry {
         |        sum(n) OVER (ORDER BY score
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ncum
         |      FROM c)
-        |SELECT CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+        |SELECT CASE WHEN CAST(sum(p) AS BIGINT) > 0 AND CAST(sum(n) AS BIGINT) > 0 THEN
         |         round(CAST(sum(p * (2 * (ncum - n) + n)) AS DOUBLE) /
         |               (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 4)
         |       END AS auc,

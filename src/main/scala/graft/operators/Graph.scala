@@ -361,10 +361,21 @@ object Graph {
     // trips it needs the scaladoc's quantum drop (m = 1e6), not a
     // silent wrong answer.
     def guardRaw(raw: DataFrame, side: String): Unit = {
-      val mx = raw.agg(max("raw")).head.getLong(0)
-      require(mx <= Long.MaxValue / m,
-        s"hits: $side max raw score $mx overflows the normalization " +
-          s"multiply raw*$m (>= 2^63); lower the quantum m for this corpus")
+      // r14 (advice): max() over an EMPTY frame is null — getLong(0)
+      // then threw an opaque NPE instead of this guard's message (an
+      // empty side is legal: a graph with zero in-edges on one side);
+      // and a sum(h*w) that already WRAPPED negative upstream passed
+      // `mx <= MaxValue/m` trivially, silently bypassing the guard. An
+      // empty frame is fine (nothing to overflow); a negative max is the
+      // wrap itself and must fail as loudly as the pre-wrap case.
+      val row = raw.agg(max("raw")).head
+      if (!row.isNullAt(0)) {
+        val mx = row.getLong(0)
+        require(mx >= 0 && mx <= Long.MaxValue / m,
+          s"hits: $side max raw score $mx overflows the normalization " +
+            s"multiply raw*$m (>= 2^63, or already wrapped negative); " +
+            "lower the quantum m for this corpus")
+      }
     }
     var hub = custs.select(col("c"), lit(m / nC).as("h"))
     var auth: DataFrame = null

@@ -64,7 +64,37 @@ class DocsSpec extends AnyFunSuite {
     // BIGINT even when every value is identical — exactly the text_bm25
     // red row of round 12. Intermediate CTE sums are fine (consumed by
     // casted expressions); the guard covers the last SELECT's projection.
-    val bare = "(?i)(?<!CAST\\()\\bsum\\((?:[^()]|\\([^()]*\\))*\\)\\s+AS\\s".r
+    // r14 broadening (advice): the old regex only caught `sum(...) AS`
+    // with one nesting level — `sum(x)*2 AS c`, `sum(a)+sum(b) AS t`, or
+    // doubly-nested arguments escaped it. This version is paren-aware
+    // and flags ANY final-projection `sum(` that is not enclosed in some
+    // CAST(...) span (a few false positives — e.g. double sums — are
+    // acceptable: a no-op CAST(... AS DOUBLE) satisfies the guard and
+    // documents the result type the comparator hashes).
+    def hasUncastSum(proj: String): Boolean = {
+      val s = proj
+      val up = s.toUpperCase
+      // stack of open parens; true = opened by a CAST identifier
+      var stack = List.empty[Boolean]
+      var i = 0
+      var offending = false
+      while (i < s.length && !offending) {
+        s.charAt(i) match {
+          case '(' =>
+            val before = up.substring(0, i).reverse.dropWhile(_ == ' ')
+            val isCast = before.startsWith("TSAC") &&
+              (before.length == 4 || !before.charAt(4).isLetterOrDigit)
+            val isSum = before.startsWith("MUS") &&
+              (before.length == 3 || !(before.charAt(3).isLetterOrDigit || before.charAt(3) == '_'))
+            if (isSum && !stack.contains(true)) offending = true
+            stack = isCast :: stack
+          case ')' => if (stack.nonEmpty) stack = stack.tail
+          case _ =>
+        }
+        i += 1
+      }
+      offending
+    }
     val offenders = SparkEntry.oracleSql.collect { case (k, sql)
         if {
           val lastSel = sql.toUpperCase.lastIndexOf("SELECT")
@@ -73,11 +103,11 @@ class DocsSpec extends AnyFunSuite {
             case -1 => proj
             case i  => proj.substring(0, i)
           }
-          bare.findFirstIn(upTo).isDefined
+          hasUncastSum(upTo)
         } => k
     }
     assert(offenders.isEmpty,
-      s"oracles alias a bare sum() in their final projection (DuckDB " +
+      s"oracles carry an uncast sum() in their final projection (DuckDB " +
         s"HUGEINT vs Spark BIGINT hash trap): ${offenders.toSeq.sorted}")
   }
 

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** Round-13 gates: the capped-k-means bucketing of dedup_semantic
   * (`dedup_semantic_kmeans` — benched, not oracle-replayable: Lloyd's
   * float means have no exact DuckDB unroll, so these properties ARE its
-  * correctness contract) and the streaming_topk serving-plan shape.
+  * correctness contract), the LPA/modularity driver-side replays, and
+  * the q_pagerank loop-plan regression pin. (The streaming_topk
+  * serving-plan pin lives in Round12Spec, not here — r13 doc drift.)
   */
 class Round13Spec extends SparkSpec {
 
@@ -151,31 +153,38 @@ class Round13Spec extends SparkSpec {
       case q: QueryStageExec => expand(q.plan)
       case other => other
     }
-    // count exchanges sitting on the STREAMED (edge) side of each rank
-    // join: walk from each ShuffledHashJoin's left child down to the
-    // first InMemoryTableScan or Exchange
-    var rankJoins = 0
-    var edgeExchanges = 0
+    // r14 robustness (advice): the original walk assumed the edge cache
+    // streams on each rank join's LEFT child and identified rank joins by
+    // a 'src' substring in leftKeys — a legitimate future plan that flips
+    // build/stream sides or renames the key would make the pin vacuous.
+    // This version is side- and name-agnostic: a join "streams the cache
+    // directly" iff EITHER child reaches an InMemoryTableScan without
+    // crossing an Exchange or another join. The 5 per-iteration rank
+    // joins are the only cache consumers in the top-level plan (the deg
+    // join lives INSIDE the cached relation), so a regression that
+    // re-exchanges the cached edge side drops the count below 5.
+    var cacheStreamingJoins = 0
+    def directCache(c0: SparkPlan): Boolean = expand(c0) match {
+      case _: ShuffleExchangeLike => false
+      case n if n.nodeName.contains("InMemoryTableScan") => true
+      case n if n.nodeName.contains("Join") => false
+      case n => n.children.exists(directCache)
+    }
     def walk(p0: SparkPlan): Unit = {
       val p = expand(p0)
       p match {
-        case j: ShuffledHashJoinExec if j.leftKeys.map(_.sql).exists(_.contains("src")) =>
-          rankJoins += 1
-          def down(c0: SparkPlan): Unit = expand(c0) match {
-            case _: ShuffleExchangeLike => edgeExchanges += 1
-            case n if n.nodeName.contains("InMemoryTableScan") => ()
-            case n => n.children.foreach(down)
-          }
-          down(j.left)
+        case j: ShuffledHashJoinExec =>
+          if (j.children.exists(directCache)) cacheStreamingJoins += 1
         case _ =>
       }
       p.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    assert(rankJoins >= 5, s"expected the 5 per-iteration rank joins, saw $rankJoins")
-    assert(edgeExchanges == 0,
-      s"$edgeExchanges exchange(s) above the cached edge side — the r13 " +
-        "cached-partitioning fix has regressed (see Graph.pageRank's scaladoc)")
+    assert(cacheStreamingJoins >= 5,
+      s"only $cacheStreamingJoins join(s) stream the edge cache directly " +
+        "(expected the 5 per-iteration rank joins) — an exchange has " +
+        "appeared above the cached edge side; the r13 cached-partitioning " +
+        "fix has regressed (see Graph.pageRank's scaladoc)")
   }
 
   test("dedup_semantic_kmeans default config emits work at the test fixture") {

@@ -10,7 +10,7 @@ documents 50k/sf, embeddings 20k/sf) — so per-key timings are comparable
 with the sf0.1 bench, just bigger. NOT part of the shipped library; NOT a
 replacement for the driver's data (correctness still gates on sf0.01).
 
-Usage: python3 tools/gen_sf.py <sf> <outdir> [--zipf]
+Usage: python3 tools/gen_sf.py <sf> <outdir> [--zipf | --zipf-graph]
        e.g. 1 /root/repo/data/sf1
 
 --zipf: write ONLY the documents table, drawn from a 50k-word Zipfian
@@ -21,6 +21,17 @@ dedups' sf5 superlinearity is diagnosed as a uniform-df artifact of the
 candidate scheme eats the Σ cdf·fdf posting-collision stream); a natural
 corpus has power-law df, almost all shingles rare, and the same plans
 should scale ~linearly. The zipf dirs exist to measure exactly that.
+
+--zipf-graph: write ONLY region/nation/orders/lineitem (the inputs the
+graph family builds its customer<->supplier edges from), with o_custkey
+and l_suppkey drawn ZIPFIAN (alpha=1.2) instead of uniform — a web-graph
+degree skew where the top supplier absorbs ~15-20%% of all lineitems.
+Purpose (r14 verdict item): the TPC-H-derived graph the loops are benched
+on has a benign (near-uniform) degree distribution, so `hash(src, N)`
+partitioning looks safe by construction; at 100 TB web-graph skew a hub's
+entire edge list lands in ONE task. This fixture measures exactly that
+failure mode on q_pagerank/q_hits/q_label_prop — same row counts as the
+default mode, one changed variable (the key distributions).
 """
 import sys, json
 import numpy as np
@@ -30,6 +41,7 @@ import pyarrow.parquet as pq
 sf = float(sys.argv[1])
 out = sys.argv[2]
 zipf = "--zipf" in sys.argv[3:]
+zipf_graph = "--zipf-graph" in sys.argv[3:]
 rng = np.random.default_rng(42)
 import os
 os.makedirs(out, exist_ok=True)
@@ -84,6 +96,49 @@ if zipf:
         "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
     }))
     print("done (zipf documents only)", out)
+    sys.exit(0)
+
+if zipf_graph:
+    # power-law key draw: p(rank k) ∝ 1/k^1.2 over n ids, one
+    # inverse-CDF searchsorted per row (the --zipf trick). Ranks are
+    # SHUFFLED onto ids so the hub keys are not 0,1,2,... — partition
+    # placement must not accidentally correlate with key order.
+    def zipf_keys(n_ids, n_rows):
+        p = 1.0 / np.arange(1, n_ids + 1) ** 1.2
+        cdf = np.cumsum(p / p.sum())
+        perm = rng.permutation(n_ids)
+        return perm[np.searchsorted(cdf, rng.random(n_rows), side="right")]
+    for t in ("region", "nation"):
+        write(t, pq.read_table(f"/root/testdata/sf0.1/{t}.parquet"))
+    odate = (d0z := np.datetime64("1995-01-01").astype("datetime64[ms]").astype(np.int64)) + \
+        rng.integers(0, 2400, n_ord) * 86_400_000
+    write("orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(zipf_keys(n_cust, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]),
+        "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
+        "o_orderdate": pa.array(odate, pa.timestamp("ms")),
+        "o_orderpriority": pa.array(np.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])[
+            rng.integers(0, 5, n_ord)]),
+    }))
+    lo = rng.integers(0, n_ord, n_li)
+    lo.sort()
+    write("lineitem", pa.table({
+        "l_orderkey": pa.array(lo, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(zipf_keys(n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(np.ones(n_li, np.int32), pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
+        "l_shipdate": pa.array(odate[lo] + rng.integers(1, 96, n_li) * 86_400_000,
+                               pa.timestamp("ms")),
+    }))
+    print("done (zipf-graph orders+lineitem only)", out)
     sys.exit(0)
 
 # region / nation: copy the driver's literal tables (fixed at every sf)
