@@ -245,16 +245,58 @@ object Graph {
     * Σ deg² a hub would pay under id-only orientation; each triangle is
     * emitted exactly once (its ≺-minimal vertex owns it). The projection
     * self-join runs on ONE cached supplier-partitioned (s, c) frame (one
-    * exchange serves both sides), and per-supplier fan-out is bounded by
-    * the repeat-trade rule (w ≥ 2 pairs thin out as corpora grow — the
-    * coincidence density argument in PLANS round-12).
+    * exchange serves both sides); per-supplier fan-out is bounded by the
+    * repeat-trade rule on natural TPC-H-shaped data (the coincidence
+    * density argument in PLANS round-12) AND, since r14, by
+    * [[cotradeEdges]]' declared `smax` ubiquitous-supplier cap — the
+    * zipf-degree fixture showed the density argument alone fails on a
+    * power-law graph (a 116k-customer hub ⇒ 10.9B uncapped pairs).
     *
     * Everything is exact integer arithmetic: the clustering coefficient
     * is quantized once as `(2e6 · tri) div (deg · (deg−1))` — operands
     * positive, so Spark `div` == DuckDB `//`; nodes in the output have
     * deg ≥ 2 by construction (a triangle forces pairwise edges), so the
     * denominator is never 0. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangles(spark: SparkSession, dir: String,
+      smax: Int = CotradeSmax): DataFrame = {
+    val edges = cotradeEdges(spark, dir, smax)
+    val deg = cotradeDeg(edges)
+    val tri = orientedTriangles(edges, deg)
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+      .join(deg, "n")
+      .orderBy(col("n_triangles").desc, col("n"))
+      .limit(20)
+      .select(col("n").as("c_custkey"), col("n_triangles"),
+        col("d").as("degree"),
+        expr("(2000000 * n_triangles) div (d * (d - 1))").as("cc_q6"))
+  }
+
+  /** The co-trade projection edge set `(a, b), a < b` — customers linked
+    * iff some supplier counts BOTH among its repeat customers (the
+    * co-citation projection of [[components]]' bipartite edge rule) —
+    * shared by [[triangles]], [[transitivity]] and [[linkPredict]].
+    *
+    * ONE supplier exchange, cached, serving BOTH sides of the projection
+    * self-join — the join is co-partitioned by construction. Explicit
+    * count so the cache reports exact hashpartitioning the self-join can
+    * consume (the pageRank cached-partitioning trap).
+    *
+    * `smax` (default 1024, a DECLARED contract every consumer's oracle
+    * mirrors) drops suppliers with MORE than `smax` repeat customers
+    * from the projection — the co-occurrence stopword rule: a supplier
+    * k customers share is k·(k−1)/2 projection pairs carrying no
+    * co-trade signal beyond "both trade with a hub" (Suri &
+    * Vassilvitskii's last-reducer curse strikes at the PROJECTION here,
+    * before their orientation can help). The coincidence-density
+    * argument that bounds per-supplier fan-out on natural TPC-H-shaped
+    * data (fixture max: 4 at sf5/sf10, 9 at sf1 — the cap never binds
+    * below it) fails by construction on a power-law graph: the r14
+    * zipf-degree fixture has a 115,988-customer hub supplier and
+    * 10.86 BILLION uncapped pairs at sf5; smax=1024 keeps 49,102 of
+    * 49,203 suppliers (99.8%) and bounds the stream at 52M. */
+  private def cotradeEdges(spark: SparkSession, dir: String,
+      smax: Int = CotradeSmax): DataFrame = {
     val t = graft.Tables(spark, dir)
     val cs0 = t.lineitem.select("l_orderkey", "l_suppkey")
       .join(t.orders.select("o_orderkey", "o_custkey"),
@@ -263,20 +305,32 @@ object Graph {
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
       .select("s", "c")
-    // ONE supplier exchange, cached, serving BOTH sides of the
-    // projection self-join — the join is co-partitioned by construction.
-    // Explicit count so the cache reports exact hashpartitioning the
-    // self-join can consume (the pageRank cached-partitioning trap).
-    val cs = graft.GraftSession.trackCache(cs0.repartition(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("s")))
-    val edges = graft.GraftSession.trackCache(
+    val keep = cs0.groupBy("s").agg(count(lit(1)).as("sc"))
+      .where(col("sc") <= smax).select("s")
+    val cs = graft.GraftSession.trackCache(cs0
+      .join(keep, Seq("s"), "left_semi")
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("s")))
+    graft.GraftSession.trackCache(
       cs.as("x").join(cs.as("y"),
           col("x.s") === col("y.s") && col("x.c") < col("y.c"))
         .select(col("x.c").as("a"), col("y.c").as("b"))
         .distinct())
-    val deg = edges.select(col("a").as("n"))
+  }
+
+  /** The declared ubiquitous-supplier cap of [[cotradeEdges]]. */
+  val CotradeSmax = 1024
+
+  /** Projection degrees `(n, d)` over a [[cotradeEdges]] frame. */
+  private def cotradeDeg(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("n"))
       .unionByName(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+
+  /** Each projection triangle exactly once as `(u, v, w)` — the Suri &
+    * Vassilvitskii degree-oriented wedge + edge semi-join construction
+    * [[triangles]]' scaladoc documents; its ≺-minimal vertex owns it. */
+  private def orientedTriangles(edges: DataFrame, deg: DataFrame): DataFrame = {
     // orient a→b iff (deg, id) of a precedes b's; keep the dst's degree
     // so the wedge build can order out-neighbors by the same total order
     val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
@@ -292,16 +346,91 @@ object Graph {
     val wedges = ed.as("e1").join(ed.as("e2"),
         col("e1.src") === col("e2.src") && prec)
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-    val tri = wedges.join(
+    wedges.join(
       ed.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "left_semi")
-    tri.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
-      .join(deg, "n")
-      .orderBy(col("n_triangles").desc, col("n"))
+  }
+
+  /** Global transitivity (`q_transitivity`) — the one-number cohesion
+    * summary read next to [[triangles]]' per-node top-20: the fraction
+    * of wedges (length-2 paths) that close into triangles,
+    * `3·T / W` with `W = Σ_n d(n)·(d(n)−1)/2` (Newman, SIAM Rev. 2003
+    * §3.2 — the "global clustering coefficient" every large-graph
+    * toolkit reports beside the local one).
+    *
+    * Float contract = [[assortativity]]'s exactly: T and W are exact
+    * BIGINT counts (the triangle count rides [[orientedTriangles]]'
+    * once-per-triangle ownership; `(d·(d−1)) div 2` is exact — the
+    * product is even and positive, so Spark `div` == DuckDB `//`), then
+    * ONE pinned double chain `3.0 · T / W` rounded once to 6 decimals;
+    * a wedgeless graph reports 0 by declared contract (both engines
+    * CASE on `W = 0`, so no engine-specific ÷0 semantics leak in).
+    * Scale shape: the O(m^1.5)-bounded oriented wedge stream is the only
+    * super-linear intermediate; everything after is single-row. */
+  def transitivity(spark: SparkSession, dir: String,
+      smax: Int = CotradeSmax): DataFrame = {
+    val edges = cotradeEdges(spark, dir, smax)
+    val deg = cotradeDeg(edges)
+    val triN = orientedTriangles(edges, deg).agg(count(lit(1)).as("n_triangles"))
+    val eN = edges.agg(count(lit(1)).as("n_edges"))
+    // coalesce: an EMPTY projection (possible under a tight smax) sums
+    // to NULL in both engines — pin the declared W=0 → 0 contract instead
+    deg.agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)).as("n_wedges"))
+      .crossJoin(broadcast(eN)).crossJoin(broadcast(triN))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("transitivity"))
+  }
+
+  /** Resource-Allocation link prediction (`q_link_predict`, Zhou, Lü &
+    * Zhang, Eur. Phys. J. B 2009 — the top performer of the local
+    * similarity indices in their benchmark, Adamic–Adar's 1/d sibling)
+    * over the co-trade projection: for each NON-adjacent customer pair
+    * at distance 2, score `Σ_z 1/d(z)` over their common neighbors `z`,
+    * and report the top 20 predicted links — the "who will trade
+    * together next" primitive, and in curation terms the
+    * missing-hyperlink/related-domain signal.
+    *
+    * Cross-engine exactness is free here, unlike Adamic–Adar's
+    * `Σ 1/ln d`: the per-center weight is quantized ONCE as the integer
+    * `1e6 div d(z)` (positive operands, Spark `div` == DuckDB `//`) and
+    * the score is its exact BIGINT sum, so no float enters the ranking;
+    * ties break by `(u, v)`.
+    *
+    * Scale shape: the wedge self-join runs on ONE cached
+    * hash(z, n)-partitioned adjacency frame (both directions of each
+    * projection edge), so the join is co-partitioned by construction.
+    * Centers with `d(z) > dmax` (default 256, a DECLARED contract the
+    * oracle mirrors) are pruned BEFORE the self-join: a hub center
+    * contributes `d²` wedge rows of weight `1/d` each — quadratic cost
+    * for vanishing signal — so the cap bounds the wedge stream by
+    * `dmax · Σ d` where the uncapped stream is `Σ d²` (a single
+    * 100M-degree hub otherwise lands 10^16 rows in one task; this is
+    * the published sparsification, not an approximation knob tuned to
+    * the fixture — no fixture node reaches d=256 until well past sf10).
+    * The anti-join against the existing edge set runs AFTER the
+    * (u, v) aggregate, on the distinct candidate pairs. */
+  def linkPredict(spark: SparkSession, dir: String, dmax: Int = 256,
+      smax: Int = CotradeSmax): DataFrame = {
+    val edges = cotradeEdges(spark, dir, smax)
+    val deg = cotradeDeg(edges)
+    val adj0 = edges.select(col("a").as("z"), col("b").as("x"))
+      .unionByName(edges.select(col("b").as("z"), col("a").as("x")))
+      .join(deg.select(col("n").as("z"), col("d")), "z")
+      .where(col("d") <= dmax)
+    val adj = graft.GraftSession.trackCache(adj0.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("z")))
+    val scored = adj.as("p").join(adj.as("q"),
+        col("p.z") === col("q.z") && col("p.x") < col("q.x"))
+      .select(col("p.x").as("u"), col("q.x").as("v"),
+        expr("1000000 div p.d").as("wgt"))
+      .groupBy("u", "v").agg(sum("wgt").as("ra_q6"))
+    scored.join(edges.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("ra_q6").desc, col("u"), col("v"))
       .limit(20)
-      .select(col("n").as("c_custkey"), col("n_triangles"),
-        col("d").as("degree"),
-        expr("(2000000 * n_triangles) div (d * (d - 1))").as("cc_q6"))
+      .select(col("u").as("cust_a"), col("v").as("cust_b"), col("ra_q6"))
   }
 
   /** Weighted HITS (`q_hits`, Kleinberg 1999) on the directed
@@ -345,7 +474,28 @@ object Graph {
     // checkpointed score table is shuffled each half-step.
     val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val byC = graft.GraftSession.trackCache(pairs.repartition(nShuf, col("c")))
-    val byS = graft.GraftSession.trackCache(byC.repartition(nShuf, col("s")))
+    // MEMORY/SHUFFLE TRADE, conf-selectable (r14 verdict item — the sf10
+    // full-pass OOM headroom question): the DEFAULT double layout caches
+    // the edge set TWICE (byC for the authority half-step, byS for the
+    // hub half-step) so neither half-step ever exchanges the edge
+    // stream; `spark.graft.hits.singleLayout=true` drops the second
+    // copy — the hub half-step then re-exchanges the edge stream by `s`
+    // once per iteration (4 edge exchanges/run) in return for half the
+    // cached-edge block footprint. A/B at sf10 under the 8 g bench JVM
+    // (solo, data/sf10, measured r14): double layout 48.4 s / 9.9 GB
+    // shuffle vs single layout 50.2 s / 12.2 GB shuffle (spill
+    // accounting ~18-19 GB both ways — the memoryBytesSpilled artifact,
+    // see repeatTradeSym's note) — the second cached copy is ~4% faster
+    // at +2.3 GB exchanged, so it stays the default and the OOM margin
+    // question is answered by the r13 eager per-half-step cache release
+    // plus the r14 full-pass evidence; the flag remains for
+    // memory-capped deployments (at web scale the cached copy is
+    // edge-sized while the exchange is per-iteration — rerun the A/B at
+    // YOUR edge count before flipping it).
+    val singleLayout =
+      spark.conf.getOption("spark.graft.hits.singleLayout").exists(_.toBoolean)
+    val byS = if (singleLayout) null
+      else graft.GraftSession.trackCache(byC.repartition(nShuf, col("s")))
     val custs = graft.GraftSession.trackCache(byC.select("c").distinct())
     val nC = custs.count()
     // loud overflow guard (r12 advice), on the TIGHT quantity: the
@@ -408,7 +558,7 @@ object Graph {
       // OOM at this key (r13, disclosed in SURVEY §6)
       aRaw.unpersist()
       val hRaw = graft.GraftSession.trackCache(
-        byS.join(auth.hint("shuffle_hash"), "s")
+        (if (singleLayout) byC else byS).join(auth.hint("shuffle_hash"), "s")
           .groupBy("c").agg(sum(expr("a * w")).as("raw")))
       guardRaw(hRaw, "hub")
       hub = hRaw
