@@ -32,3 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc forked-JVM flags for probe/bench runs (e.g.
+// -Dspark.graft.hits.quantum=1000000 for the zipf-graph skew probe)
+// without editing the build per run; SparkConf absorbs any
+// -Dspark.* system property at session build.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

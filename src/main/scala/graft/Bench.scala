@@ -224,7 +224,11 @@ object Bench {
     // synchronous LPA: 4 label-mode rounds on the shared cached edge layout
     "q_label_prop",
     // Newman modularity of the LPA partition (exact moments + one chain)
-    "q_modularity")
+    "q_modularity",
+    // round-14: global clustering coefficient (oriented triangle count +
+    // exact wedge moments) and Resource-Allocation link prediction (the
+    // dmax-capped wedge self-join over the co-trade projection)
+    "q_transitivity", "q_link_predict")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the
@@ -286,6 +290,19 @@ object Bench {
     try {
       names.foreach { name =>
         queries.get(name).foreach { fn =>
+          // Deterministic heap reclamation BETWEEN timed keys (r14),
+          // OUTSIDE the timed window: localCheckpoint blocks, lz4/read-
+          // ahead buffers and ContextCleaner-pending refs from the
+          // previous key otherwise linger until an arbitrary GC, and at
+          // sf10 the 197-key pass sits close enough to the 8 g single-JVM
+          // cliff that the residue decided whether the graph family's
+          // entry key survived (r13: one pass completed, the next OOM'd
+          // at q_hits; r14 pre-fix: OOM'd at q_pagerank after 180 green
+          // keys). Each key now starts from a reclaimed heap — the heap
+          // analog of sweepCaches' blocking unpersist discipline. Wall
+          // times are unaffected (the timer starts after); the cost is
+          // untimed inter-key milliseconds.
+          if (instrument) System.gc()
           listener.foreach(_.snapshotAndReset()) // drop the previous query's tail
           val cpu0 = if (instrument) ProcStat.read() else null
           val t0 = System.nanoTime()

@@ -330,6 +330,12 @@ object SparkEntry {
     // degree-oriented triangle counting (Suri-Vassilvitskii) on the
     // co-trade projection + exact-integer clustering coefficient
     "q_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    // global clustering coefficient 3T/W: exact BIGINT triangle/wedge
+    // counts + one pinned double chain (assortativity's float contract)
+    "q_transitivity" -> ((s, d) => Graph.transitivity(s, d)),
+    // Resource-Allocation link prediction over the co-trade projection:
+    // exact 1e6-div-degree integer weights, declared dmax=256 hub cap
+    "q_link_predict" -> ((s, d) => Graph.linkPredict(s, d)),
     // weighted HITS, 4 L1-normalized half-step pairs in 1e-9-unit BIGINT
     "q_hits" -> ((s, d) => Graph.hits(s, d)),
     // PMI collocations over adjacent word pairs, support floor 5,
@@ -695,10 +701,13 @@ object SparkEntry {
     * set semantics; the quantized clustering coefficient is one flooring
     * division of positive BIGINTs (`//` == Spark `div`). */
   private def trianglesSql: String =
-    """WITH tr_cs AS MATERIALIZED (
+    """WITH tr_cs0 AS MATERIALIZED (
       |  SELECT l_suppkey AS s, o_custkey AS c
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tr_cs AS MATERIALIZED (
+      |  SELECT s, c FROM tr_cs0 WHERE s IN (
+      |    SELECT s FROM tr_cs0 GROUP BY s HAVING count(*) <= 1024)),
       |tr_e0 AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
       |          FROM tr_cs x JOIN tr_cs y ON x.s = y.s AND x.c < y.c),
       |tr_dg AS MATERIALIZED (SELECT n, count(*) AS d FROM (
@@ -722,6 +731,70 @@ object SparkEntry {
       |       (2000000 * p.n_triangles) // (g.d * (g.d - 1)) AS cc_q6
       |FROM tr_per p JOIN tr_dg g ON p.n = g.n
       |ORDER BY p.n_triangles DESC, p.n LIMIT 20""".stripMargin
+
+  /** `q_transitivity` oracle: same projection; the triangle count uses
+    * the orientation-free `a<b<c` triple join (each triangle counted
+    * once by ordering alone — provably the same count as the Spark
+    * side's degree-oriented ownership), the wedge count is the exact
+    * `Σ (d·(d−1))//2`, and the single double chain `3.0·T/W` mirrors the
+    * Spark operand order with the `W = 0 → 0` case pinned in both. */
+  private def transitivitySql: String =
+    """WITH tv_cs0 AS MATERIALIZED (
+      |  SELECT l_suppkey AS s, o_custkey AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tv_cs AS MATERIALIZED (
+      |  SELECT s, c FROM tv_cs0 WHERE s IN (
+      |    SELECT s FROM tv_cs0 GROUP BY s HAVING count(*) <= 1024)),
+      |tv_e AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
+      |         FROM tv_cs x JOIN tv_cs y ON x.s = y.s AND x.c < y.c),
+      |tv_dg AS (SELECT n, count(*) AS d FROM (
+      |    SELECT a AS n FROM tv_e UNION ALL SELECT b AS n FROM tv_e)
+      |  GROUP BY 1),
+      |tv_t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM tv_e e1 JOIN tv_e e2 ON e1.b = e2.a
+      |       JOIN tv_e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tv_m AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |                COALESCE(CAST(sum((d * (d - 1)) // 2) AS BIGINT), 0)
+      |                  AS n_wedges
+      |         FROM tv_dg),
+      |tv_ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM tv_e)
+      |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+      |       CASE WHEN n_wedges = 0 THEN 0.0
+      |            ELSE ROUND(3.0 * CAST(n_triangles AS DOUBLE)
+      |                 / CAST(n_wedges AS DOUBLE), 6) END AS transitivity
+      |FROM tv_m, tv_ec, tv_t""".stripMargin
+
+  /** `q_link_predict` oracle: same projection + degrees; the wedge
+    * self-join over the dmax-capped adjacency, the exact
+    * `1e6 // d(z)` BIGINT weight sum per candidate pair, NOT EXISTS
+    * against the edge set, (score DESC, u, v) top-20 — pure integer
+    * semantics end to end. */
+  private def linkPredictSql(dmax: Int): String =
+    s"""WITH lp_cs0 AS MATERIALIZED (
+       |  SELECT l_suppkey AS s, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |lp_cs AS MATERIALIZED (
+       |  SELECT s, c FROM lp_cs0 WHERE s IN (
+       |    SELECT s FROM lp_cs0 GROUP BY s HAVING count(*) <= 1024)),
+       |lp_e AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
+       |         FROM lp_cs x JOIN lp_cs y ON x.s = y.s AND x.c < y.c),
+       |lp_dg AS (SELECT n, count(*) AS d FROM (
+       |    SELECT a AS n FROM lp_e UNION ALL SELECT b AS n FROM lp_e)
+       |  GROUP BY 1),
+       |lp_adj AS MATERIALIZED (
+       |  SELECT e.z, e.x, g.d
+       |  FROM (SELECT a AS z, b AS x FROM lp_e
+       |        UNION ALL SELECT b AS z, a AS x FROM lp_e) e
+       |  JOIN lp_dg g ON e.z = g.n WHERE g.d <= $dmax),
+       |lp_sc AS (
+       |  SELECT p.x AS u, q.x AS v, CAST(sum(1000000 // p.d) AS BIGINT) AS ra_q6
+       |  FROM lp_adj p JOIN lp_adj q ON p.z = q.z AND p.x < q.x
+       |  GROUP BY 1, 2)
+       |SELECT u AS cust_a, v AS cust_b, ra_q6 FROM lp_sc
+       |WHERE NOT EXISTS (SELECT 1 FROM lp_e WHERE a = u AND b = v)
+       |ORDER BY ra_q6 DESC, u, v LIMIT 20""".stripMargin
 
   /** `q_hits` oracle: the weighted HITS recurrence unrolled — per
     * iteration an authority half-step (in-edge `Σ h·w` + `raw·M // tot`
@@ -2778,6 +2851,11 @@ object SparkEntry {
     // degree-oriented wedge construction + EXISTS closure, pure set
     // semantics; cc is one flooring division of positive BIGINTs
     "q_triangles" -> trianglesSql,
+    // orientation-free a<b<c triple-join triangle count + exact wedge
+    // moments + the single pinned 3.0·T/W double chain
+    "q_transitivity" -> transitivitySql,
+    // capped wedge self-join + exact 1e6//d weight sums + NOT EXISTS
+    "q_link_predict" -> linkPredictSql(256),
     // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds
     "q_seed_distance" -> seedDistanceSql(4),
     // 8 unrolled MATERIALIZED peel rounds, pure set semantics

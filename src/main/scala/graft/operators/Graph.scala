@@ -459,7 +459,15 @@ object Graph {
     * state stays distributed. */
   def hits(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
     val t = graft.Tables(spark, dir)
-    val m = 1000000000L
+    // `spark.graft.hits.quantum`: the scaladoc's 100 TB remedy made
+    // operational — on power-law edge WEIGHTS the wmax ≤ 9 envelope
+    // breaks (zipf-graph fixture: max raw 21.9e9 at m = 1e9, the guard
+    // below refuses) and the fix is a coarser quantum, NOT a bigger
+    // int. The DuckDB oracle replays the DEFAULT instance (conf unset);
+    // a non-default quantum is an operational choice the caller owns,
+    // results stay deterministic at any m (Round14Spec pins both).
+    val m = spark.conf.getOption("spark.graft.hits.quantum")
+      .map(_.toLong).getOrElse(1000000000L)
     val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
       .join(t.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -475,26 +483,30 @@ object Graph {
     val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val byC = graft.GraftSession.trackCache(pairs.repartition(nShuf, col("c")))
     // MEMORY/SHUFFLE TRADE, conf-selectable (r14 verdict item — the sf10
-    // full-pass OOM headroom question): the DEFAULT double layout caches
-    // the edge set TWICE (byC for the authority half-step, byS for the
-    // hub half-step) so neither half-step ever exchanges the edge
-    // stream; `spark.graft.hits.singleLayout=true` drops the second
-    // copy — the hub half-step then re-exchanges the edge stream by `s`
-    // once per iteration (4 edge exchanges/run) in return for half the
-    // cached-edge block footprint. A/B at sf10 under the 8 g bench JVM
-    // (solo, data/sf10, measured r14): double layout 48.4 s / 9.9 GB
-    // shuffle vs single layout 50.2 s / 12.2 GB shuffle (spill
-    // accounting ~18-19 GB both ways — the memoryBytesSpilled artifact,
-    // see repeatTradeSym's note) — the second cached copy is ~4% faster
-    // at +2.3 GB exchanged, so it stays the default and the OOM margin
-    // question is answered by the r13 eager per-half-step cache release
-    // plus the r14 full-pass evidence; the flag remains for
-    // memory-capped deployments (at web scale the cached copy is
+    // full-pass OOM headroom question). Two layouts: DOUBLE caches the
+    // edge set TWICE (byC for the authority half-step, byS for the hub
+    // half-step) so neither half-step ever exchanges the edge stream;
+    // SINGLE drops the second copy — the hub half-step then re-exchanges
+    // the edge stream by `s` once per iteration (4 edge exchanges/run)
+    // for half the cached-edge block footprint. A/B at sf10 under the
+    // 8 g bench JVM (solo, data/sf10, measured r14): double 48.4 s /
+    // 9.9 GB shuffle vs single 50.2 s / 12.2 GB (spill accounting
+    // ~18-19 GB both ways — the memoryBytesSpilled artifact, see
+    // repeatTradeSym's note). The DECIDER (the verdict's "keep whichever
+    // completes the full pass" rule): inside the 197-key sf10 pass the
+    // double layout OOM'd the 8 g JVM at this key even after the r13
+    // eager raw-cache release AND the r14 inter-key System.gc — the
+    // second edge copy is exactly the margin — while single completes.
+    // So SINGLE is the default: ~4% solo wall for half the footprint is
+    // the right trade at bench-like memory-per-core;
+    // `spark.graft.hits.doubleLayout=true` restores the double layout
+    // for memory-rich clusters (results identical either way —
+    // Round14Spec pins equality; at web scale the cached copy is
     // edge-sized while the exchange is per-iteration — rerun the A/B at
     // YOUR edge count before flipping it).
-    val singleLayout =
-      spark.conf.getOption("spark.graft.hits.singleLayout").exists(_.toBoolean)
-    val byS = if (singleLayout) null
+    val doubleLayout =
+      spark.conf.getOption("spark.graft.hits.doubleLayout").exists(_.toBoolean)
+    val byS = if (!doubleLayout) null
       else graft.GraftSession.trackCache(byC.repartition(nShuf, col("s")))
     val custs = graft.GraftSession.trackCache(byC.select("c").distinct())
     val nC = custs.count()
@@ -558,7 +570,7 @@ object Graph {
       // OOM at this key (r13, disclosed in SURVEY §6)
       aRaw.unpersist()
       val hRaw = graft.GraftSession.trackCache(
-        (if (singleLayout) byC else byS).join(auth.hint("shuffle_hash"), "s")
+        (if (doubleLayout) byS else byC).join(auth.hint("shuffle_hash"), "s")
           .groupBy("c").agg(sum(expr("a * w")).as("raw")))
       guardRaw(hRaw, "hub")
       hub = hRaw
