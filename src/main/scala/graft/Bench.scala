@@ -381,6 +381,11 @@ object Bench {
     * shingle layout build) still record their wallS. */
   def renderProbeJson(timings: Seq[(String, Double)],
       probes: Seq[(String, QueryProbe)], sfDir: String): String = {
+    // r14 verdict #5: the sf10 sidecar rode a 12 GiB heap disclosed only
+    // in SURVEY prose — every sidecar now records its own JVM envelope
+    // (max heap + task slots) so the evidence file is self-describing.
+    val heapMB = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val probeMap = probes.toMap
     val ps = timings.map { case (k, w) =>
       val body = probeMap.get(k) match {
@@ -394,7 +399,7 @@ object Bench {
       }
       "\"" + k + "\":{" + body + "}"
     }.mkString("{", ",", "}")
-    s"""{"probe":$ps,"sf":"$sfDir"}"""
+    s"""{"probe":$ps,"driverMemMB":$heapMB,"cores":$cores,"sf":"$sfDir"}"""
   }
 
   /** Whole-run machine CPU accounting, echoed to stderr for humans

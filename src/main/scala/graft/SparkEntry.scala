@@ -701,13 +701,13 @@ object SparkEntry {
     * set semantics; the quantized clustering coefficient is one flooring
     * division of positive BIGINTs (`//` == Spark `div`). */
   private def trianglesSql: String =
-    """WITH tr_cs0 AS MATERIALIZED (
+    s"""WITH tr_cs0 AS MATERIALIZED (
       |  SELECT l_suppkey AS s, o_custkey AS c
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |tr_cs AS MATERIALIZED (
       |  SELECT s, c FROM tr_cs0 WHERE s IN (
-      |    SELECT s FROM tr_cs0 GROUP BY s HAVING count(*) <= 1024)),
+      |    SELECT s FROM tr_cs0 GROUP BY s HAVING count(*) <= ${Graph.CotradeSmax})),
       |tr_e0 AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
       |          FROM tr_cs x JOIN tr_cs y ON x.s = y.s AND x.c < y.c),
       |tr_dg AS MATERIALIZED (SELECT n, count(*) AS d FROM (
@@ -739,13 +739,13 @@ object SparkEntry {
     * `Σ (d·(d−1))//2`, and the single double chain `3.0·T/W` mirrors the
     * Spark operand order with the `W = 0 → 0` case pinned in both. */
   private def transitivitySql: String =
-    """WITH tv_cs0 AS MATERIALIZED (
+    s"""WITH tv_cs0 AS MATERIALIZED (
       |  SELECT l_suppkey AS s, o_custkey AS c
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |tv_cs AS MATERIALIZED (
       |  SELECT s, c FROM tv_cs0 WHERE s IN (
-      |    SELECT s FROM tv_cs0 GROUP BY s HAVING count(*) <= 1024)),
+      |    SELECT s FROM tv_cs0 GROUP BY s HAVING count(*) <= ${Graph.CotradeSmax})),
       |tv_e AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
       |         FROM tv_cs x JOIN tv_cs y ON x.s = y.s AND x.c < y.c),
       |tv_dg AS (SELECT n, count(*) AS d FROM (
@@ -777,7 +777,7 @@ object SparkEntry {
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
        |lp_cs AS MATERIALIZED (
        |  SELECT s, c FROM lp_cs0 WHERE s IN (
-       |    SELECT s FROM lp_cs0 GROUP BY s HAVING count(*) <= 1024)),
+       |    SELECT s FROM lp_cs0 GROUP BY s HAVING count(*) <= ${Graph.CotradeSmax})),
        |lp_e AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
        |         FROM lp_cs x JOIN lp_cs y ON x.s = y.s AND x.c < y.c),
        |lp_dg AS (SELECT n, count(*) AS d FROM (
@@ -2855,7 +2855,7 @@ object SparkEntry {
     // moments + the single pinned 3.0·T/W double chain
     "q_transitivity" -> transitivitySql,
     // capped wedge self-join + exact 1e6//d weight sums + NOT EXISTS
-    "q_link_predict" -> linkPredictSql(256),
+    "q_link_predict" -> linkPredictSql(Graph.LinkPredictDmax),
     // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds
     "q_seed_distance" -> seedDistanceSql(4),
     // 8 unrolled MATERIALIZED peel rounds, pure set semantics

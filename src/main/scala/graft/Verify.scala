@@ -21,6 +21,13 @@ object Verify {
         Files.createTempDirectory("graft-verify-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r14 advice: the q_hits oracle always replays the DEFAULT quantum
+    // (m = 1e9); a correctness dump run with the conf set would produce
+    // a false q_hits mismatch. A mixed-quantum compare pair must be
+    // impossible by construction, not by comment.
+    require(spark.conf.getOption("spark.graft.hits.quantum").isEmpty,
+      "verify: spark.graft.hits.quantum must be UNSET for a correctness " +
+        "dump (the DuckDB oracle replays the default m=1e9)")
     new java.io.File(outDir).mkdirs()
     // Materialize the shingle layout so the dedup family is checked over
     // the SAME path the bench times (tokenize paid once, consumers

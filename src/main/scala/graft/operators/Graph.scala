@@ -321,6 +321,11 @@ object Graph {
   /** The declared ubiquitous-supplier cap of [[cotradeEdges]]. */
   val CotradeSmax = 1024
 
+  /** The declared hub-center cap of [[linkPredict]] — shared with the
+    * oracle SQL (r14 advice: a literal duplicated engine-side and
+    * oracle-side desynchronizes silently when either changes). */
+  val LinkPredictDmax = 256
+
   /** Projection degrees `(n, d)` over a [[cotradeEdges]] frame. */
   private def cotradeDeg(edges: DataFrame): DataFrame =
     edges.select(col("a").as("n"))
@@ -411,7 +416,7 @@ object Graph {
     * the fixture — no fixture node reaches d=256 until well past sf10).
     * The anti-join against the existing edge set runs AFTER the
     * (u, v) aggregate, on the distinct candidate pairs. */
-  def linkPredict(spark: SparkSession, dir: String, dmax: Int = 256,
+  def linkPredict(spark: SparkSession, dir: String, dmax: Int = LinkPredictDmax,
       smax: Int = CotradeSmax): DataFrame = {
     val edges = cotradeEdges(spark, dir, smax)
     val deg = cotradeDeg(edges)
@@ -510,6 +515,16 @@ object Graph {
       else graft.GraftSession.trackCache(byC.repartition(nShuf, col("s")))
     val custs = graft.GraftSession.trackCache(byC.select("c").distinct())
     val nC = custs.count()
+    // r14 advice (medium): the hub init mass is the integer m/nC — a
+    // conf-lowered quantum with m < nC floors it to 0, tot becomes 0,
+    // and non-ANSI `(raw*m) div tot` emits NULL scores for the whole run
+    // while guardRaw passes trivially (max = 0) or skips (null max). A
+    // too-coarse (or zero/negative) quantum must fail HERE, loudly,
+    // before the loop ever runs.
+    require(m > 0 && m >= nC,
+      s"hits: quantum m=$m must be positive and >= customer count $nC " +
+        "(integer init mass m/nC would be 0 and every score NULL); " +
+        "raise spark.graft.hits.quantum")
     // loud overflow guard (r12 advice), on the TIGHT quantity: the
     // worst-case bound raw ≤ M·wmax would demand wmax ≤ 9, but it binds
     // only when one node captures ALL the opposite side's mass at max

@@ -95,16 +95,32 @@ class DocsSpec extends AnyFunSuite {
       }
       offending
     }
+    // r14 advice: locate the OUTERMOST final SELECT by paren depth — for
+    // an oracle that ENDS in a correlated subquery (linkPredictSql's
+    // `WHERE NOT EXISTS (SELECT 1 ...)`), lastIndexOf("SELECT") landed on
+    // the subquery and the real final projection went unchecked.
+    def finalProjection(sql: String): String = {
+      val up = sql.toUpperCase
+      var depth = 0
+      var lastSel = -1; var fromAfter = -1
+      var i = 0
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && up.startsWith("SELECT", i)) { lastSel = i; fromAfter = -1 }
+            else if (depth == 0 && fromAfter < 0 && lastSel >= 0 &&
+                up.startsWith("FROM", i)) fromAfter = i
+        }
+        i += 1
+      }
+      if (lastSel < 0) sql
+      else if (fromAfter < 0) sql.substring(lastSel)
+      else sql.substring(lastSel, fromAfter)
+    }
     val offenders = SparkEntry.oracleSql.collect { case (k, sql)
-        if {
-          val lastSel = sql.toUpperCase.lastIndexOf("SELECT")
-          val proj = sql.substring(lastSel)
-          val upTo = proj.toUpperCase.indexOf("FROM") match {
-            case -1 => proj
-            case i  => proj.substring(0, i)
-          }
-          hasUncastSum(upTo)
-        } => k
+        if hasUncastSum(finalProjection(sql)) => k
     }
     assert(offenders.isEmpty,
       s"oracles carry an uncast sum() in their final projection (DuckDB " +

@@ -18,6 +18,14 @@ out, ins = sys.argv[1], sys.argv[2:]
 docs = [json.load(open(p)) for p in ins]
 sfs = {d["sf"] for d in docs}
 assert len(sfs) == 1, f"mixed sf dirs: {sfs}"
+# The JVM envelope (r15: driverMemMB/cores ride every sidecar) must agree
+# across passes — medians of mixed-heap passes would be meaningless.
+env = {}
+for f in ("driverMemMB", "cores"):
+    vals = {d[f] for d in docs if f in d}
+    assert len(vals) <= 1, f"mixed {f} across passes: {vals}"
+    if vals:
+        env[f] = vals.pop()
 keys = []
 for d in docs:
     for k in d["probe"]:
@@ -28,7 +36,10 @@ for k in keys:
     rows = [d["probe"][k] for d in docs if k in d["probe"]]
     rows.sort(key=lambda r: r["wallS"])
     merged[k] = rows[(len(rows) - 1) // 2]  # lower median: a real pass's row
-json.dump({"probe": merged, "sf": sfs.pop()}, open(out, "w"))
+# Compact separators: BenchSpec's probe-coverage gate matches "key":{"wallS"
+# (no spaces) — Python's default ", "/": " separators broke the r14 gate.
+json.dump({"probe": merged, **env, "sf": sfs.pop()}, open(out, "w"),
+          separators=(",", ":"))
 print(f"{out}: {len(merged)} keys from {len(ins)} passes; "
       f"totals per pass: {[round(sum(r['wallS'] for r in d['probe'].values()), 2) for d in docs]}; "
       f"merged total: {round(sum(r['wallS'] for r in merged.values()), 2)}")
