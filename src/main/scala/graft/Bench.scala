@@ -228,7 +228,11 @@ object Bench {
     // round-14: global clustering coefficient (oriented triangle count +
     // exact wedge moments) and Resource-Allocation link prediction (the
     // dmax-capped wedge self-join over the co-trade projection)
-    "q_transitivity", "q_link_predict")
+    "q_transitivity", "q_link_predict",
+    // round-15: the DOULION sampled tier beside the exact triangle pair
+    // (deterministic 1/4 coin, exact count on the sample, 64x scale-up)
+    // and the N-round BPE trainer over the vocabulary-sized histogram
+    "q_triangles_approx", "text_bpe_train")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the

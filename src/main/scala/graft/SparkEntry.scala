@@ -321,6 +321,10 @@ object SparkEntry {
     // frozen-merge-table BPE application: encode once per DISTINCT word,
     // re-expand by word count — tokenizer cost rides the vocabulary
     "text_bpe_encode" -> (TextAnalysis.bpeEncode _),
+    // BPE tokenizer TRAINING: 8 learned merge rounds, each the pairs
+    // query + argmax + one replace-chain re-pair on the vocabulary-sized
+    // word histogram (closes the pairs/encode bracket)
+    "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     // Large-Star/Small-Star connected components of the repeat-trade
     // graph (Kiveris et al. 2014): 8 fixed alternations, oracle-replayed
     "q_components" -> ((s, d) => Graph.components(s, d)),
@@ -333,6 +337,11 @@ object SparkEntry {
     // global clustering coefficient 3T/W: exact BIGINT triangle/wedge
     // counts + one pinned double chain (assortativity's float contract)
     "q_transitivity" -> ((s, d) => Graph.transitivity(s, d)),
+    // DOULION edge-sampled triangle census (the SCALE tier beside the
+    // exact pair): deterministic 1/4 hash coin, exact count on the
+    // sample, unbiased 64x scale-up — all BIGINT until the one pinned
+    // transitivity double
+    "q_triangles_approx" -> ((s, d) => Graph.trianglesApprox(s, d)),
     // Resource-Allocation link prediction over the co-trade projection:
     // exact 1e6-div-degree integer weights, declared dmax=256 hub cap
     "q_link_predict" -> ((s, d) => Graph.linkPredict(s, d)),
@@ -556,6 +565,52 @@ object SparkEntry {
        |FROM tok GROUP BY 1 ORDER BY n_tokens DESC, token LIMIT 30""".stripMargin
   }
 
+  /** `text_bpe_train` oracle: the N learned merge rounds unrolled — per
+    * round, the pair census over the previous round's symbol state
+    * (split the `||`-wrapped state string, adjacent pairs weighted by
+    * word count), the `(n DESC, a, b)` top-1, and the state advance as
+    * ONE `replace('|a||b|' → '|ab|')` — the exact greedy-leftmost
+    * merge-all semantics [[operators.TextAnalysis.bpeTrain]]'s scaladoc
+    * derives (both engines' replace is non-overlapping left-to-right).
+    * Pure string + exact integer semantics, no float anywhere. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val base =
+      """WITH bt_w AS MATERIALIZED (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$')
+        |  GROUP BY 1),
+        |bt_s0 AS MATERIALIZED (
+        |  SELECT c, '||' || array_to_string(
+        |      list_transform(range(1, length(w) + 1), i -> w[i]), '||') || '||' AS st
+        |  FROM bt_w)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val prev = s"bt_s${k - 1}"
+      val pair =
+        s"""bt_p$k AS (
+           |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
+           |         CAST(sum(c) AS BIGINT) AS n
+           |  FROM (SELECT c, list_filter(string_split(st, '|'), x -> x <> '') AS sy
+           |        FROM $prev) s, unnest(range(1, len(sy))) AS u(i)
+           |  GROUP BY 1, 2),
+           |bt_b$k AS (SELECT a, b, n FROM bt_p$k ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+      // the advanced state is only consumed by the NEXT round's census
+      if (k == rounds) pair
+      else pair + s""",
+           |bt_s$k AS MATERIALIZED (
+           |  SELECT c, replace(st,
+           |    '|' || (SELECT a FROM bt_b$k) || '||' || (SELECT b FROM bt_b$k) || '|',
+           |    '|' || (SELECT a FROM bt_b$k) || (SELECT b FROM bt_b$k) || '|') AS st
+           |  FROM $prev)""".stripMargin
+    }
+    val rows = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, a AS lhs, b AS rhs, " +
+        s"a || b AS merged, n FROM bt_b$k")
+      .mkString("\nUNION ALL\n")
+    (base +: steps).mkString(",\n") + s"\n$rows"
+  }
+
   /** `q_pagerank` oracle: the integer damped-walk recurrence unrolled —
     * iteration k = per-destination inflow aggregate over the shared edge
     * CTE joined to iteration k-1's rank CTE, then the `(15*r0 + 85*in)
@@ -764,6 +819,45 @@ object SparkEntry {
       |            ELSE ROUND(3.0 * CAST(n_triangles AS DOUBLE)
       |                 / CAST(n_wedges AS DOUBLE), 6) END AS transitivity
       |FROM tv_m, tv_ec, tv_t""".stripMargin
+
+  /** `q_triangles_approx` oracle: same projection; the DETERMINISTIC
+    * 1/4 hash coin is [[Graph.triCoinSql]] verbatim (exact positive
+    * BIGINT arithmetic — Spark `%` == DuckDB `%`), the sampled-subgraph
+    * triangle count uses the orientation-free `a<b<c` triple join
+    * (provably [[Graph.trianglesApprox]]'s oriented-ownership count),
+    * the 64× scale-up is exact BIGINT, and the transitivity estimate is
+    * the same single pinned double chain as `q_transitivity`'s. */
+  private def trianglesApproxSql: String =
+    s"""WITH ta_cs0 AS MATERIALIZED (
+       |  SELECT l_suppkey AS s, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ta_cs AS MATERIALIZED (
+       |  SELECT s, c FROM ta_cs0 WHERE s IN (
+       |    SELECT s FROM ta_cs0 GROUP BY s HAVING count(*) <= ${Graph.CotradeSmax})),
+       |ta_e AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
+       |         FROM ta_cs x JOIN ta_cs y ON x.s = y.s AND x.c < y.c),
+       |ta_es AS MATERIALIZED (SELECT a, b FROM ta_e
+       |  WHERE ${Graph.triCoinSql("a", "b")}),
+       |ta_dg AS (SELECT n, count(*) AS d FROM (
+       |    SELECT a AS n FROM ta_e UNION ALL SELECT b AS n FROM ta_e)
+       |  GROUP BY 1),
+       |ta_t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles_sampled
+       |  FROM ta_es e1 JOIN ta_es e2 ON e1.b = e2.a
+       |       JOIN ta_es e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |ta_m AS (SELECT COALESCE(CAST(sum((d * (d - 1)) // 2) AS BIGINT), 0)
+       |                  AS n_wedges
+       |         FROM ta_dg),
+       |ta_ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ta_e),
+       |ta_esc AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_sampled FROM ta_es)
+       |SELECT n_edges, n_edges_sampled, n_triangles_sampled,
+       |       n_triangles_sampled * ${math.pow(Graph.TriSampleDen, 3).toLong} AS t_est,
+       |       n_wedges,
+       |       CASE WHEN n_wedges = 0 THEN 0.0
+       |            ELSE ROUND(3.0 * CAST(n_triangles_sampled
+       |                   * ${math.pow(Graph.TriSampleDen, 3).toLong} AS DOUBLE)
+       |                 / CAST(n_wedges AS DOUBLE), 6) END AS transitivity_est
+       |FROM ta_m, ta_ec, ta_esc, ta_t""".stripMargin
 
   /** `q_link_predict` oracle: same projection + degrees; the wedge
     * self-join over the dmax-capped adjacency, the exact
@@ -2846,6 +2940,7 @@ object SparkEntry {
     "q_pagerank" -> pageRankSql(5),
     // recursive-CTE replay of the frozen-merge BPE encode
     "text_bpe_encode" -> bpeSql,
+    "text_bpe_train" -> bpeTrainSql(operators.TextAnalysis.BpeTrainRounds),
     // 8 unrolled Large-Star/Small-Star alternations, pure set semantics
     "q_components" -> componentsSql(8),
     // degree-oriented wedge construction + EXISTS closure, pure set
@@ -2854,6 +2949,7 @@ object SparkEntry {
     // orientation-free a<b<c triple-join triangle count + exact wedge
     // moments + the single pinned 3.0·T/W double chain
     "q_transitivity" -> transitivitySql,
+    "q_triangles_approx" -> trianglesApproxSql,
     // capped wedge self-join + exact 1e6//d weight sums + NOT EXISTS
     "q_link_predict" -> linkPredictSql(Graph.LinkPredictDmax),
     // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds

@@ -388,6 +388,79 @@ object Graph {
             col("n_wedges").cast("double"), 6)).as("transitivity"))
   }
 
+  /** The DOULION edge-sampling probability denominator: each projection
+    * edge survives w.p. 1/[[TriSampleDen]], so the unbiased triangle
+    * scale-up 1/p³ = [[TriSampleDen]]³ stays an exact integer. Shared
+    * with the oracle SQL (the smax/dmax single-source lesson). */
+  val TriSampleDen = 4
+
+  /** The deterministic per-edge coin of [[trianglesApprox]], as a SQL
+    * boolean both engines evaluate with exact BIGINT arithmetic: mix
+    * `(a, b)` mod 2^20 through one Fibonacci-multiplier step and keep
+    * the edge iff the low 20 mixed bits land under 2^20/[[TriSampleDen]].
+    * The leading `a % 1048576` keeps every operand under 2^52 so the
+    * multiply never overflows at any custkey scale; all operands are
+    * positive, so Spark `%` == DuckDB `%`. (Low-bit multiplicative
+    * mixing is a permutation for an odd multiplier, and the final
+    * 0x9E3779B1 step decorrelates the adjacent-b runs the linear
+    * combine alone would sample together — TrianglesApproxSpec pins
+    * the realized estimate inside a ±10% band of the exact count.) */
+  def triCoinSql(a: String, b: String): String =
+    s"(((($a % 1048576) * 1048573 + $b) % 1048576) * 2654435761) % 1048576" +
+      s" < ${1048576 / TriSampleDen}"
+
+  /** DOULION approximate triangle census (`q_triangles_approx`,
+    * Tsourakakis, Kang, Miller & Faloutsos, KDD 2009) — the SCALE tier
+    * beside the exact [[triangles]]/[[transitivity]] pair, the same
+    * exact/approx two-tier pattern the dedup family ships
+    * (dedup_embedding ↔ dedup_semantic_kmeans): keep each co-trade
+    * projection edge with probability p = 1/[[TriSampleDen]] under a
+    * DETERMINISTIC hash coin (replayable by the oracle — no RNG), count
+    * triangles EXACTLY on the sampled subgraph with the same
+    * Suri–Vassilvitskii oriented-wedge construction, and scale by the
+    * unbiased 1/p³ = 64. The wedge stream — the only super-linear
+    * intermediate, and the term that makes the exact tier Ω(Σk³)-priced
+    * on power-law degree (394 s / 317 s at sf5-zipfgraph, the two most
+    * expensive measurements on any r14 sidecar) — shrinks by ~p² per
+    * capped hub, while the estimator's relative s.d.
+    * √((1/p³ − 1)/T) ≈ 1% at the fixtures' T ≈ 10^5..10^7 triangles.
+    *
+    * The wedge denominator W of the transitivity estimate needs no
+    * sampling — it is a LINEAR degree aggregate over the full
+    * projection — so `transitivity_est = 3·T̂/W` rides an exact W and a
+    * sampled T̂ (Tsourakakis et al.'s own recipe for the coefficient).
+    * Everything before the two pinned doubles is exact BIGINT, so the
+    * oracle replays the estimate bit-for-bit; the accuracy CONTRACT
+    * (estimate vs exact) is TrianglesApproxSpec's ±10% fixture band,
+    * and the cost contract is the zipfgraph sidecar entry beside the
+    * exact keys'. */
+  def trianglesApprox(spark: SparkSession, dir: String,
+      smax: Int = CotradeSmax): DataFrame = {
+    val edges = cotradeEdges(spark, dir, smax)
+    val deg = cotradeDeg(edges)
+    val es = graft.GraftSession.trackCache(
+      edges.where(expr(triCoinSql("a", "b"))))
+    // orientation by SAMPLED degree: DOULION counts exactly on the
+    // sampled subgraph, so the O(m_s^1.5) wedge bound must come from
+    // the sampled graph's own degree sequence
+    val degS = cotradeDeg(es)
+    val triS = orientedTriangles(es, degS)
+      .agg(count(lit(1)).as("n_triangles_sampled"))
+    val eN = edges.agg(count(lit(1)).as("n_edges"))
+    val esN = es.agg(count(lit(1)).as("n_edges_sampled"))
+    val scale = TriSampleDen.toLong * TriSampleDen * TriSampleDen
+    deg.agg(coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)).as("n_wedges"))
+      .crossJoin(broadcast(eN)).crossJoin(broadcast(esN))
+      .crossJoin(broadcast(triS))
+      .select(col("n_edges"), col("n_edges_sampled"),
+        col("n_triangles_sampled"),
+        (col("n_triangles_sampled") * lit(scale)).as("t_est"),
+        col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * (col("n_triangles_sampled") * lit(scale)).cast("double") /
+            col("n_wedges").cast("double"), 6)).as("transitivity_est"))
+  }
+
   /** Resource-Allocation link prediction (`q_link_predict`, Zhou, Lü &
     * Zhang, Eur. Phys. J. B 2009 — the top performer of the local
     * similarity indices in their benchmark, Adamic–Adar's 1/d sibling)

@@ -697,6 +697,94 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** BPE tokenizer TRAINING (`text_bpe_train`, Sennrich, Haddow & Birch,
+    * ACL 2016) — `rounds` merge rounds learned from the corpus, closing
+    * the tokenizer loop the repo already brackets: [[bpePairs]] is
+    * round 1's pair census, [[bpeEncode]] applies a FROZEN table; this
+    * learns one. Per round, exactly the pairs query + argmax + re-pair,
+    * all on the VOCABULARY-sized word histogram (the [[bpeEncode]]
+    * scale contract: corpus tokens collapse to distinct-word counts
+    * map-side ONCE, then every round's cost rides the vocabulary —
+    * 100 TB of text with a 10M-word vocabulary pays each round ~10M
+    * rows, not a corpus pass).
+    *
+    * Symbol-state representation, the cross-engine trick: each word's
+    * symbol sequence lives as a `||`-wrapped string (`"the"` →
+    * `"||t||h||e||"`), so one round's merge-ALL of the argmax pair
+    * (a, b) is ONE builtin `replace(st, '|a||b|', '|ab|')` — both
+    * engines' replace scans left-to-right over non-overlapping matches,
+    * which IS greedy leftmost BPE merging (for `a a a` under pair
+    * (a,a): first match consumes `|a||a|`, the overlapping second
+    * cannot match → `aa, a` — the reference semantics), and the double
+    * delimiter makes the pattern anchor on whole symbols while leaving
+    * one `|` on each side for the neighbor's own pattern (a single
+    * delimiter either under-anchors — `|xa|b|` matches `a|b` — or
+    * consumes the separator the next match needs). Symbols never
+    * contain `|`: the vocabulary is filtered to `^[a-z0-9]+$` (a
+    * DECLARED contract; the driver corpus is entirely alnum).
+    *
+    * The per-round argmax is a bounded single-row collect (top-1 by
+    * `(n DESC, a, b)` — a total order, so the learned table is
+    * deterministic and the oracle's unrolled per-round CTEs replay it
+    * exactly); the merge table accumulates driver-side like any trained
+    * artifact. The histogram is cached once; each round's state is the
+    * accumulated replace chain applied map-side over it — linear
+    * lineage, no checkpoint needed at any corpus scale. Fails loudly if
+    * the corpus runs out of pairs before `rounds` (fixed-round contract
+    * mirrored by the oracle). Output: `(round, lhs, rhs, merged, n)`.
+    * Round15Spec pins the first `rounds` merges against an independent
+    * driver-side reference trainer. */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = BpeTrainRounds): DataFrame =
+    bpeTrainCore(spark, Tables(spark, dir).documents, rounds)
+
+  /** The `text_bpe_train` round count — shared with the oracle builder. */
+  val BpeTrainRounds = 8
+
+  private[graft] def bpeTrainCore(spark: SparkSession, documents: DataFrame,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    val hist = GraftSession.trackCache(
+      withTokens(documents.select("text"))
+        .select(explode(col("tk")).as("w"))
+        .where(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(col("c"), concat(lit("||"),
+          array_join(expr("filter(split(w, ''), ch -> ch <> '')"), "||"),
+          lit("||")).as("st")))
+    var merges = Vector.empty[(Int, String, String, String, Long)]
+    // the accumulated merge table as a replace chain over the cached
+    // initial state — k map-side replaces, re-derived per round
+    def stateOf(ms: Seq[(Int, String, String, String, Long)]): Column =
+      ms.foldLeft(col("st")) { case (st, (_, la, lb, m, _)) =>
+        replace(st, lit("|" + la + "||" + lb + "|"), lit("|" + m + "|"))
+      }
+    for (k <- 1 to rounds) {
+      // pairs query: adjacent symbol pairs of the CURRENT state, weighted
+      // by word count — one vocab-sized explode + one tiny-key aggregate
+      val best = hist.select(col("c"), stateOf(merges).as("st"))
+        .select(col("c"),
+          expr("filter(split(st, '\\\\|'), x -> x <> '')").as("sy"))
+        .where(size(col("sy")) >= 2)
+        .select(col("c"), explode(expr(
+          "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1)," +
+            " (x, y) -> named_struct('a', x, 'b', y))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"bpeTrain: corpus ran out of adjacent pairs at round $k of $rounds " +
+          "(the fixed-round contract the oracle unrolls needs every round " +
+          "productive); lower rounds for this corpus")
+      val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges :+= ((k, a, b, a + b, n))
+    }
+    merges
+      .toDF("round", "lhs", "rhs", "merged", "n")
+      .select(col("round").cast("long"), col("lhs"), col("rhs"),
+        col("merged"), col("n"))
+  }
+
   /** Context-window chunking (`text_chunk`) — the RAG / pretraining
     * sequence-packing primitive: split each document's token stream into
     * overlapping windows of `win` tokens advancing by `stride`
