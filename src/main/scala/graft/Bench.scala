@@ -422,7 +422,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-bench-warehouse").toString)
+        graft.GraftSession.scratchDir("graft-bench-warehouse").toString)
       // shuffle files are reclaimed by ContextCleaner only after a DRIVER
       // GC collects the dependency objects; the 30-min default means a
       // multi-hundred-query pass accumulates every query's shuffle files

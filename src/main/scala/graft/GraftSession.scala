@@ -148,6 +148,27 @@ object GraftSession {
     liveCaches.remove(spark).foreach(_.foreach(_.unpersist(blocking = true)))
   }
 
+  /** A self-cleaning scratch directory: created now, recursively deleted
+    * at JVM exit. Round-15 lesson: 1000+ per-run temp dirs (each bench
+    * JVM's warehouse carries a full 500 MB shingle layout at sf ≥ 5, and
+    * the warehouse-operator keys leave data-scale staging dirs behind)
+    * had accumulated ~26 GB across rounds until a zipf-graph probe died
+    * ENOSPC mid-spill — scratch space must be bounded by construction
+    * (one JVM's lifetime), not by manual sweeps. Deletion is at EXIT,
+    * not eager: within a run every consumer may still re-read the
+    * layout. */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   /** Registers graft functions on a session graft did not build (e.g. the
     * driver-owned session handed to SparkEntry.queries). Idempotent. */
   def registerFunctions(spark: SparkSession): Unit = {

@@ -29,7 +29,7 @@ object Probe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-probe-warehouse").toString)
+        graft.GraftSession.scratchDir("graft-probe-warehouse").toString)
       // same shuffle-file reclamation nudge as Bench.main (the probe
       // must replay the bench's JVM conditions to bisect its readings)
       .config("spark.cleaner.periodicGC.interval", "60s")

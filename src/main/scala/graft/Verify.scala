@@ -18,7 +18,7 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       // saveAsTable output (the shingle layout below) stays out of the repo
       .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-verify-warehouse").toString)
+        graft.GraftSession.scratchDir("graft-verify-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // r14 advice: the q_hits oracle always replays the DEFAULT quantum

@@ -245,7 +245,7 @@ object RefPipeline {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cutover = lit("2024-01-16").cast("date")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-mv-cutover")
+    val tmpRoot = graft.GraftSession.scratchDir("graft-mv-cutover")
     registerTempCleanup(tmpRoot)
     val sink = tmpRoot.resolve("mv").toString
     val raw = spark.readStream.schema(schema).option("basePath", dir)
@@ -401,7 +401,7 @@ object RefPipeline {
   def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stage = java.nio.file.Files.createTempDirectory("graft-stream-sessions")
+    val stage = graft.GraftSession.scratchDir("graft-stream-sessions")
     registerTempCleanup(stage)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
@@ -613,7 +613,7 @@ object RefPipeline {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val sink = "graft_streaming_late"
     spark.catalog.dropTempView(sink)
-    val stage = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    val stage = graft.GraftSession.scratchDir("graft-stream-late")
     registerTempCleanup(stage)
     val raw0 = spark.read.schema(schema).parquet(s"$dir/events.parquet")
     val now = System.currentTimeMillis()
@@ -763,7 +763,7 @@ object RefPipeline {
     * the recovery claim previously assumed exactly that). */
   def streamingReplacingMerge(spark: SparkSession, dir: String): DataFrame = {
     val (base, updates) = Warehouse.replacingFrames(spark, dir)
-    val stage = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
+    val stage = graft.GraftSession.scratchDir("graft-stream-cdc")
     registerTempCleanup(stage)
     def stageFile(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
       val build = stage.resolve(s"build_$name")
@@ -780,7 +780,7 @@ object RefPipeline {
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetMs))
     }
     stageFile(updates, "b_updates", 0L) // only the delta ever streams
-    val stateRoot = java.nio.file.Files.createTempDirectory("graft-cdc-state")
+    val stateRoot = graft.GraftSession.scratchDir("graft-cdc-state")
     registerTempCleanup(stateRoot)
     // the manifest: bucket -> path of that bucket's latest generation.
     // Bounded at `buckets` entries; this map IS the carry-forward — an

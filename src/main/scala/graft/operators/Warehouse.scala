@@ -275,7 +275,7 @@ object Warehouse {
     * without the unbounded one-copy-per-call growth that per-invocation
     * temp dirs would accumulate between exit sweeps. */
   private lazy val zorderDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val p = graft.GraftSession.scratchDir("graft-zorder")
     graft.TempSweep.register(p)
     p
   }
@@ -315,7 +315,7 @@ object Warehouse {
     * Round8Spec asserts the pushed filter. One file-format boundary, no
     * extra shuffles: the aggregate is the familiar partial/final pair. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-orc")
+    val out = graft.GraftSession.scratchDir("graft-orc")
     graft.TempSweep.register(out)
     graft.Tables(spark, dir).lineitem
       .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "l_returnflag")
@@ -388,8 +388,8 @@ object Warehouse {
   /** ONE fragmented-layout dir + ONE compacted dir per JVM, overwritten in
     * place per invocation (same reclaim semantics as [[zorderDir]]). */
   private lazy val compactionDirs: (java.nio.file.Path, java.nio.file.Path) = {
-    val frag = java.nio.file.Files.createTempDirectory("graft-frag")
-    val comp = java.nio.file.Files.createTempDirectory("graft-compact")
+    val frag = graft.GraftSession.scratchDir("graft-frag")
+    val comp = graft.GraftSession.scratchDir("graft-compact")
     graft.TempSweep.register(frag); graft.TempSweep.register(comp)
     (frag, comp)
   }
@@ -442,7 +442,7 @@ object Warehouse {
   }
 
   private lazy val sketchStateDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-hll-state")
+    val p = graft.GraftSession.scratchDir("graft-hll-state")
     graft.TempSweep.register(p)
     p
   }
@@ -484,13 +484,13 @@ object Warehouse {
   }
 
   private lazy val mutationDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-mutation")
+    val p = graft.GraftSession.scratchDir("graft-mutation")
     graft.TempSweep.register(p)
     p
   }
 
   private lazy val updateDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-update")
+    val p = graft.GraftSession.scratchDir("graft-update")
     graft.TempSweep.register(p)
     p
   }
@@ -625,7 +625,7 @@ object Warehouse {
   }
 
   private lazy val summingDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-summing")
+    val p = graft.GraftSession.scratchDir("graft-summing")
     graft.TempSweep.register(p)
     p
   }
@@ -673,7 +673,7 @@ object Warehouse {
   }
 
   private lazy val bitmapStateDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-bitmapstate")
+    val p = graft.GraftSession.scratchDir("graft-bitmapstate")
     graft.TempSweep.register(p)
     p
   }
@@ -719,7 +719,7 @@ object Warehouse {
   }
 
   private lazy val evolutionDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-evolve")
+    val p = graft.GraftSession.scratchDir("graft-evolve")
     graft.TempSweep.register(p)
     p
   }
@@ -813,7 +813,7 @@ object Warehouse {
         sum(col("sign") * col("cents")).as("sum_cents"))
 
   private lazy val ttlDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-ttl")
+    val p = graft.GraftSession.scratchDir("graft-ttl")
     graft.TempSweep.register(p)
     p
   }
@@ -863,7 +863,7 @@ object Warehouse {
   }
 
   private[graft] lazy val dictDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-dict")
+    val p = graft.GraftSession.scratchDir("graft-dict")
     graft.TempSweep.register(p)
     p
   }
@@ -905,7 +905,7 @@ object Warehouse {
   }
 
   private lazy val bloomIdxDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-bloomidx")
+    val p = graft.GraftSession.scratchDir("graft-bloomidx")
     graft.TempSweep.register(p)
     p
   }
@@ -971,7 +971,7 @@ object Warehouse {
   }
 
   private lazy val projectionDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-projection")
+    val p = graft.GraftSession.scratchDir("graft-projection")
     graft.TempSweep.register(p)
     p
   }
@@ -1066,7 +1066,7 @@ object Warehouse {
         count(lit(1)).as("n_items"))
 
   private lazy val partOpsDir: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-partops")
+    val p = graft.GraftSession.scratchDir("graft-partops")
     graft.TempSweep.register(p)
     p
   }

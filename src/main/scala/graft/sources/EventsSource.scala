@@ -166,7 +166,7 @@ object EventsSource {
     * the aggregate stays in exact integer cents. One format boundary each
     * way, zero extra shuffles. */
   def refExportNdjson(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-ndjson")
+    val out = graft.GraftSession.scratchDir("graft-ndjson")
     graft.TempSweep.register(out)
     graft.Tables(spark, dir).events
       .select(to_json(struct(

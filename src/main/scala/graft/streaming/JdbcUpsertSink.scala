@@ -42,7 +42,7 @@ object JdbcUpsertSink {
   private def quietDerby(): Unit =
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home",
-        java.nio.file.Files.createTempDirectory("graft-derby-home").toString)
+        graft.GraftSession.scratchDir("graft-derby-home").toString)
 
   /** One embedded database per JVM, created lazily under a temp dir that a
     * shutdown hook removes. Derby database CREATION (`create=true`) builds
@@ -52,7 +52,7 @@ object JdbcUpsertSink {
     * inside this shared database instead (milliseconds, not seconds). */
   lazy val sharedEmbeddedUrl: String = {
     quietDerby()
-    val root = java.nio.file.Files.createTempDirectory("graft-derby-shared")
+    val root = graft.GraftSession.scratchDir("graft-derby-shared")
     // ONE hook doing quiesce-then-delete: JVM shutdown hooks run
     // concurrently with no ordering, so the engine shutdown (Derby's
     // checkpoint-on-exit could otherwise recreate log files mid-sweep)

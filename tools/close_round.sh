@@ -12,6 +12,11 @@
 # NEXT round's session (so each round must stage the previous round's).
 set -e
 cd "$(dirname "$0")/.."
+# r14 shipped a red BenchSpec because the close checklist never re-ran
+# the suite after the last sidecar write (r14 verdict #1) — the FULL
+# suite is now part of the close, and it must be green to proceed.
+echo "--- full test suite (must be green to close): ---"
+sbt -batch test
 for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json \
          bench_probe*.json BENCH_sf1.json; do
   [ -e "$f" ] && git add -- "$f"
