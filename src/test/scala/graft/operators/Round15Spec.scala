@@ -101,6 +101,56 @@ class Round15Spec extends SparkSpec {
     assert(got === Seq((1L, "a", "b", "ab", 5L), (2L, "a", "ab", "aab", 2L)))
   }
 
+  test("trianglesApprox plan shape: the coin samples BELOW the wedge join, never above it") {
+    // The cost contract only a plan pin can guard: filtering the coin
+    // AFTER the wedge join would return identical results (every sampled
+    // triangle's edges pass the coin either way) and identical oracle
+    // hashes — while silently paying the FULL exact-tier wedge stream the
+    // approx key exists to avoid. The discriminator is the CACHE
+    // boundary: the good plan evaluates the coin (the 0x9E3779B1
+    // multiplier is unique to it) directly over the cotrade-projection
+    // cache — its only subtree is an InMemoryTableScan leaf — while a
+    // post-hoc filter would carry the wedge join in its own subtree. The
+    // projection's internal joins live BEHIND the cache boundary, so
+    // treating InMemoryTableScan as a leaf below a coin node separates
+    // the legitimate joins from the forbidden one. (Cache boundaries ARE
+    // expanded while searching for coin nodes — non-vacuity needs the
+    // coin found wherever it hides.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Graph.trianglesApprox(spark, sf)
+    df.collect() // materialize so AQE final plans + caches exist
+    def kids(p: SparkPlan, intoCaches: Boolean): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case s: InMemoryTableScanExec =>
+        if (intoCaches) Seq(s.relation.cachedPlan) else Seq.empty
+      case other => other.children
+    }
+    def coinHere(p: SparkPlan): Boolean =
+      p.expressions.exists(_.toString.contains("2654435761"))
+    var coinSeen = 0
+    var coinAboveJoin = 0
+    def hasJoin(p: SparkPlan): Boolean =
+      p.nodeName.contains("Join") ||
+        kids(p, intoCaches = false).exists(hasJoin)
+    def walk(p: SparkPlan): Unit = {
+      if (coinHere(p)) {
+        coinSeen += 1
+        if (kids(p, intoCaches = false).exists(hasJoin)) coinAboveJoin += 1
+      }
+      kids(p, intoCaches = true).foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(coinSeen > 0, "the sampling coin is absent from the expanded plan — " +
+      "either the pin went vacuous (multiplier changed?) or sampling disappeared")
+    assert(coinAboveJoin == 0,
+      s"$coinAboveJoin coin-evaluating node(s) sit ABOVE a join — the edge " +
+        "sample must be taken before the wedge self-join or the approx " +
+        "tier silently pays the exact tier's wedge stream")
+  }
+
   test("hits refuses a quantum below the customer count instead of emitting NULL scores") {
     try {
       spark.conf.set("spark.graft.hits.quantum", "10")
