@@ -384,12 +384,15 @@ object Bench {
     * appears here — keys without task-metric probes (e.g. the one-time
     * shingle layout build) still record their wallS. */
   def renderProbeJson(timings: Seq[(String, Double)],
-      probes: Seq[(String, QueryProbe)], sfDir: String): String = {
+      probes: Seq[(String, QueryProbe)], sfDir: String,
+      cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim.toInt): String = {
     // r14 verdict #5: the sf10 sidecar rode a 12 GiB heap disclosed only
     // in SURVEY prose — every sidecar now records its own JVM envelope
     // (max heap + task slots) so the evidence file is self-describing.
+    // `cores` is an Int (bad env values fail loudly at parse, never as
+    // malformed JSON) and main threads the SAME value the session was
+    // built with, so the envelope can't drift from the actual parallelism.
     val heapMB = Runtime.getRuntime.maxMemory / (1024L * 1024L)
-    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val probeMap = probes.toMap
     val ps = timings.map { case (k, w) =>
       val body = probeMap.get(k) match {
@@ -419,8 +422,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim.toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.sql.warehouse.dir",
         graft.GraftSession.scratchDir("graft-bench-warehouse").toString)
       // shuffle files are reclaimed by ContextCleaner only after a DRIVER
@@ -439,7 +442,7 @@ object Bench {
     // tokenize+write cost appears next to the queries it accelerates.
     val t0 = System.nanoTime()
     val layout = try {
-      operators.Warehouse.materializeShingles(spark, sfDir, buckets = cpus.toInt)
+      operators.Warehouse.materializeShingles(spark, sfDir, buckets = cpus)
       Seq("shingle_layout_build" -> (System.nanoTime() - t0) / 1e9)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] shingle layout skipped: ${e.getMessage}")
@@ -455,7 +458,7 @@ object Bench {
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "bench_probe.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (renderProbeJson(layout ++ timings, probes, sfDir) + "\n").getBytes("UTF-8"))
+        (renderProbeJson(layout ++ timings, probes, sfDir, cpus) + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] probe evidence written to $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] probe evidence write failed: ${e.getMessage}")

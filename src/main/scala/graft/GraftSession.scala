@@ -156,18 +156,27 @@ object GraftSession {
     * ENOSPC mid-spill — scratch space must be bounded by construction
     * (one JVM's lifetime), not by manual sweeps. Deletion is at EXIT,
     * not eager: within a run every consumer may still re-read the
-    * layout. */
+    * layout.
+    *
+    * Deletion is delegated to [[TempSweep]] — ONE hook, ONE walk
+    * (`Files.walk` does not follow symlinks, so a symlink inside a
+    * scratch dir can never delete its target's contents). Round-15's
+    * first cut re-inlined a per-call hook here, which both violated
+    * TempSweep's single-registry contract and registered hundreds of
+    * shutdown threads per bench JVM. */
   def scratchDir(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
+    TempSweep.register(p)
     p
   }
+
+  /** Like [[scratchDir]] but registers NO deleter at all — for callers
+    * that own an ORDERED cleanup of the dir (JdbcUpsertSink's single
+    * quiesce-then-delete hook must be the only deleter of Derby dirs;
+    * a concurrent sweep races the engine's checkpoint-on-exit, which
+    * can recreate log files mid-walk). */
+  def scratchDirUnmanaged(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
 
   /** Registers graft functions on a session graft did not build (e.g. the
     * driver-owned session handed to SparkEntry.queries). Idempotent. */

@@ -276,7 +276,6 @@ object Warehouse {
     * temp dirs would accumulate between exit sweeps. */
   private lazy val zorderDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-zorder")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -316,7 +315,6 @@ object Warehouse {
     * extra shuffles: the aggregate is the familiar partial/final pair. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.GraftSession.scratchDir("graft-orc")
-    graft.TempSweep.register(out)
     graft.Tables(spark, dir).lineitem
       .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "l_returnflag")
       .write.mode("overwrite").option("compression", "zlib").orc(out.toString)
@@ -390,7 +388,6 @@ object Warehouse {
   private lazy val compactionDirs: (java.nio.file.Path, java.nio.file.Path) = {
     val frag = graft.GraftSession.scratchDir("graft-frag")
     val comp = graft.GraftSession.scratchDir("graft-compact")
-    graft.TempSweep.register(frag); graft.TempSweep.register(comp)
     (frag, comp)
   }
 
@@ -443,7 +440,6 @@ object Warehouse {
 
   private lazy val sketchStateDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-hll-state")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -485,13 +481,11 @@ object Warehouse {
 
   private lazy val mutationDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-mutation")
-    graft.TempSweep.register(p)
     p
   }
 
   private lazy val updateDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-update")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -626,7 +620,6 @@ object Warehouse {
 
   private lazy val summingDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-summing")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -674,7 +667,6 @@ object Warehouse {
 
   private lazy val bitmapStateDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-bitmapstate")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -720,7 +712,6 @@ object Warehouse {
 
   private lazy val evolutionDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-evolve")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -814,7 +805,6 @@ object Warehouse {
 
   private lazy val ttlDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-ttl")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -864,7 +854,6 @@ object Warehouse {
 
   private[graft] lazy val dictDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-dict")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -906,7 +895,6 @@ object Warehouse {
 
   private lazy val bloomIdxDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-bloomidx")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -972,7 +960,6 @@ object Warehouse {
 
   private lazy val projectionDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-projection")
-    graft.TempSweep.register(p)
     p
   }
 
@@ -1067,7 +1054,6 @@ object Warehouse {
 
   private lazy val partOpsDir: java.nio.file.Path = {
     val p = graft.GraftSession.scratchDir("graft-partops")
-    graft.TempSweep.register(p)
     p
   }
 

@@ -167,7 +167,6 @@ object EventsSource {
     * way, zero extra shuffles. */
   def refExportNdjson(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.GraftSession.scratchDir("graft-ndjson")
-    graft.TempSweep.register(out)
     graft.Tables(spark, dir).events
       .select(to_json(struct(
         col("event_id"), unix_micros(col("ts")).as("ts_us"),

@@ -37,32 +37,48 @@ import org.apache.spark.sql.types._
   */
 object JdbcUpsertSink {
 
+  /** Derby-owned scratch dirs, deleted ONLY by the single
+    * quiesce-then-delete hook armed below. JVM shutdown hooks run
+    * concurrently with no ordering, so the engine shutdown (Derby's
+    * checkpoint-on-exit could otherwise recreate log files mid-sweep) and
+    * the delete walk MUST share one hook — never TempSweep, never a
+    * generic [[graft.GraftSession.scratchDir]] hook (a concurrent sweep
+    * reintroduces the race). A successful engine shutdown SIGNALS by
+    * throwing SQLState XJ015 — swallowed here. */
+  private val derbyDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val derbyHookArmed = new java.util.concurrent.atomic.AtomicBoolean
+  private def derbyScratch(prefix: String): java.nio.file.Path = {
+    val p = graft.GraftSession.scratchDirUnmanaged(prefix)
+    derbyDirs.add(p)
+    if (derbyHookArmed.compareAndSet(false, true)) {
+      sys.addShutdownHook {
+        try DriverManager.getConnection("jdbc:derby:;shutdown=true")
+        catch { case _: Throwable => () }
+        derbyDirs.forEach(graft.TempSweep.deleteRecursively)
+      }
+      ()
+    }
+    p
+  }
+
   /** Keep Derby's engine log out of the repo working directory (the
     * embedded engine writes `derby.log` to `derby.system.home`). */
   private def quietDerby(): Unit =
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home",
-        graft.GraftSession.scratchDir("graft-derby-home").toString)
+        derbyScratch("graft-derby-home").toString)
 
-  /** One embedded database per JVM, created lazily under a temp dir that a
-    * shutdown hook removes. Derby database CREATION (`create=true`) builds
-    * the entire system catalog — seconds of driver-side wall time — so a
-    * fresh database per invocation dominates any small upsert. Callers that
-    * need a clean slate [[dropTable]] + [[ensureTable]] their own table
-    * inside this shared database instead (milliseconds, not seconds). */
+  /** One embedded database per JVM, created lazily under a temp dir that
+    * the ordered Derby hook removes. Derby database CREATION
+    * (`create=true`) builds the entire system catalog — seconds of
+    * driver-side wall time — so a fresh database per invocation dominates
+    * any small upsert. Callers that need a clean slate [[dropTable]] +
+    * [[ensureTable]] their own table inside this shared database instead
+    * (milliseconds, not seconds). */
   lazy val sharedEmbeddedUrl: String = {
     quietDerby()
-    val root = graft.GraftSession.scratchDir("graft-derby-shared")
-    // ONE hook doing quiesce-then-delete: JVM shutdown hooks run
-    // concurrently with no ordering, so the engine shutdown (Derby's
-    // checkpoint-on-exit could otherwise recreate log files mid-sweep)
-    // and the delete walk must share a hook. A successful engine shutdown
-    // SIGNALS by throwing SQLState XJ015 — swallowed here.
-    sys.addShutdownHook {
-      try DriverManager.getConnection("jdbc:derby:;shutdown=true")
-      catch { case _: Throwable => () }
-      graft.TempSweep.deleteRecursively(root)
-    }
+    val root = derbyScratch("graft-derby-shared")
     s"jdbc:derby:${root.resolve("db")};create=true"
   }
 

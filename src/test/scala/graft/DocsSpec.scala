@@ -71,6 +71,20 @@ class DocsSpec extends AnyFunSuite {
     // CAST(...) span (a few false positives — e.g. double sums — are
     // acceptable: a no-op CAST(... AS DOUBLE) satisfies the guard and
     // documents the result type the comparator hashes).
+    // index of the quote CLOSING the literal opened at `open` ('' is the
+    // SQL escape for ' inside a literal). r15 advice: both scanners below
+    // must skip literal spans — a regex/separator literal containing an
+    // unbalanced paren would otherwise skew the depth counters and could
+    // silently mis-locate the final SELECT.
+    def literalEnd(s: String, open: Int): Int = {
+      var j = open + 1
+      while (j < s.length) {
+        if (s.charAt(j) == '\'') {
+          if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2 else return j
+        } else j += 1
+      }
+      s.length - 1
+    }
     def hasUncastSum(proj: String): Boolean = {
       val s = proj
       val up = s.toUpperCase
@@ -80,6 +94,7 @@ class DocsSpec extends AnyFunSuite {
       var offending = false
       while (i < s.length && !offending) {
         s.charAt(i) match {
+          case '\'' => i = literalEnd(s, i)
           case '(' =>
             val before = up.substring(0, i).reverse.dropWhile(_ == ' ')
             val isCast = before.startsWith("TSAC") &&
@@ -106,6 +121,7 @@ class DocsSpec extends AnyFunSuite {
       var i = 0
       while (i < sql.length) {
         sql.charAt(i) match {
+          case '\'' => i = literalEnd(sql, i)
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ =>
