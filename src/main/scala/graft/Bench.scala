@@ -232,7 +232,14 @@ object Bench {
     // round-15: the DOULION sampled tier beside the exact triangle pair
     // (deterministic 1/4 coin, exact count on the sample, 64x scale-up)
     // and the N-round BPE trainer over the vocabulary-sized histogram
-    "q_triangles_approx", "text_bpe_train")
+    "q_triangles_approx", "text_bpe_train",
+    // round-16: the per-node DOULION report (same sampled edge set,
+    // per-vertex census + floor), the train→apply BPE loop (shared
+    // cached vocabulary histogram), the stratified priority-sampling
+    // reservoir (bounded per-stratum heap), and the IVF nprobe sweep
+    // (one index build, cells calibration points)
+    "q_triangles_approx_nodes", "text_bpe_apply", "q_reservoir",
+    "ann_recall_curve")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the
@@ -256,7 +263,11 @@ object Bench {
       // pruned-config pattern: SemanticKMeansSpec owns the cap/soundness
       // contract, this phase owns its cost)
       "dedup_semantic_kmeans" -> ((s: SparkSession, d: String) =>
-        operators.Dedup.semanticKMeans(s, d)))
+        operators.Dedup.semanticKMeans(s, d)),
+      // the IVF recall-vs-cost calibration sweep: Round16Spec owns the
+      // monotonicity/endpoint contract, this phase owns its cost
+      "ann_recall_curve" -> ((s: SparkSession, d: String) =>
+        operators.Similarity.ivfRecallCurve(s, d)))
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

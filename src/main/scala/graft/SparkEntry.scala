@@ -371,6 +371,17 @@ object SparkEntry {
     // Newman modularity of the LPA partition: exact BIGINT moments +
     // one pinned double chain (the assortativity contract)
     "q_modularity" -> ((s, d) => Graph.modularity(s, d)),
+    // Round-16 widening: per-node DOULION triangle estimates (the
+    // sampled sibling of q_triangles' top-20 — same deterministic coin,
+    // declared sampled-count reporting floor, exact full degrees)
+    "q_triangles_approx_nodes" -> ((s, d) => Graph.trianglesApproxNodes(s, d)),
+    // train→apply BPE: encode the corpus with the table text_bpe_train
+    // just learned from it (one replace-chain fold over the shared
+    // cached vocabulary histogram)
+    "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    // stratified weighted reservoir: quantized integer DLT priorities,
+    // per-language bounded-heap top-k + the max(w, tau) estimator
+    "q_reservoir" -> ((s, d) => Pipeline.reservoir(s, d)),
   )
 
   private val tokCte =
@@ -858,6 +869,90 @@ object SparkEntry {
        |                   * ${math.pow(Graph.TriSampleDen, 3).toLong} AS DOUBLE)
        |                 / CAST(n_wedges AS DOUBLE), 6) END AS transitivity_est
        |FROM ta_m, ta_ec, ta_esc, ta_t""".stripMargin
+
+  /** `q_triangles_approx_nodes` oracle: the `q_triangles_approx` CTEs
+    * (same projection, same [[operators.Graph.triCoinSql]] deterministic
+    * coin, orientation-free `a<b<c` triple join on the sampled edges —
+    * provably the oriented-ownership count), then the per-node census
+    * (each sampled triangle owned by its three vertices), the declared
+    * [[operators.Graph.TriNodeFloor]] sampled-count floor, the exact
+    * FULL-projection degree join, and the quantized estimate chain —
+    * pure positive-BIGINT arithmetic end to end (`//` == Spark `div`). */
+  private def trianglesApproxNodesSql: String = {
+    val scale = math.pow(operators.Graph.TriSampleDen, 3).toLong
+    s"""WITH tn_cs0 AS MATERIALIZED (
+       |  SELECT l_suppkey AS s, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |tn_cs AS MATERIALIZED (
+       |  SELECT s, c FROM tn_cs0 WHERE s IN (
+       |    SELECT s FROM tn_cs0 GROUP BY s HAVING count(*) <= ${operators.Graph.CotradeSmax})),
+       |tn_e AS MATERIALIZED (SELECT DISTINCT x.c AS a, y.c AS b
+       |         FROM tn_cs x JOIN tn_cs y ON x.s = y.s AND x.c < y.c),
+       |tn_es AS MATERIALIZED (SELECT a, b FROM tn_e
+       |  WHERE ${operators.Graph.triCoinSql("a", "b")}),
+       |tn_dg AS (SELECT n, count(*) AS d FROM (
+       |    SELECT a AS n FROM tn_e UNION ALL SELECT b AS n FROM tn_e)
+       |  GROUP BY 1),
+       |tn_tri AS MATERIALIZED (
+       |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+       |  FROM tn_es e1 JOIN tn_es e2 ON e1.b = e2.a
+       |       JOIN tn_es e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tn_per AS (SELECT n, CAST(count(*) AS BIGINT) AS t_sampled FROM (
+       |    SELECT u AS n FROM tn_tri UNION ALL SELECT v AS n FROM tn_tri
+       |    UNION ALL SELECT w AS n FROM tn_tri)
+       |  GROUP BY 1)
+       |SELECT p.n AS c_custkey, p.t_sampled, p.t_sampled * $scale AS t_est,
+       |       g.d AS degree,
+       |       (2000000 * p.t_sampled * $scale) // (g.d * (g.d - 1)) AS cc_est_q6
+       |FROM tn_per p JOIN tn_dg g ON p.n = g.n
+       |WHERE p.t_sampled >= ${operators.Graph.TriNodeFloor}
+       |ORDER BY p.t_sampled DESC, p.n LIMIT 20""".stripMargin
+  }
+
+  /** `text_bpe_apply` oracle: the `text_bpe_train` unrolled round CTEs
+    * (pair census over the previous state, `(n DESC, a, b)` top-1, ONE
+    * greedy-leftmost `replace` advance — here carrying `w` so the final
+    * histogram can count distinct words, and materializing EVERY state
+    * including the last), then the final state tokenized: split on `|`,
+    * unnest, the top-30 token histogram in `text_bpe_encode`'s output
+    * shape. Pure string + exact integer semantics, no float anywhere. */
+  private def bpeApplySql(rounds: Int): String = {
+    val base =
+      """WITH ba_w AS MATERIALIZED (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$')
+        |  GROUP BY 1),
+        |ba_s0 AS MATERIALIZED (
+        |  SELECT w, c, '||' || array_to_string(
+        |      list_transform(range(1, length(w) + 1), i -> w[i]), '||') || '||' AS st
+        |  FROM ba_w)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val prev = s"ba_s${k - 1}"
+      s"""ba_p$k AS (
+         |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
+         |         CAST(sum(c) AS BIGINT) AS n
+         |  FROM (SELECT c, list_filter(string_split(st, '|'), x -> x <> '') AS sy
+         |        FROM $prev) s, unnest(range(1, len(sy))) AS u(i)
+         |  GROUP BY 1, 2),
+         |ba_b$k AS (SELECT a, b FROM ba_p$k ORDER BY n DESC, a, b LIMIT 1),
+         |ba_s$k AS MATERIALIZED (
+         |  SELECT w, c, replace(st,
+         |    '|' || (SELECT a FROM ba_b$k) || '||' || (SELECT b FROM ba_b$k) || '|',
+         |    '|' || (SELECT a FROM ba_b$k) || (SELECT b FROM ba_b$k) || '|') AS st
+         |  FROM $prev)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT token, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+         |FROM (SELECT w, c,
+         |        unnest(list_filter(string_split(st, '|'), x -> x <> '')) AS token
+         |      FROM ba_s$rounds)
+         |GROUP BY 1 ORDER BY n_tokens DESC, token LIMIT 30""".stripMargin
+  }
 
   /** `q_link_predict` oracle: same projection + degrees; the wedge
     * self-join over the dmax-capped adjacency, the exact
@@ -2950,6 +3045,29 @@ object SparkEntry {
     // moments + the single pinned 3.0·T/W double chain
     "q_transitivity" -> transitivitySql,
     "q_triangles_approx" -> trianglesApproxSql,
+    // the sampled per-node census + declared floor + exact full degrees
+    "q_triangles_approx_nodes" -> trianglesApproxNodesSql,
+    // the train CTEs carrying w, every state materialized, final state
+    // tokenized into the encode-shaped top-30 histogram
+    "text_bpe_apply" -> bpeApplySql(operators.TextAnalysis.BpeTrainRounds),
+    // quantized integer DLT priorities, per-stratum rank, (k+1)-th as
+    // tau, the max(w, tau) estimate — pure positive-BIGINT arithmetic
+    "q_reservoir" ->
+      s"""WITH rs AS (SELECT lang, doc_id, n_chars,
+         |    (n_chars * 16777216) // (CAST(('0x' || substr(
+         |       md5('rsv' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1)
+         |      AS priority
+         |  FROM documents),
+         |rk AS (SELECT lang, doc_id, n_chars, priority,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY priority DESC, doc_id) AS rn
+         |  FROM rs),
+         |th AS (SELECT lang, priority AS tau FROM rk
+         |       WHERE rn = ${operators.Pipeline.ReservoirK} + 1)
+         |SELECT rk.lang, doc_id, n_chars, priority,
+         |       GREATEST(n_chars, CAST(COALESCE(tau, 0) AS BIGINT)) AS w_est
+         |FROM rk LEFT JOIN th ON rk.lang = th.lang
+         |WHERE rn <= ${operators.Pipeline.ReservoirK}""".stripMargin,
     // capped wedge self-join + exact 1e6//d weight sums + NOT EXISTS
     "q_link_predict" -> linkPredictSql(Graph.LinkPredictDmax),
     // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds

@@ -461,6 +461,69 @@ object Graph {
             col("n_wedges").cast("double"), 6)).as("transitivity_est"))
   }
 
+  /** The per-node reporting floor of [[trianglesApproxNodes]], on the
+    * SAMPLED count: a node enters the per-node report only with at least
+    * this many triangles observed in the sampled subgraph. DOULION's
+    * per-node estimator t̂_v = t_v(sampled)/p³ is unbiased for every v,
+    * but its relative s.d. √((1/p³−1)/t_v) explodes as t_v → 1 (±800%
+    * at one observed triangle under p=1/4), so a scale report keeps only
+    * nodes the sample actually measured — exactly the high-count nodes
+    * the "which nodes are clique-y" question is about. Shared with the
+    * oracle SQL (the smax/dmax single-source lesson). */
+  val TriNodeFloor = 4
+
+  /** Per-node approximate triangle counts (`q_triangles_approx_nodes`,
+    * Tsourakakis, Kang, Miller & Faloutsos, KDD 2009 §4) — the sampled
+    * sibling of [[triangles]]' per-node top-20, closing the output-shape
+    * gap that kept the exact tier mandatory on power-law graphs: DOULION's
+    * estimator is per-node (each sampled triangle is owned by its three
+    * vertices, so t̂_v = t_v(sampled)·1/p³ is unbiased node-by-node, the
+    * paper's own §4 observation), so the same coin-below-the-wedge-join
+    * sample that answers the census answers "which nodes are clique-y"
+    * with the same ~p² wedge-stream shrink — no 267 GB exact tier needed
+    * for the top-20 anymore.
+    *
+    * Construction: ONE sampled edge set (the [[triCoinSql]] deterministic
+    * coin — oracle-replayable, no RNG), [[orientedTriangles]] on it
+    * (orientation by SAMPLED degree, the [[trianglesApprox]] rule),
+    * explode each triangle to its three owners, count per node, keep
+    * nodes at or above [[TriNodeFloor]] SAMPLED triangles (the declared
+    * variance floor — see its scaladoc), scale by the exact-integer
+    * 1/p³ = 64, and join the node's EXACT full-projection degree (a
+    * linear aggregate needing no sampling, the exact-W discipline of
+    * [[trianglesApprox]]). The estimated clustering coefficient is
+    * quantized once as `(2e6 · t_sampled · 64) div (d·(d−1))` — all
+    * operands positive BIGINTs (Spark `div` == DuckDB `//`), no float
+    * anywhere, so the oracle replays every row bit-for-bit; the ACCURACY
+    * contract (estimates vs the exact key's per-node counts on
+    * high-count nodes) is Round16Spec's band, and the cost contract is
+    * the zipfgraph sidecar entry beside the exact key's.
+    *
+    * The estimate can exceed the deterministic cap t_v ≤ d(d−1)/2 on a
+    * lucky node (the estimator is unbiased, not truncated); the report
+    * keeps the raw estimate — truncation would bias the exact/approx
+    * comparison the key exists to support. */
+  def trianglesApproxNodes(spark: SparkSession, dir: String,
+      smax: Int = CotradeSmax): DataFrame = {
+    val edges = cotradeEdges(spark, dir, smax)
+    val deg = cotradeDeg(edges)
+    val es = graft.GraftSession.trackCache(
+      edges.where(expr(triCoinSql("a", "b"))))
+    val degS = cotradeDeg(es)
+    val scale = TriSampleDen.toLong * TriSampleDen * TriSampleDen
+    orientedTriangles(es, degS)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t_sampled"))
+      .where(col("t_sampled") >= TriNodeFloor)
+      .join(deg, "n")
+      .orderBy(col("t_sampled").desc, col("n"))
+      .limit(20)
+      .select(col("n").as("c_custkey"), col("t_sampled"),
+        (col("t_sampled") * lit(scale)).as("t_est"),
+        col("d").as("degree"),
+        expr(s"(2000000 * t_sampled * $scale) div (d * (d - 1))").as("cc_est_q6"))
+  }
+
   /** Resource-Allocation link prediction (`q_link_predict`, Zhou, Lü &
     * Zhang, Eur. Phys. J. B 2009 — the top performer of the local
     * similarity indices in their benchmark, Adamic–Adar's 1/d sibling)

@@ -335,6 +335,59 @@ object Pipeline {
       .select("doc_id", "n_chars", "h24")
   }
 
+  /** The per-stratum sample size of [[reservoir]] — shared with the
+    * oracle SQL. k+1 ≤ TopKPerKeyRewrite.MaxK, so the rank runs on the
+    * bounded per-key heap, never a per-stratum sort. */
+  val ReservoirK = 20
+
+  /** Stratified weighted reservoir sampling (`q_reservoir`) — the
+    * bounded-size counterpart of [[weightedSample]]'s Poisson draw, and
+    * the standard way a 100 TB pipeline takes a FIXED-size
+    * weight-proportional sample per stratum: priority sampling
+    * (Duffield, Lund & Thorup, JACM 54(6) 2007 — the near-optimal
+    * subset-sum member of the Efraimidis–Spirakis A-Res family, chosen
+    * here because its priority `w/u` is RATIONAL, so it quantizes to
+    * exact integer arithmetic where A-Res' `u^(1/w)` key cannot). Per
+    * document: a deterministic 24-bit uniform from md5 of a salted id
+    * (the [[weightedSample]] coin discipline — `conv` here, a hex CAST
+    * in the oracle; the `'rsv'` salt decorrelates this key's coins from
+    * its Poisson sibling's), then the quantized priority
+    * `(w · 2²⁴) div (h24 + 1)` — one flooring division of positive
+    * BIGINTs (Spark `div` == DuckDB `//`), no float, no RNG, no
+    * transcendental, so every row replays bit-for-bit in the oracle.
+    * Per stratum (language): the top `k` priorities are the sample, the
+    * (k+1)-th is the threshold τ, and each sampled doc carries the
+    * Horvitz–Thompson-style weight estimate `max(w, τ)` — Σ over the
+    * sample estimates the stratum's total weight (DLT Thm 1;
+    * unbiasedness is exact for real priorities and holds to quantization
+    * here — Round16Spec asserts the realized band on the fixture). A
+    * stratum with ≤ k members reports itself exactly (τ absent → 0 →
+    * `max(w, 0) = w`, the DLT convention).
+    *
+    * Scale shape: one narrow scan + map-side hash/divide, then ONE
+    * rank per stratum over `(priority DESC, doc_id)` filtered to
+    * `rn ≤ k+1` — the TopKPerKey rewrite plans it as the bounded
+    * per-key heap (k+1 = ${ReservoirK}+1 rows of state per stratum, no
+    * per-stratum sort, no global sort); the τ self-join is
+    * strata-sized. Nothing grows with the corpus except the one scan. */
+  def reservoir(spark: SparkSession, dir: String, k: Int = ReservoirK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables(spark, dir).documents.select("lang", "doc_id", "n_chars")
+    val rk = graft.GraftSession.trackCache(d
+      .withColumn("priority", expr(
+        "(n_chars * 16777216) div (cast(conv(substring(" +
+          "md5(concat('rsv', cast(doc_id as string))), 1, 6), 16, 10) as bigint) + 1)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("priority").desc, col("doc_id"))))
+      .where(col("rn") <= k + 1))
+    val tau = rk.where(col("rn") === k + 1)
+      .select(col("lang"), col("priority").as("tau"))
+    rk.where(col("rn") <= k)
+      .join(tau, Seq("lang"), "left")
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("priority"),
+        greatest(col("n_chars"), coalesce(col("tau"), lit(0L))).as("w_est"))
+  }
+
   /** Cluster-representative selection (`pipeline_keep_best`) — the
     * production "which duplicate survives" decision: for every near-dup
     * cluster, keep the HIGHEST-quality member instead of

@@ -332,6 +332,57 @@ object Similarity {
     rankTop5(c.join(broadcast(q), Seq("cid")).withColumn("cosine", cosineCol))
   }
 
+  /** IVF recall-vs-cost curve (`ann_recall_curve`, bench-only) — the
+    * "which config do I ship" calibration artifact every retrieval
+    * deployment reads before picking nprobe: ONE index build (the same
+    * cells/iters as [[ivfTopK]]), then a sweep of nprobe = 1..cells,
+    * each reporting the exact candidate count its probes score (the cost
+    * axis — candidates IS the scan work at any corpus size) and
+    * recall@5 against the brute-force exact top-5 (the accuracy axis).
+    * Probed cells are nested in nprobe (the nprobe nearest centroids are
+    * a prefix of the nprobe+1 nearest), so the candidate sets are
+    * supersets, recall is non-decreasing by construction, and at
+    * nprobe = cells the sweep reproduces brute force exactly (recall 1.0
+    * — the curve's built-in self-check); Round16Spec pins both
+    * monotonicity and the endpoint.
+    *
+    * Scale shape: the corpus is cached ONCE (assignments + vectors) and
+    * every sweep point is a broadcast-probe join against it — queries
+    * and centroids are the only driver-side state, and the per-point
+    * `count`s are bounded scalar jobs over the cached frame (a
+    * calibration loop, the [[kmeans]] regime: offline, index-sized, not
+    * corpus-lineage-deep). No SQL oracle — like the other sketch-state
+    * configs, the accuracy contract lives in the spec and the cost
+    * numbers in the bench sidecar. */
+  def ivfRecallCurve(spark: SparkSession, dir: String, cells: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = GraftSession.trackCache(vecs(spark, dir))
+    val centroids = kmeans(e, cells, iters)
+    val asg = GraftSession.trackCache(assignedTo(e, centroids))
+    val corpus = asg.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("v").as("vb"),
+        col("nrm").as("nrmb"), col("cid"))
+    val queries = asg.filter(col("vec_id") < 10)
+    val q = queries.select(col("vec_id").as("q_id"), col("v").as("va"),
+      col("nrm").as("nrma"))
+    val exact = GraftSession.trackCache(
+      rankTop5(corpus.drop("cid").crossJoin(broadcast(q))
+        .withColumn("cosine", cosineCol)).select("q_id", "n_id"))
+    val nExact = exact.count()
+    val rows = (1 to cells).map { np =>
+      val probe = probeCells(queries, centroids, np)
+      val cand = corpus.join(broadcast(probe), Seq("cid"))
+      val nCand = cand.count()
+      val hits = rankTop5(cand.withColumn("cosine", cosineCol))
+        .select("q_id", "n_id")
+        .join(exact, Seq("q_id", "n_id"), "left_semi").count()
+      (np.toLong, nCand, hits, nExact,
+        math.round(10000.0 * hits / nExact) / 10000.0)
+    }
+    rows.toDF("nprobe", "n_candidates", "n_hits", "n_exact", "recall_at_5")
+  }
+
   /** Product quantization (PQ, the FAISS `IndexPQ` shape): vectors are cut
     * into `m` subvectors, each quantized to one of `k` learned codewords,
     * so a 64-dim float vector compresses to `m` small codes (16x here).

@@ -728,8 +728,13 @@ object TextAnalysis {
     * deterministic and the oracle's unrolled per-round CTEs replay it
     * exactly); the merge table accumulates driver-side like any trained
     * artifact. The histogram is cached once; each round's state is the
-    * accumulated replace chain applied map-side over it — linear
-    * lineage, no checkpoint needed at any corpus scale. Fails loudly if
+    * accumulated replace chain applied map-side over it, and the chain
+    * is capped at [[BpeMatEvery]] = 32 by periodic localCheckpoint of
+    * the advanced state — train cost is O(R·vocab), not the O(R²·vocab)
+    * an unbounded chain re-derivation would pay, so the designed-for
+    * regime is R up to the low thousands (the per-round driver argmax
+    * barrier is inherent to greedy BPE; a 30k-50k-merge production
+    * vocabulary would want batched argmax rounds on top). Fails loudly if
     * the corpus runs out of pairs before `rounds` (fixed-round contract
     * mirrored by the oracle). Output: `(round, lhs, rhs, merged, n)`.
     * Round15Spec pins the first `rounds` merges against an independent
@@ -740,28 +745,57 @@ object TextAnalysis {
   /** The `text_bpe_train` round count — shared with the oracle builder. */
   val BpeTrainRounds = 8
 
-  private[graft] def bpeTrainCore(spark: SparkSession, documents: DataFrame,
-      rounds: Int): DataFrame = {
-    import spark.implicits._
-    val hist = GraftSession.trackCache(
+  /** The vocabulary histogram both BPE corpus passes share: distinct
+    * alnum words with counts and the `||`-wrapped initial symbol state
+    * (see [[bpeTrain]]'s scaladoc for the encoding contract). Cached —
+    * the ONE corpus-sized pass; everything downstream rides it. */
+  private def bpeHist(documents: DataFrame): DataFrame =
+    GraftSession.trackCache(
       withTokens(documents.select("text"))
         .select(explode(col("tk")).as("w"))
         .where(col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-        .select(col("c"), concat(lit("||"),
+        .select(col("w"), col("c"), concat(lit("||"),
           array_join(expr("filter(split(w, ''), ch -> ch <> '')"), "||"),
           lit("||")).as("st")))
+
+  /** A merge table applied to a symbol-state column as a replace chain —
+    * one builtin `replace` per learned merge, in training order (both
+    * engines' replace is non-overlapping left-to-right = greedy-leftmost
+    * merge-all; the derivation lives in [[bpeTrain]]'s scaladoc). */
+  private def bpeChain(ms: Seq[(Int, String, String, String, Long)],
+      st: Column): Column =
+    ms.foldLeft(st) { case (s, (_, la, lb, m, _)) =>
+      replace(s, lit("|" + la + "||" + lb + "|"), lit("|" + m + "|"))
+    }
+
+  /** Materialize the advanced state every this many rounds: the replace
+    * chain over the round-0 histogram is k replaces re-derived at round
+    * k, so an unbounded chain is O(R²·vocab) string work plus an
+    * R-deep expression tree. Checkpointing the advanced state every 32
+    * rounds caps the chain at 32 and cuts lineage (the q_seed_distance
+    * lesson), making train cost O(R·vocab) with R/32 materializations.
+    * Never fires at the declared [[BpeTrainRounds]] = 8. */
+  private val BpeMatEvery = 32
+
+  /** The learned merge table as driver-side rows — the artifact both
+    * [[bpeTrain]] (reports it) and [[bpeApply]] (applies it) consume.
+    * One bounded single-row collect per round (the greedy argmax is
+    * inherently sequential — merge k+1's census depends on merge k);
+    * designed for the 10¹..10³-round regime where the per-round driver
+    * barrier is noise next to the vocab-sized census job. A full
+    * production vocabulary (30k-50k merges) would want batched argmax
+    * rounds on top; the [[BpeMatEvery]] materialization already keeps
+    * the state cost linear in R. */
+  private def bpeTrainMerges(hist: DataFrame,
+      rounds: Int): Vector[(Int, String, String, String, Long)] = {
+    var base = hist.select(col("c"), col("st"))
+    var chain = Vector.empty[(Int, String, String, String, Long)]
     var merges = Vector.empty[(Int, String, String, String, Long)]
-    // the accumulated merge table as a replace chain over the cached
-    // initial state — k map-side replaces, re-derived per round
-    def stateOf(ms: Seq[(Int, String, String, String, Long)]): Column =
-      ms.foldLeft(col("st")) { case (st, (_, la, lb, m, _)) =>
-        replace(st, lit("|" + la + "||" + lb + "|"), lit("|" + m + "|"))
-      }
     for (k <- 1 to rounds) {
       // pairs query: adjacent symbol pairs of the CURRENT state, weighted
       // by word count — one vocab-sized explode + one tiny-key aggregate
-      val best = hist.select(col("c"), stateOf(merges).as("st"))
+      val best = base.select(col("c"), bpeChain(chain, col("st")).as("st"))
         .select(col("c"),
           expr("filter(split(st, '\\\\|'), x -> x <> '')").as("sy"))
         .where(size(col("sy")) >= 2)
@@ -778,11 +812,57 @@ object TextAnalysis {
           "productive); lower rounds for this corpus")
       val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges :+= ((k, a, b, a + b, n))
+      chain :+= ((k, a, b, a + b, n))
+      if (chain.length >= BpeMatEvery && k < rounds) {
+        base = base.select(col("c"), bpeChain(chain, col("st")).as("st"))
+          .localCheckpoint()
+        chain = Vector.empty
+      }
     }
     merges
+  }
+
+  private[graft] def bpeTrainCore(spark: SparkSession, documents: DataFrame,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    bpeTrainMerges(bpeHist(documents), rounds)
       .toDF("round", "lhs", "rhs", "merged", "n")
       .select(col("round").cast("long"), col("lhs"), col("rhs"),
         col("merged"), col("n"))
+  }
+
+  /** Train→apply BPE (`text_bpe_apply`, Sennrich, Haddow & Birch, ACL
+    * 2016 — the full Algorithm 1 loop): encode the corpus with the table
+    * [[bpeTrain]] JUST LEARNED from it, closing the tokenizer bracket
+    * end-to-end ([[bpePairs]] = round 1's census, [[bpeTrain]] = the
+    * learned table, [[bpeEncode]] = a frozen artifact applied; this key
+    * is learn-then-apply in one operator — the self-tokenization QA a
+    * tokenizer-training run ships: what does the corpus look like under
+    * its own vocabulary?). Application is training-order merge-all —
+    * for merges learned greedily, applying them in learned order
+    * reproduces the training-time states exactly, so the encoded corpus
+    * IS the final training state: one [[bpeChain]] fold (R builtin
+    * replaces) over the cached vocabulary histogram, then split, explode
+    * and the top-30 token histogram in [[bpeEncode]]'s output shape.
+    *
+    * Scale contract = [[bpeTrain]]'s: the corpus collapses to the
+    * distinct-word histogram ONCE (cached — training and application
+    * share the same frame, no second corpus pass), and both the R
+    * training rounds and the R-replace application ride the vocabulary.
+    * Everything after the learned table is pure string + exact integer
+    * work, so the oracle replays it bit-for-bit by composing the
+    * unrolled train CTEs with one final state advance + tokenization. */
+  def bpeApply(spark: SparkSession, dir: String,
+      rounds: Int = BpeTrainRounds): DataFrame = {
+    val hist = bpeHist(Tables(spark, dir).documents)
+    val merges = bpeTrainMerges(hist, rounds)
+    hist.select(col("w"), col("c"), bpeChain(merges, col("st")).as("st"))
+      .select(col("w"), col("c"),
+        explode(expr("filter(split(st, '\\\\|'), x -> x <> '')")).as("token"))
+      .groupBy("token")
+      .agg(sum("c").as("n_tokens"), countDistinct("w").as("n_words"))
+      .orderBy(col("n_tokens").desc, col("token"))
+      .limit(30)
   }
 
   /** Context-window chunking (`text_chunk`) — the RAG / pretraining
