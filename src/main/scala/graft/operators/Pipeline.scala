@@ -370,9 +370,15 @@ object Pipeline {
     * per-key heap (k+1 = ${ReservoirK}+1 rows of state per stratum, no
     * per-stratum sort, no global sort); the τ self-join is
     * strata-sized. Nothing grows with the corpus except the one scan. */
-  def reservoir(spark: SparkSession, dir: String, k: Int = ReservoirK): DataFrame = {
+  def reservoir(spark: SparkSession, dir: String, k: Int = ReservoirK): DataFrame =
+    reservoirCore(
+      graft.Tables(spark, dir).documents.select("lang", "doc_id", "n_chars"), k)
+
+  /** [[reservoir]] over any (lang, doc_id, n_chars) frame — split out so
+    * the spec can drive the τ-absent (≤ k stratum) branch, which the
+    * fixture's ≥ 64-doc strata never reach. */
+  private[graft] def reservoirCore(d: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = graft.Tables(spark, dir).documents.select("lang", "doc_id", "n_chars")
     val rk = graft.GraftSession.trackCache(d
       .withColumn("priority", expr(
         "(n_chars * 16777216) div (cast(conv(substring(" +

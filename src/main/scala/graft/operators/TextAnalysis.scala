@@ -853,8 +853,14 @@ object TextAnalysis {
     * work, so the oracle replays it bit-for-bit by composing the
     * unrolled train CTEs with one final state advance + tokenization. */
   def bpeApply(spark: SparkSession, dir: String,
-      rounds: Int = BpeTrainRounds): DataFrame = {
-    val hist = bpeHist(Tables(spark, dir).documents)
+      rounds: Int = BpeTrainRounds): DataFrame =
+    bpeApplyCore(Tables(spark, dir).documents, rounds)
+
+  /** [[bpeApply]] over any documents frame — split out so the spec can
+    * plant single-char words and words the merges erase to one symbol
+    * (paths the driver corpus reaches rarely or not at all). */
+  private[graft] def bpeApplyCore(documents: DataFrame, rounds: Int): DataFrame = {
+    val hist = bpeHist(documents)
     val merges = bpeTrainMerges(hist, rounds)
     hist.select(col("w"), col("c"), bpeChain(merges, col("st")).as("st"))
       .select(col("w"), col("c"),

@@ -272,6 +272,39 @@ class Round16Spec extends SparkSpec {
     assert(!all.exists(_.startsWith("Window")), s"WindowExec present:\n${all.mkString("\n")}")
   }
 
+  test("reservoir: a stratum with <= k members reports itself exactly (tau absent -> w_est = w)") {
+    import spark.implicits._
+    // 'xx': 3 docs (< k=20) — all kept, tau undefined, estimate = own
+    // weight exactly; 'yy': 25 docs (> k) — 20 kept, each estimate
+    // max(w, the 21st priority)
+    val docs = (Seq((1L, "xx", 10L), (2L, "xx", 20L), (3L, "xx", 30L)) ++
+      (10L until 35L).map(i => (i, "yy", 100L + i)))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Pipeline.reservoirCore(docs, Pipeline.ReservoirK).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val xs = got.filter(_._1 == "xx")
+    assert(xs.length == 3, "a <= k stratum must report every member")
+    assert(xs.forall { case (_, _, w, _, est) => est == w },
+      "tau-absent estimates must equal the raw weights exactly")
+    val ys = got.filter(_._1 == "yy")
+    assert(ys.length == Pipeline.ReservoirK)
+    // the 21st priority, independently
+    val yPr = (10L until 35L).map(i => ((100L + i) * 16777216L) / (h24(i) + 1L))
+      .sortBy(-_)
+    val tau = yPr(Pipeline.ReservoirK)
+    assert(ys.forall { case (_, _, w, _, est) => est == math.max(w, tau) })
+  }
+
+  test("bpeApply: single-char words and fully-merged words tokenize correctly") {
+    import spark.implicits._
+    // vocabulary {a x3, bc x2}: round 1 merges (b,c); 'a' never merges
+    // (1-symbol state has no pairs) and 'bc' collapses to ONE symbol
+    val docs = Seq(("d1", "a bc a bc a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeApplyCore(docs, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", 3L, 1L), ("bc", 2L, 1L)))
+  }
+
   // ---------- ann_recall_curve ----------
 
   test("ivfRecallCurve: recall is monotone in nprobe, candidates nest, and the full probe reproduces brute force") {
