@@ -239,7 +239,12 @@ object Bench {
     // reservoir (bounded per-stratum heap), and the IVF nprobe sweep
     // (one index build, cells calibration points)
     "q_triangles_approx_nodes", "text_bpe_apply", "q_reservoir",
-    "ann_recall_curve")
+    "ann_recall_curve",
+    // round-17: the reservoir's streaming sibling (mapGroupsWithState
+    // bounded heap per stratum, one state shuffle) and the IVF-PQ
+    // refinement-axis sweep (one index build + the exact-top5 pass,
+    // then candidate-sized aggregates)
+    "streaming_reservoir", "ann_ivfpq_rerank_curve")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the
@@ -267,7 +272,11 @@ object Bench {
       // the IVF recall-vs-cost calibration sweep: Round16Spec owns the
       // monotonicity/endpoint contract, this phase owns its cost
       "ann_recall_curve" -> ((s: SparkSession, d: String) =>
-        operators.Similarity.ivfRecallCurve(s, d)))
+        operators.Similarity.ivfRecallCurve(s, d)),
+      // the IVF-PQ rerank-depth sweep (the composition's second knob):
+      // Round17Spec owns the monotonicity/∞-endpoint contract
+      "ann_ivfpq_rerank_curve" -> ((s: SparkSession, d: String) =>
+        operators.Similarity.ivfpqRerankCurve(s, d)))
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

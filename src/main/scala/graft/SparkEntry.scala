@@ -382,6 +382,11 @@ object SparkEntry {
     // stratified weighted reservoir: quantized integer DLT priorities,
     // per-language bounded-heap top-k + the max(w, tau) estimator
     "q_reservoir" -> ((s, d) => Pipeline.reservoir(s, d)),
+    // Round-17 widening: the reservoir's streaming sibling — the same
+    // deterministic DLT priorities maintained by mapGroupsWithState's
+    // k+1 bounded heap per stratum; oracle = the batch rendition
+    // (equality proves the heap's admit/evict across micro-batches)
+    "streaming_reservoir" -> ((s, d) => RefPipeline.streamingReservoir(s, d)),
   )
 
   private val tokCte =
@@ -1174,6 +1179,27 @@ object SparkEntry {
       |SELECT user_id, min(t) AS start_s, max(t) + 1800 AS end_s,
       |       count(*) AS n_events, round(CAST(sum(value) AS DOUBLE), 4) AS total_value
       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** The DLT reservoir oracle — shared verbatim by `q_reservoir` and
+    * `streaming_reservoir`: priorities are deterministic and the top-k is
+    * order-insensitive, so the streamed state must converge to exactly
+    * this batch sample. */
+  private def reservoirSql: String =
+    s"""WITH rs AS (SELECT lang, doc_id, n_chars,
+       |    (n_chars * 16777216) // (CAST(('0x' || substr(
+       |       md5('rsv' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1)
+       |      AS priority
+       |  FROM documents),
+       |rk AS (SELECT lang, doc_id, n_chars, priority,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY priority DESC, doc_id) AS rn
+       |  FROM rs),
+       |th AS (SELECT lang, priority AS tau FROM rk
+       |       WHERE rn = ${operators.Pipeline.ReservoirK} + 1)
+       |SELECT rk.lang, doc_id, n_chars, priority,
+       |       GREATEST(n_chars, CAST(COALESCE(tau, 0) AS BIGINT)) AS w_est
+       |FROM rk LEFT JOIN th ON rk.lang = th.lang
+       |WHERE rn <= ${operators.Pipeline.ReservoirK}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ingest_events_typed" ->
@@ -3052,22 +3078,12 @@ object SparkEntry {
     "text_bpe_apply" -> bpeApplySql(operators.TextAnalysis.BpeTrainRounds),
     // quantized integer DLT priorities, per-stratum rank, (k+1)-th as
     // tau, the max(w, tau) estimate — pure positive-BIGINT arithmetic
-    "q_reservoir" ->
-      s"""WITH rs AS (SELECT lang, doc_id, n_chars,
-         |    (n_chars * 16777216) // (CAST(('0x' || substr(
-         |       md5('rsv' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1)
-         |      AS priority
-         |  FROM documents),
-         |rk AS (SELECT lang, doc_id, n_chars, priority,
-         |    row_number() OVER (PARTITION BY lang
-         |                       ORDER BY priority DESC, doc_id) AS rn
-         |  FROM rs),
-         |th AS (SELECT lang, priority AS tau FROM rk
-         |       WHERE rn = ${operators.Pipeline.ReservoirK} + 1)
-         |SELECT rk.lang, doc_id, n_chars, priority,
-         |       GREATEST(n_chars, CAST(COALESCE(tau, 0) AS BIGINT)) AS w_est
-         |FROM rk LEFT JOIN th ON rk.lang = th.lang
-         |WHERE rn <= ${operators.Pipeline.ReservoirK}""".stripMargin,
+    "q_reservoir" -> reservoirSql,
+    // the streamed reservoir converges to the batch sample exactly
+    // (deterministic priorities, order-insensitive top-k), so the
+    // streaming key shares the batch oracle verbatim — the equality IS
+    // the cross-micro-batch state proof (the streaming_topk pattern)
+    "streaming_reservoir" -> reservoirSql,
     // capped wedge self-join + exact 1e6//d weight sums + NOT EXISTS
     "q_link_predict" -> linkPredictSql(Graph.LinkPredictDmax),
     // capped BFS min-distance recurrence, 4 unrolled MATERIALIZED rounds

@@ -377,12 +377,18 @@ object Pipeline {
   /** [[reservoir]] over any (lang, doc_id, n_chars) frame — split out so
     * the spec can drive the τ-absent (≤ k stratum) branch, which the
     * fixture's ≥ 64-doc strata never reach. */
+  /** The DLT priority as a SQL expression over (doc_id, n_chars) — ONE
+    * definition shared by [[reservoirCore]] and its streaming sibling
+    * ([[RefPipeline.streamingReservoir]]) so both replay the identical
+    * coins and the streamed sample equals the batch sample row-for-row. */
+  private[operators] val ReservoirPriorityExpr: String =
+    "(n_chars * 16777216) div (cast(conv(substring(" +
+      "md5(concat('rsv', cast(doc_id as string))), 1, 6), 16, 10) as bigint) + 1)"
+
   private[graft] def reservoirCore(d: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rk = graft.GraftSession.trackCache(d
-      .withColumn("priority", expr(
-        "(n_chars * 16777216) div (cast(conv(substring(" +
-          "md5(concat('rsv', cast(doc_id as string))), 1, 6), 16, 10) as bigint) + 1)"))
+      .withColumn("priority", expr(ReservoirPriorityExpr))
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy(col("priority").desc, col("doc_id"))))
       .where(col("rn") <= k + 1))

@@ -217,6 +217,117 @@ object RefPipeline {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Per-document input to [[streamingReservoir]] (public: the streaming
+    * encoder's generated code needs a visible constructor). */
+  final case class RsvIn(lang: String, doc_id: Long, n_chars: Long, priority: Long)
+  /** One reservoir member. */
+  final case class RsvDoc(doc_id: Long, n_chars: Long, priority: Long)
+  /** Per-stratum state: the top k+1 members sorted best-first along the
+    * batch rank order (priority desc, doc_id asc) — the bounded heap,
+    * never more than k+1 rows per stratum regardless of stream length. */
+  final case class RsvState(n_seen: Long, items: Seq[RsvDoc])
+  final case class RsvOutDoc(doc_id: Long, n_chars: Long, priority: Long, w_est: Long)
+  final case class RsvOut(lang: String, n_seen: Long, docs: Seq[RsvOutDoc])
+
+  /** Continuous stratified reservoir (`streaming_reservoir`) — the
+    * streaming sibling of [[Pipeline.reservoir]], the one LLM-pipeline
+    * sampling primitive whose continuous form was missing: a firehose
+    * consumer that maintains, per language stratum, the SAME
+    * Duffield–Lund–Thorup priority sample the batch key takes over data
+    * at rest (JACM 54(6) 2007; the quantized-priority contract lives in
+    * [[Pipeline.reservoirCore]]'s scaladoc — [[Pipeline
+    * .ReservoirPriorityExpr]] is shared verbatim, so both siblings flip
+    * identical coins). Documents stream from the file source (the Kafka
+    * stand-in, as in [[streamingDistinctUsers]]); `mapGroupsWithState`
+    * holds the k+1 bounded heap per stratum — each batch folds its rows
+    * into the heap in O(rows·log k), state never exceeds k+1 members —
+    * and emits the stratum's current sample with the (k+1)-th priority as
+    * the DLT threshold τ and the `max(w, τ)` subset-sum estimates (a ≤ k
+    * stratum has no τ → 0 → the exact-report convention).
+    *
+    * The oracle is the batch rendition ([[Pipeline.reservoir]]'s SQL,
+    * reused verbatim — the `streaming_topk` batch-equality pattern):
+    * priorities are deterministic, DLT's top-k is order-insensitive, so
+    * streamed state must converge to the batch sample row-for-row, and
+    * the equality IS the proof the heap admitted and evicted exactly
+    * right across micro-batch boundaries.
+    *
+    * Scale shape: one narrow streaming scan; state is hash-partitioned
+    * by stratum across the cluster (one shuffle) at k+1 rows per stratum
+    * — nothing grows with the stream. Emission is per-batch (Update
+    * mode); the serving read keeps each stratum's LATEST emission
+    * (n_seen strictly increases per batch a stratum appears in), the
+    * same maintained-state/serving-query split as [[streamingTopK]]. */
+  def streamingReservoir(spark: SparkSession, dir: String,
+      k: Int = Pipeline.ReservoirK): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    streamingReservoirFrom(spark, s"$dir/documents.[p]arquet", dir, schema, k)
+  }
+
+  /** [[streamingReservoir]] over any parquet glob — split out so the spec
+    * can feed a MULTI-file fixture (one micro-batch per file under
+    * `maxFilesPerTrigger=1`) and prove the heap's admit/evict survives
+    * batch boundaries, which the single-file driver table exercises only
+    * as one batch. */
+  private[graft] def streamingReservoirFrom(spark: SparkSession, glob: String,
+      basePath: String, schema: org.apache.spark.sql.types.StructType,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val sink = "graft_streaming_reservoir"
+    spark.catalog.dropTempView(sink)
+    // state-volume-sized shuffle partitions (the streamingDistinctUsers
+    // note): one state store per partition for a handful of strata
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // best-first = the batch rank order; the PQ dequeues the MAX under
+    // its ordering, so ordering by (-priority, doc_id) makes the head
+    // the reservoir's current WORST member — the one k+1 admission tests
+    val best = Ordering.by[RsvDoc, (Long, Long)](d => (-d.priority, d.doc_id))
+    try {
+      val q = spark.readStream.schema(schema).option("basePath", basePath)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          expr(Pipeline.ReservoirPriorityExpr).as("priority"))
+        .as[RsvIn]
+        .groupByKey(_.lang)
+        .mapGroupsWithState[RsvState, RsvOut](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (lang, docs, state) =>
+            val st = state.getOption.getOrElse(RsvState(0L, Seq.empty))
+            val heap = collection.mutable.PriorityQueue.empty[RsvDoc](best)
+            st.items.foreach(heap.enqueue(_))
+            var seen = st.n_seen
+            docs.foreach { d =>
+              seen += 1
+              val cand = RsvDoc(d.doc_id, d.n_chars, d.priority)
+              if (heap.size <= k) heap.enqueue(cand) // hold k+1, the τ slot
+              else if (best.lt(cand, heap.head)) { // beats the worst member
+                heap.dequeue(); heap.enqueue(cand)
+              }
+            }
+            // dequeueAll drains worst-first under `best`; reverse to rank order
+            val items = heap.dequeueAll.reverse.toSeq
+            state.update(RsvState(seen, items))
+            val tau = if (items.size == k + 1) items(k).priority else 0L
+            RsvOut(lang, seen, items.take(k).map(d =>
+              RsvOutDoc(d.doc_id, d.n_chars, d.priority, math.max(d.n_chars, tau))))
+        }
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(sink)
+      .withColumn("mx", max("n_seen").over(Window.partitionBy("lang")))
+      .where(col("n_seen") === col("mx"))
+      .select(col("lang"), explode(col("docs")).as("d"))
+      .select(col("lang"), col("d.doc_id").as("doc_id"),
+        col("d.n_chars").as("n_chars"), col("d.priority").as("priority"),
+        col("d.w_est").as("w_est"))
+  }
+
   /** README.rst Step 3's MV backfill + cutover trick as a CHECKED key —
     * the reference's cleverest move: the materialized view is created with
     * `WHERE timestamp >= <future cutover>`, so the MV owns every row that

@@ -335,28 +335,39 @@ object Similarity {
   /** IVF recall-vs-cost curve (`ann_recall_curve`, bench-only) — the
     * "which config do I ship" calibration artifact every retrieval
     * deployment reads before picking nprobe: ONE index build (the same
-    * cells/iters as [[ivfTopK]]), then a sweep of nprobe = 1..cells,
+    * cells/iters as [[ivfTopK]]), then one row per nprobe = 1..cells,
     * each reporting the exact candidate count its probes score (the cost
     * axis — candidates IS the scan work at any corpus size) and
     * recall@5 against the brute-force exact top-5 (the accuracy axis).
-    * Probed cells are nested in nprobe (the nprobe nearest centroids are
-    * a prefix of the nprobe+1 nearest), so the candidate sets are
-    * supersets, recall is non-decreasing by construction, and at
-    * nprobe = cells the sweep reproduces brute force exactly (recall 1.0
-    * — the curve's built-in self-check); Round16Spec pins both
-    * monotonicity and the endpoint.
     *
-    * Scale shape: the corpus is cached ONCE (assignments + vectors) and
-    * every sweep point is a broadcast-probe join against it — queries
-    * and centroids are the only driver-side state, and the per-point
-    * `count`s are bounded scalar jobs over the cached frame (a
-    * calibration loop, the [[kmeans]] regime: offline, index-sized, not
-    * corpus-lineage-deep). No SQL oracle — like the other sketch-state
+    * The whole sweep is ONE job, not 2·cells+1 (r17; previously a
+    * per-nprobe count/score loop): probed cells are nested in nprobe
+    * (the nprobe nearest centroids are a prefix of the nprobe+1
+    * nearest), so a cell's per-query RANK along [[probeCells]]' exact
+    * (d, cid) sort order is the nprobe at which it — and everything in
+    * it — joins the candidate set. Two consequences the plan exploits:
+    *  - candidates(np) = Σ over (query, cell) pairs with rank ≤ np of
+    *    the cell's size — cell sizes × the queries×cells rank table,
+    *    no corpus join at all;
+    *  - hits(np) = exact-top5 pairs whose cell ranks ≤ np for that
+    *    query: [[rankTop5]] orders by a TOTAL order (rounded cosine,
+    *    n_id), so an exact-top5 member present in ANY candidate subset
+    *    is in that subset's top-5 (fewer than 5 pairs beat it anywhere)
+    *    — approx-top5 ∩ exact-top5 = exact-top5 ∩ candidates, and the
+    *    per-point re-scoring drops out entirely.
+    * Candidate sets are supersets along np, so both axes are
+    * non-decreasing by construction, and at nprobe = cells the sweep
+    * reproduces brute force exactly (recall 1.0 — the built-in
+    * self-check); Round16Spec pins monotonicity and the endpoint.
+    *
+    * Scale shape: one brute-force exact-top5 pass over the cached
+    * assignments (the recall DENOMINATOR — any recall curve pays it),
+    * then cell-count-sized aggregates; queries and centroids are the
+    * only driver-side state. No SQL oracle — like the other sketch-state
     * configs, the accuracy contract lives in the spec and the cost
     * numbers in the bench sidecar. */
   def ivfRecallCurve(spark: SparkSession, dir: String, cells: Int = 8,
       iters: Int = 3): DataFrame = {
-    import spark.implicits._
     val e = GraftSession.trackCache(vecs(spark, dir))
     val centroids = kmeans(e, cells, iters)
     val asg = GraftSession.trackCache(assignedTo(e, centroids))
@@ -366,21 +377,44 @@ object Similarity {
     val queries = asg.filter(col("vec_id") < 10)
     val q = queries.select(col("vec_id").as("q_id"), col("v").as("va"),
       col("nrm").as("nrma"))
+    // per-query cell rank r = the nprobe at which the cell joins the
+    // probe set (queries × cells rows, broadcast-sized)
+    val cellRank = withCentroids(queries, centroids)
+      .select(col("vec_id").as("q_id"),
+        posexplode(expr("array_sort(dists)")).as(Seq("p", "s")))
+      .select(col("q_id"), (col("p") + 1).cast("long").as("cellrank"),
+        col("s.cid").as("cid"))
     val exact = GraftSession.trackCache(
       rankTop5(corpus.drop("cid").crossJoin(broadcast(q))
         .withColumn("cosine", cosineCol)).select("q_id", "n_id"))
     val nExact = exact.count()
-    val rows = (1 to cells).map { np =>
-      val probe = probeCells(queries, centroids, np)
-      val cand = corpus.join(broadcast(probe), Seq("cid"))
-      val nCand = cand.count()
-      val hits = rankTop5(cand.withColumn("cosine", cosineCol))
-        .select("q_id", "n_id")
-        .join(exact, Seq("q_id", "n_id"), "left_semi").count()
-      (np.toLong, nCand, hits, nExact,
-        math.round(10000.0 * hits / nExact) / 10000.0)
-    }
-    rows.toDF("nprobe", "n_candidates", "n_hits", "n_exact", "recall_at_5")
+    // fails-loudly on a degenerate corpus (the bpeTrain convention): an
+    // empty embeddings table or no vec_id < 10 queries would otherwise
+    // make every recall point NaN
+    require(nExact > 0,
+      "ivfRecallCurve: empty exact baseline — the embeddings table has " +
+        "no corpus rows or no query rows (vec_id < 10); the recall curve " +
+        "is undefined on this input")
+    // exact-top5 pairs annotated with their cell's per-query rank
+    val hitRank = exact
+      .join(corpus.select("n_id", "cid"), Seq("n_id"))
+      .join(broadcast(cellRank), Seq("q_id", "cid"))
+      .groupBy("cellrank").agg(count(lit(1)).as("h"))
+    val sizes = corpus.groupBy("cid").agg(count(lit(1)).as("sz"))
+    val candRank = cellRank.join(sizes, Seq("cid"), "left")
+      .groupBy("cellrank")
+      .agg(sum(coalesce(col("sz"), lit(0L))).as("c"))
+    val perRank = candRank.join(hitRank, Seq("cellrank"), "left")
+      .select(col("cellrank"), col("c"), coalesce(col("h"), lit(0L)).as("h"))
+    spark.range(1, cells + 1).toDF("nprobe")
+      .join(broadcast(perRank), col("cellrank") <= col("nprobe"))
+      .groupBy("nprobe")
+      .agg(sum("c").as("n_candidates"), sum("h").as("n_hits"))
+      .withColumn("n_exact", lit(nExact))
+      .withColumn("recall_at_5",
+        round(col("n_hits") * 10000.0d / nExact) / 10000.0d)
+      .orderBy("nprobe")
+      .select("nprobe", "n_candidates", "n_hits", "n_exact", "recall_at_5")
   }
 
   /** Product quantization (PQ, the FAISS `IndexPQ` shape): vectors are cut
@@ -449,6 +483,89 @@ object Similarity {
       cand.join(codes, Seq("vec_id")),
       pqLut(subs, codebook), perQuery = true)
     pqRerankExact(e, approx, rerank)
+  }
+
+  /** IVF-PQ recall-vs-rerank curve (`ann_ivfpq_rerank_curve`,
+    * bench-only) — the second knob of the shipped [[ivfPqTopK]]
+    * composition: [[ivfRecallCurve]] sweeps the PRUNING axis (nprobe);
+    * this sweeps the REFINEMENT axis (exact-re-rank depth) at fixed
+    * nprobe, off ONE index build. Each row reports how many candidates
+    * the exact re-rank touches (the refinement cost — rerank float
+    * scorings per query, capped by the probe's candidate count) and
+    * recall@5 against the brute-force exact top-5. The last row is the
+    * unlimited depth (`rerank` = Long.MaxValue, "re-rank every probed
+    * candidate"): by construction it equals IVF with exact scoring at
+    * the same nprobe — the matching point on the nprobe-only curve —
+    * and Round17Spec pins that equality plus monotonicity.
+    *
+    * One job, not one per depth (the r17 [[ivfRecallCurve]] algebra):
+    * [[pqRerankExact]] admits a candidate iff its ADC rank along the
+    * TOTAL order (ascore desc, n_id) is ≤ rerank, and [[rankTop5]]'s
+    * exact re-scoring is also a total order — so an exact-top5 member
+    * is in the depth-R output iff its ADC rank is ≤ R, and
+    * hits(R) = exact-top5 pairs with arank ≤ R: the whole curve reads
+    * off one ranked candidate table. n_reranked(R) = Σ_q min(R, the
+    * query's candidate count) — a queries-sized aggregate.
+    *
+    * Scale shape: the corpus is touched by the IVF-PQ build (assign +
+    * encode, both one pass) and the exact-top5 denominator; everything
+    * after is candidate-sized. No SQL oracle — codebooks are
+    * engine-specific sketch state (the [[pqTopK]] convention); the
+    * accuracy contract lives in the spec, the cost in the sidecar. */
+  def ivfpqRerankCurve(spark: SparkSession, dir: String, cells: Int = 8,
+      nprobe: Int = 2, m: Int = 8, k: Int = 16, iters: Int = 2,
+      depths: Seq[Long] = Seq(8L, 16L, 32L, 64L, Long.MaxValue)): DataFrame = {
+    import spark.implicits._
+    val e = GraftSession.trackCache(vecs(spark, dir))
+    val coarse = kmeans(e, cells, iters)
+    val asg = GraftSession.trackCache(
+      assignedTo(e, coarse).select(col("vec_id"), col("cid")))
+    val subs = GraftSession.trackCache(pqSubvectors(e, m))
+    val codebook = pqCodebook(e, m, k, iters)
+    val codes = GraftSession.trackCache(pqEncoded(subs, codebook))
+    val probe = probeCells(e.filter(col("vec_id") < 10), coarse, nprobe)
+      .select("q_id", "cid")
+    val cand = asg.filter(col("vec_id") >= 10)
+      .join(broadcast(probe), Seq("cid"))
+      .select("q_id", "vec_id")
+    val approx = GraftSession.trackCache(
+      pqAdcScores(e, cand.join(codes, Seq("vec_id")),
+        pqLut(subs, codebook), perQuery = true)
+        .select("q_id", "n_id", "ascore"))
+    // each candidate's ADC rank = the smallest depth whose exact re-rank
+    // sees it (the pqRerankExact admission order, verbatim)
+    val aranked = approx.withColumn("arank", row_number().over(
+      Window.partitionBy("q_id").orderBy(col("ascore").desc, col("n_id"))))
+      .select("q_id", "n_id", "arank")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    val exact = GraftSession.trackCache(
+      rankTop5(corpus.crossJoin(broadcast(q)).withColumn("cosine", cosineCol))
+        .select("q_id", "n_id"))
+    val nExact = exact.count()
+    require(nExact > 0,
+      "ivfpqRerankCurve: empty exact baseline — the embeddings table has " +
+        "no corpus rows or no query rows (vec_id < 10); the recall curve " +
+        "is undefined on this input")
+    // exact-top5 members that are candidates, with their ADC ranks
+    // (inner join: a never-probed true neighbor can never be re-ranked)
+    val hitRanks = exact.join(aranked, Seq("q_id", "n_id")).select("arank")
+    val perQ = approx.groupBy("q_id").agg(count(lit(1)).as("ncand"))
+    val depthDf = depths.toDF("rerank")
+    val nRer = depthDf.crossJoin(broadcast(perQ))
+      .groupBy("rerank")
+      .agg(sum(least(col("rerank"), col("ncand"))).as("n_reranked"))
+    val hits = depthDf
+      .join(broadcast(hitRanks), col("arank") <= col("rerank"), "left")
+      .groupBy("rerank").agg(count(col("arank")).as("n_hits"))
+    nRer.join(hits, Seq("rerank"))
+      .withColumn("n_exact", lit(nExact))
+      .withColumn("recall_at_5",
+        round(col("n_hits") * 10000.0d / nExact) / 10000.0d)
+      .orderBy("rerank")
+      .select("rerank", "n_reranked", "n_hits", "n_exact", "recall_at_5")
   }
 
   /** Columnar subvector layout (vec_id, m, sv); 1-based slice, dim 64. */

@@ -841,9 +841,11 @@ object TextAnalysis {
     * its own vocabulary?). Application is training-order merge-all —
     * for merges learned greedily, applying them in learned order
     * reproduces the training-time states exactly, so the encoded corpus
-    * IS the final training state: one [[bpeChain]] fold (R builtin
-    * replaces) over the cached vocabulary histogram, then split, explode
-    * and the top-30 token histogram in [[bpeEncode]]'s output shape.
+    * IS the final training state: a [[bpeChain]] fold (R builtin
+    * replaces, segmented every [[BpeMatEvery]] like training — see
+    * [[bpeChainSegmented]]) over the cached vocabulary histogram, then
+    * split, explode and the top-30 token histogram in [[bpeEncode]]'s
+    * output shape.
     *
     * Scale contract = [[bpeTrain]]'s: the corpus collapses to the
     * distinct-word histogram ONCE (cached — training and application
@@ -856,13 +858,33 @@ object TextAnalysis {
       rounds: Int = BpeTrainRounds): DataFrame =
     bpeApplyCore(Tables(spark, dir).documents, rounds)
 
+  /** The merge table applied to the full histogram in [[BpeMatEvery]]-sized
+    * [[bpeChain]] segments with a localCheckpoint between — application's
+    * analog of [[bpeTrainMerges]]' periodic materialization: caps the
+    * Catalyst expression depth at BpeMatEvery replaces regardless of R
+    * (an unbounded chain is an R-deep tree — analysis/codegen cost and
+    * stack risk at the documented low-thousands regime), so apply rides
+    * the same O(R·vocab) contract as training. Below the cap this is the
+    * single fold it always was — the declared R=8 path plans identically. */
+  private def bpeChainSegmented(hist: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    var base = hist
+    var rest = merges
+    while (rest.length > BpeMatEvery) {
+      base = base.select(col("w"), col("c"),
+        bpeChain(rest.take(BpeMatEvery), col("st")).as("st")).localCheckpoint()
+      rest = rest.drop(BpeMatEvery)
+    }
+    base.select(col("w"), col("c"), bpeChain(rest, col("st")).as("st"))
+  }
+
   /** [[bpeApply]] over any documents frame — split out so the spec can
     * plant single-char words and words the merges erase to one symbol
     * (paths the driver corpus reaches rarely or not at all). */
   private[graft] def bpeApplyCore(documents: DataFrame, rounds: Int): DataFrame = {
     val hist = bpeHist(documents)
     val merges = bpeTrainMerges(hist, rounds)
-    hist.select(col("w"), col("c"), bpeChain(merges, col("st")).as("st"))
+    bpeChainSegmented(hist, merges)
       .select(col("w"), col("c"),
         explode(expr("filter(split(st, '\\\\|'), x -> x <> '')")).as("token"))
       .groupBy("token")

@@ -159,11 +159,20 @@ class Round16Spec extends SparkSpec {
     (merges, state)
   }
 
-  private def fixtureWords(): Seq[(String, Long)] =
-    graft.Tables(spark, sf).documents
+  private def fixtureWords(): Seq[(String, Long)] = {
+    val words = graft.Tables(spark, sf).documents
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // this reference trainer ingests every whitespace token while bpeHist
+    // filters to ^[a-z0-9]+$ — assert the fixture keeps the two sides on
+    // the same vocabulary, or a future fixture change would fail the
+    // equality gates confusingly (or, worse, pass on divergent corpora)
+    assert(words.forall(_._1.matches("^[a-z0-9]+$")),
+      "fixture corpus is not all-alnum: the spec-side trainer and bpeHist " +
+        "would train on different vocabularies")
+    words
+  }
 
   test("bpeApply equals the independent trainer's final state tokenized (the train→apply loop)") {
     val words = fixtureWords()
