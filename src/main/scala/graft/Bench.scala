@@ -244,7 +244,11 @@ object Bench {
     // bounded heap per stratum, one state shuffle) and the IVF-PQ
     // refinement-axis sweep (one index build + the exact-top5 pass,
     // then candidate-sized aggregates)
-    "streaming_reservoir", "ann_ivfpq_rerank_curve")
+    "streaming_reservoir", "ann_ivfpq_rerank_curve",
+    // round-18: the compression-axis sweep (m — PQ code bytes/vector),
+    // closing the retrieval family's third knob: shared coarse build +
+    // exact baseline, per-m ADC legs unioned into one job
+    "ann_ivfpq_m_curve")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the
@@ -276,7 +280,11 @@ object Bench {
       // the IVF-PQ rerank-depth sweep (the composition's second knob):
       // Round17Spec owns the monotonicity/∞-endpoint contract
       "ann_ivfpq_rerank_curve" -> ((s: SparkSession, d: String) =>
-        operators.Similarity.ivfpqRerankCurve(s, d)))
+        operators.Similarity.ivfpqRerankCurve(s, d)),
+      // the IVF-PQ code-size sweep (the third knob — m bytes/vector):
+      // Round18Spec owns the monotonicity + rerank-curve-row equality
+      "ann_ivfpq_m_curve" -> ((s: SparkSession, d: String) =>
+        operators.Similarity.ivfpqMCurve(s, d)))
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

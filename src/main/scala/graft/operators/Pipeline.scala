@@ -374,9 +374,6 @@ object Pipeline {
     reservoirCore(
       graft.Tables(spark, dir).documents.select("lang", "doc_id", "n_chars"), k)
 
-  /** [[reservoir]] over any (lang, doc_id, n_chars) frame — split out so
-    * the spec can drive the τ-absent (≤ k stratum) branch, which the
-    * fixture's ≥ 64-doc strata never reach. */
   /** The DLT priority as a SQL expression over (doc_id, n_chars) — ONE
     * definition shared by [[reservoirCore]] and its streaming sibling
     * ([[RefPipeline.streamingReservoir]]) so both replay the identical
@@ -385,6 +382,9 @@ object Pipeline {
     "(n_chars * 16777216) div (cast(conv(substring(" +
       "md5(concat('rsv', cast(doc_id as string))), 1, 6), 16, 10) as bigint) + 1)"
 
+  /** [[reservoir]] over any (lang, doc_id, n_chars) frame — split out so
+    * the spec can drive the τ-absent (≤ k stratum) branch, which the
+    * fixture's ≥ 64-doc strata never reach. */
   private[graft] def reservoirCore(d: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rk = graft.GraftSession.trackCache(d

@@ -268,7 +268,15 @@ object RefPipeline {
     * can feed a MULTI-file fixture (one micro-batch per file under
     * `maxFilesPerTrigger=1`) and prove the heap's admit/evict survives
     * batch boundaries, which the single-file driver table exercises only
-    * as one batch. */
+    * as one batch.
+    *
+    * SERIAL-ONLY contract (the house streaming-key convention —
+    * [[streamingTopK]] and siblings share it): the run uses one fixed
+    * memory-sink view name and temporarily pins the session-wide
+    * `spark.sql.shuffle.partitions` (restored in the finally), so
+    * concurrent invocations on one session — or a concurrent query
+    * reading the same view — would interfere. The bench/verify/spec
+    * harnesses are all serial per session by design. */
   private[graft] def streamingReservoirFrom(spark: SparkSession, glob: String,
       basePath: String, schema: org.apache.spark.sql.types.StructType,
       k: Int): DataFrame = {

@@ -568,6 +568,93 @@ object Similarity {
       .select("rerank", "n_reranked", "n_hits", "n_exact", "recall_at_5")
   }
 
+  /** IVF-PQ recall-vs-code-size curve (`ann_ivfpq_m_curve`, bench-only) —
+    * the THIRD knob of the shipped [[ivfPqTopK]] composition, closing the
+    * retrieval family's cost model: [[ivfRecallCurve]] sweeps PRUNING
+    * (nprobe), [[ivfpqRerankCurve]] sweeps REFINEMENT (exact-re-rank
+    * depth), and this sweeps COMPRESSION (m — PQ code bytes per vector)
+    * at fixed nprobe and rerank. Each row reports the index footprint
+    * (m code bytes/vector — the 100 TB axis: at fixed corpus size the
+    * scan bandwidth and index memory scale linearly with m) and recall@5
+    * against the brute-force exact top-5.
+    *
+    * One job across all m, the [[ivfRecallCurve]]/[[ivfpqRerankCurve]]
+    * algebra extended by a union axis: the coarse quantizer, the probed
+    * candidate set, and the exact-top5 baseline are all m-INDEPENDENT
+    * (IVF pruning never looks at codes), so they are built once and
+    * shared; only the per-m codebook/encode/ADC legs differ, and those
+    * union into ONE frame tagged by m before a single (m, q_id) ADC-rank
+    * window. A candidate enters the depth-`rerank` exact re-rank iff its
+    * ADC rank along the TOTAL order (ascore desc, n_id) is ≤ rerank, and
+    * the re-rank restores the exact order among admissions — so an
+    * exact-top5 member survives to the output iff its ADC rank is ≤
+    * rerank (the [[ivfpqRerankCurve]] argument, verbatim, per m).
+    * n_reranked = Σ_q min(rerank, ncand) is m-independent (same
+    * candidates) and carried once for the cost column.
+    *
+    * By construction the m = 8 row equals [[ivfpqRerankCurve]]'s
+    * rerank = 32 row at the shared defaults (same candidates, same
+    * codebook arithmetic, same admission order) — Round18Spec pins that
+    * equality plus recall monotone non-decreasing in m. No SQL oracle —
+    * codebooks are engine-specific sketch state (the [[pqTopK]]
+    * convention); accuracy lives in the spec, cost in the sidecar. */
+  def ivfpqMCurve(spark: SparkSession, dir: String, cells: Int = 8,
+      nprobe: Int = 2, rerank: Int = 32, k: Int = 16, iters: Int = 2,
+      ms: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val e = GraftSession.trackCache(vecs(spark, dir))
+    val coarse = kmeans(e, cells, iters)
+    val asg = GraftSession.trackCache(
+      assignedTo(e, coarse).select(col("vec_id"), col("cid")))
+    val probe = probeCells(e.filter(col("vec_id") < 10), coarse, nprobe)
+      .select("q_id", "cid")
+    val cand = GraftSession.trackCache(asg.filter(col("vec_id") >= 10)
+      .join(broadcast(probe), Seq("cid"))
+      .select("q_id", "vec_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    val exact = GraftSession.trackCache(
+      rankTop5(corpus.crossJoin(broadcast(q)).withColumn("cosine", cosineCol))
+        .select("q_id", "n_id"))
+    val nExact = exact.count()
+    require(nExact > 0,
+      "ivfpqMCurve: empty exact baseline — the embeddings table has no " +
+        "corpus rows or no query rows (vec_id < 10); the recall curve is " +
+        "undefined on this input")
+    // per-m ADC legs over the SHARED candidate set, unioned under an m tag
+    val scored = ms.map { mi =>
+      val subs = pqSubvectors(e, mi)
+      val cb = pqCodebook(e, mi, k, iters)
+      pqAdcScores(e, cand.join(pqEncoded(subs, cb), Seq("vec_id")),
+        pqLut(subs, cb), perQuery = true)
+        .select(lit(mi).as("m"), col("q_id"), col("n_id"), col("ascore"))
+    }.reduce(_.unionAll(_))
+    val aranked = scored.withColumn("arank", row_number().over(
+      Window.partitionBy("m", "q_id").orderBy(col("ascore").desc, col("n_id"))))
+    val hits = aranked.filter(col("arank") <= rerank)
+      .join(exact, Seq("q_id", "n_id"))
+      .groupBy("m").agg(count(lit(1)).as("n_hits"))
+    // anchor every swept m (a zero-hit leg must still report its row)
+    val msDf = {
+      import spark.implicits._
+      ms.toDF("m")
+    }
+    // rerank cost is m-independent (identical candidate sets): one scalar
+    val nReranked = cand.groupBy("q_id").agg(count(lit(1)).as("ncand"))
+      .agg(sum(least(lit(rerank.toLong), col("ncand"))).as("n_reranked"))
+    msDf.join(broadcast(hits), Seq("m"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .crossJoin(broadcast(nReranked))
+      .withColumn("code_bytes_per_vec", col("m").cast("long"))
+      .withColumn("n_exact", lit(nExact))
+      .withColumn("recall_at_5",
+        round(col("n_hits") * 10000.0d / nExact) / 10000.0d)
+      .orderBy("m")
+      .select("m", "code_bytes_per_vec", "n_reranked", "n_hits", "n_exact",
+        "recall_at_5")
+  }
+
   /** Columnar subvector layout (vec_id, m, sv); 1-based slice, dim 64. */
   private def pqSubvectors(e: DataFrame, m: Int): DataFrame = {
     val sub = 64 / m

@@ -30,40 +30,50 @@ class Round17Spec extends SparkSpec {
   test("streamingReservoir admit/evict survives micro-batch boundaries (3-file corpus, one batch each) incl. the τ-absent stratum") {
     import spark.implicits._
     val k = Pipeline.ReservoirK
-    val dir = java.nio.file.Files.createTempDirectory("graft-rsv-stream").toString
-    // stratum yy: 3·(k+1) docs split across three files so every batch
-    // must evict state admitted by an earlier one; stratum xx: 3 docs
-    // (≤ k, τ-absent), all in different files
-    val slices = Seq(0, 1, 2).map { s =>
-      val yy = (0 until (k + 1)).map(i =>
-        (s * (k + 1) + i.toLong, "yy", 100L + s * (k + 1) + i))
-      val xx = Seq((1000L + s, "xx", 10L * (s + 1)))
-      (yy ++ xx).toDF("doc_id", "lang", "n_chars")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-rsv-stream")
+    val dir = dirPath.toString
+    try {
+      // stratum yy: 3·(k+1) docs split across three files so every batch
+      // must evict state admitted by an earlier one; stratum xx: 3 docs
+      // (≤ k, τ-absent), all in different files
+      val slices = Seq(0, 1, 2).map { s =>
+        val yy = (0 until (k + 1)).map(i =>
+          (s * (k + 1) + i.toLong, "yy", 100L + s * (k + 1) + i))
+        val xx = Seq((1000L + s, "xx", 10L * (s + 1)))
+        (yy ++ xx).toDF("doc_id", "lang", "n_chars")
+      }
+      slices.foreach(_.coalesce(1).write.mode("append").parquet(dir))
+      val schema = spark.read.parquet(dir).schema
+      val streamed = RefPipeline
+        .streamingReservoirFrom(spark, s"$dir/*.parquet", dir, schema, k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // the query genuinely ran more than one micro-batch: the yy stratum
+      // appears in all three files, so the Update-mode sink must hold
+      // multiple emissions for it (maxFilesPerTrigger=1 — one per file)
+      val emissions = spark.table("graft_streaming_reservoir")
+        .groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(emissions("yy") === 3L, s"expected one yy emission per file, got $emissions")
+      val batch = Pipeline.reservoirCore(
+        slices.reduce(_ union _), k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed === batch)
+      val xs = streamed.filter(_._1 == "xx")
+      assert(xs.length === 3, "the ≤ k stratum must report every member")
+      assert(xs.forall { case (_, _, w, _, est) => est == w },
+        "τ-absent estimates must equal the raw weights exactly")
+      assert(streamed.count(_._1 == "yy") === k, "the > k stratum must report exactly k members")
+    } finally {
+      // delete the fixture parquet (the streaming side's checkpoint is a
+      // Spark-managed temporary one, removed on query stop) — without
+      // this every spec run leaks the fixture in /tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    slices.foreach(_.coalesce(1).write.mode("append").parquet(dir))
-    val schema = spark.read.parquet(dir).schema
-    val streamed = RefPipeline
-      .streamingReservoirFrom(spark, s"$dir/*.parquet", dir, schema, k)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .sortBy(t => (t._1, t._2)).toSeq
-    // the query genuinely ran more than one micro-batch: the yy stratum
-    // appears in all three files, so the Update-mode sink must hold
-    // multiple emissions for it (maxFilesPerTrigger=1 — one per file)
-    val emissions = spark.table("graft_streaming_reservoir")
-      .groupBy("lang").count().collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(emissions("yy") === 3L, s"expected one yy emission per file, got $emissions")
-    val batch = Pipeline.reservoirCore(
-      slices.reduce(_ union _), k).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .sortBy(t => (t._1, t._2)).toSeq
-    assert(streamed === batch)
-    val xs = streamed.filter(_._1 == "xx")
-    assert(xs.length === 3, "the ≤ k stratum must report every member")
-    assert(xs.forall { case (_, _, w, _, est) => est == w },
-      "τ-absent estimates must equal the raw weights exactly")
-    assert(streamed.count(_._1 == "yy") === k, "the > k stratum must report exactly k members")
   }
 
   // ---------- ann_ivfpq_rerank_curve ----------

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-18 gates: the IVF-PQ code-size curve contracts (recall monotone
+  * non-decreasing in m, the m = 8 row = the rerank curve's rerank = 32 row
+  * at the shared build parameters, one point = a literal ivfPqTopK run),
+  * and the restructured containment candidate generation (the K = 3 share
+  * gate's zero-miss boundary — a true pair whose miss budget is spent on
+  * its very rarest shingles shares EXACTLY K prefix' shingles — plus the
+  * short-doc side leg that keeps the exact na-dependent gate).
+  */
+class Round18Spec extends SparkSpec {
+
+  // ---------- ann_ivfpq_m_curve ----------
+
+  test("ivfpqMCurve: recall monotone in m, m=8 row = rerank curve's rerank=32 row, m=8 = a literal ivfPqTopK run") {
+    val rows = Similarity.ivfpqMCurve(spark, sf).orderBy("m").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === Seq(4, 8, 16))
+    assert(rows.forall(_._5 == 50L), "10 queries x top-5 exact baseline")
+    // code bytes per vector IS the swept knob
+    assert(rows.map(_._2).toSeq === Seq(4L, 8L, 16L))
+    // the rerank cost column is m-independent by construction (identical
+    // IVF candidate sets — compression never changes what is probed)
+    assert(rows.map(_._3).distinct.length === 1,
+      s"n_reranked must not vary with m: ${rows.map(_._3).mkString(", ")}")
+    val recalls = rows.map(_._6)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in m: ${recalls.mkString(", ")}")
+    // the m = 8 row is the SAME point as the rerank curve's rerank = 32
+    // row (shared defaults: cells=8, nprobe=2, k=16, iters=2, m=8) — the
+    // two sweeps must agree where their axes cross
+    val rer32 = Similarity.ivfpqRerankCurve(spark, sf)
+      .filter(col("rerank") === 32L).collect().head
+    val m8 = rows.find(_._1 == 8).get
+    assert(m8._4 === rer32.getLong(2),
+      s"m=8 n_hits ${m8._4} != rerank-curve rerank=32 n_hits ${rer32.getLong(2)}")
+    assert(m8._3 === rer32.getLong(1),
+      s"m=8 n_reranked ${m8._3} != rerank-curve rerank=32 n_reranked ${rer32.getLong(1)}")
+    // and both equal the production composition run literally
+    val pairs = (df: org.apache.spark.sql.DataFrame) => df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact5 = pairs(Similarity.topK(spark, sf))
+    val pqM8 = pairs(Similarity.ivfPqTopK(spark, sf))
+    assert(m8._4 === pqM8.intersect(exact5).size.toLong,
+      "m=8 hits diverge from a literal ivfPqTopK() run at the defaults")
+    info(s"curve: ${rows.map(r => s"m=${r._1} r@5=${r._6}").mkString("; ")}")
+  }
+
+  // ---------- dedup_containment: K-share gate + short-doc leg ----------
+
+  test("containment K-share gate zero-miss boundary: misses spent on the contained doc's rarest shingles, shares = exactly K") {
+    val spark2 = spark; import spark2.implicits._
+    // doc 1 (contained): 20 shingles; exactly m = 2 of them (1001, 1002)
+    // appear NOWHERE else, and the global (df, sh) rarity order puts them
+    // FIRST in doc 1's prefix — the worst case for the K-share gate: of
+    // the l = m + K = 5 indexed prefix shingles {1001, 1002, 1, 2, 3},
+    // the container shares only {1, 2, 3} — exactly K = 3. o = 18 =
+    // ceil(0.9 * 20) and nb = 18 = ceil(0.9 * na): every gate sits at
+    // its exact boundary, so any off-by-one in slice length, share
+    // count, or the nb length bound surfaces here as a missed pair.
+    val a = (1L to 18L) ++ Seq(1001L, 1002L)
+    val b = 1L to 18L
+    // fillers pad every shared shingle's df to 3 (> the pair's 2) so the
+    // shared shingles are strictly LESS rare than 1001/1002 (df 1) —
+    // pinning the prefix order — while staying under the df hard cap
+    val fillers = (1L to 18L).map(s => Seq(s, 500L + s))
+    val docs = Seq(1L -> a, 2L -> b) ++
+      fillers.zipWithIndex.map { case (s, i) => (10L + i) -> s }
+    val sgd = docs.toDF("doc_id", "sg")
+      .withColumn("n", size(col("sg")).cast("long"))
+    val got = Dedup.containmentPairs(sgd, hard = 100, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got.contains((1L, 2L, 0.9)),
+      s"boundary pair (o = ceil(t*na), shares = exactly K) missed: $got")
+    // and the reverse direction holds trivially (b fully inside a)
+    assert(got.contains((2L, 1L, 1.0)), s"full-subset direction missed: $got")
+  }
+
+  test("containment short-doc leg: na <= 2 contained docs keep the exact na gate (below the uniform K floor)") {
+    val spark2 = spark; import spark2.implicits._
+    // doc 1 has TWO effective shingles, both inside doc 2 → C(1→2) = 1.0;
+    // doc 3 has two shingles with only ONE inside doc 2 → C(3→2) = 0.5,
+    // which the short leg's exact gate (cnt >= ceil(0.9 * 2) = 2) must
+    // reject — these docs sit below ceil(t * na) >= K, the main leg's
+    // floor, so only the side leg can emit or suppress them
+    val docs = Seq(
+      1L -> Seq(1L, 2L),
+      2L -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L),
+      3L -> Seq(1L, 600L))
+    val sgd = docs.toDF("doc_id", "sg")
+      .withColumn("n", size(col("sg")).cast("long"))
+    val got = Dedup.containmentPairs(sgd, hard = 100, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got.contains((1L, 2L, 1.0)), s"short contained doc missed: $got")
+    assert(!got.exists(p => p._1 == 3L),
+      s"half-contained short doc must not pass the exact gate: $got")
+  }
+}
