@@ -624,7 +624,11 @@ object Similarity {
         "undefined on this input")
     // per-m ADC legs over the SHARED candidate set, unioned under an m tag
     val scored = ms.map { mi =>
-      val subs = pqSubvectors(e, mi)
+      // cached like ivfPqTopK/ivfpqRerankCurve's subs: the per-m
+      // subvector explode has two consumers (the corpus-wide encode and
+      // the query-side LUT) — uncached each leg would pay the full
+      // corpus explode twice
+      val subs = GraftSession.trackCache(pqSubvectors(e, mi))
       val cb = pqCodebook(e, mi, k, iters)
       pqAdcScores(e, cand.join(pqEncoded(subs, cb), Seq("vec_id")),
         pqLut(subs, cb), perQuery = true)

@@ -69,10 +69,15 @@ class Round17Spec extends SparkSpec {
     } finally {
       // delete the fixture parquet (the streaming side's checkpoint is a
       // Spark-managed temporary one, removed on query stop) — without
-      // this every spec run leaks the fixture in /tmp
+      // this every spec run leaks the fixture in /tmp. The walk stream
+      // must be closed (it holds a directory handle), and one failed
+      // delete must not abandon the rest of the cleanup.
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      scala.util.Using.resource(java.nio.file.Files.walk(dirPath)) { w =>
+        w.iterator().asScala.toSeq.reverse.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+      }
     }
   }
 

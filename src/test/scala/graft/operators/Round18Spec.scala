@@ -28,8 +28,16 @@ class Round18Spec extends SparkSpec {
     assert(rows.map(_._3).distinct.length === 1,
       s"n_reranked must not vary with m: ${rows.map(_._3).mkString(", ")}")
     val recalls = rows.map(_._6)
+    // FIXTURE-PINNED (like the recall-floor specs), not a structural
+    // invariant: unlike the nprobe curve (candidate supersets) and the
+    // rerank curve (depth nesting), nothing guarantees ADC quality is
+    // non-decreasing in m at fixed rerank — finer codes merely tend to
+    // rank better. On THIS fixture (seed-pinned data, deterministic
+    // k-means inits) the observed recalls are 0.2/0.34/0.36; if a
+    // legitimate fixture or codebook-training change reorders them,
+    // re-pin rather than suspect the curve.
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
-      s"recall not monotone in m: ${recalls.mkString(", ")}")
+      s"recall not monotone in m on the pinned fixture: ${recalls.mkString(", ")}")
     // the m = 8 row is the SAME point as the rerank curve's rerank = 32
     // row (shared defaults: cells=8, nprobe=2, k=16, iters=2, m=8) — the
     // two sweeps must agree where their axes cross
