@@ -46,8 +46,13 @@ object Graph {
     // the order's customer and the line's supplier. Node ids interleave
     // the two key spaces (customer 2k, supplier 2k+1) so one BIGINT
     // column carries both sides.
+    // shuffle_hash on the orders side (r19): the default sort-merge
+    // plan external-sorted both join slices per task (measured 1.3 GB
+    // of the key's sf10 disk spill in this one stage); hash-building
+    // the order-scaled side streams lineitem unsorted — the (c,s)
+    // aggregate above hashes anyway, so the sorts bought nothing.
     val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
-      .join(t.orders.select("o_orderkey", "o_custkey"),
+      .join(t.orders.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .agg(count(lit(1)).as("w"))
@@ -76,16 +81,28 @@ object Graph {
         col("w"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("w"))
       .repartition(nShuf, col("src"))
-    // no exchange: edges0 is already hash-partitioned by src, so the
-    // degree agg and the join below both reuse that partitioning; the
-    // shuffle_hash hint builds from the node-sized degree side instead
-    // of sort-merge-sorting the edge stream.
-    val deg = edges0.groupBy("src").agg(sum("w").as("wtot"))
-    // built once, partitioned by the per-iteration join key, cached: the
-    // loop below re-reads this frame `iters` times and must never redo
-    // the lineitem⨝orders build or re-exchange the (big) edge side.
+    // per-source total weight as a WINDOW SUM over the one explicit
+    // edge exchange, NOT a separate degree aggregate + join (r19 —
+    // found by stage-level event-log attribution at sf10): with
+    // `deg = edges0.groupBy(src)` feeding a shuffle_hash join back onto
+    // edges0, the explicit edge repartition was planned TWICE under
+    // different column pruning ((src, w) for the degree agg vs
+    // (src, dst, w) for the join — the pruned projections canonicalize
+    // differently, so ReuseExchange does not fire), and the build paid
+    // two 120M-record exchanges plus a ~0.8 GB aggregate spill for one
+    // logical edge list. (A first r19 cut — per-side degree aggregates
+    // over `pairs` union'd — was measured strictly worse: the union has
+    // no single output partitioning, so the cache materialized behind an
+    // AQE default-width plan, every iteration lost the co-location, and
+    // the lineitem⨝orders build ran three times.) The window needs
+    // exactly what the loop join already requires — rows clustered by
+    // src — so it rides the explicit repartition with one per-partition
+    // sort (~4M narrow rows per task) and the edge stream is exchanged
+    // ONCE, period. Exactness: sum(w) over the full partition frame is
+    // the same exact BIGINT Σw as the old aggregate-join.
     val edges = graft.GraftSession.trackCache(
-      edges0.join(deg.hint("shuffle_hash"), "src"))
+      edges0.withColumn("wtot", sum("w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src"))))
     val nodes = graft.GraftSession.trackCache(edges.select("src").distinct())
     // scalar |V| (node-count, not node rows) — sizes the teleport term
     val v = nodes.count()
@@ -609,8 +626,11 @@ object Graph {
     // results stay deterministic at any m (Round14Spec pins both).
     val m = spark.conf.getOption("spark.graft.hits.quantum")
       .map(_.toLong).getOrElse(1000000000L)
+    // shuffle_hash on the orders side, same r19 receipt as pageRank's
+    // pairs build: the SMJ sorts fed nothing but a hash aggregate and
+    // spilled ~1.3 GB per layout build at sf10.
     val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
-      .join(t.orders.select("o_orderkey", "o_custkey"),
+      .join(t.orders.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("w"))
