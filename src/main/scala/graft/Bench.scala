@@ -248,7 +248,12 @@ object Bench {
     // round-18: the compression-axis sweep (m — PQ code bytes/vector),
     // closing the retrieval family's third knob: shared coarse build +
     // exact baseline, per-m ADC legs unioned into one job
-    "ann_ivfpq_m_curve")
+    "ann_ivfpq_m_curve",
+    // round-19: the granularity-axis sweep (cells — probed corpus
+    // fraction ~nprobe/cells, the scan-bandwidth knob), completing all
+    // four knobs: shared PQ artifacts + exact baseline + one ADC pass
+    // over the distinct candidate union, per-cells coarse legs only
+    "ann_ivfpq_cells_curve")
 
   /** Bench-only phase keys layered over [[SparkEntry.queries]]:
     * `wh_bucketize_write` pays the colocated layout write so the
@@ -284,7 +289,11 @@ object Bench {
       // the IVF-PQ code-size sweep (the third knob — m bytes/vector):
       // Round18Spec owns the monotonicity + rerank-curve-row equality
       "ann_ivfpq_m_curve" -> ((s: SparkSession, d: String) =>
-        operators.Similarity.ivfpqMCurve(s, d)))
+        operators.Similarity.ivfpqMCurve(s, d)),
+      // the IVF-PQ granularity sweep (the fourth knob — coarse cells):
+      // Round19Spec owns the triple crossing-point equality
+      "ann_ivfpq_cells_curve" -> ((s: SparkSession, d: String) =>
+        operators.Similarity.ivfpqCellsCurve(s, d)))
 
   /** One query's noise evidence, carried in the bench artifact so a reader
     * can tell VM contention from cross-query JVM state without re-running:

@@ -659,6 +659,98 @@ object Similarity {
         "recall_at_5")
   }
 
+  /** IVF-PQ recall-vs-granularity curve (`ann_ivfpq_cells_curve`,
+    * bench-only) — the FOURTH and last knob of the shipped [[ivfPqTopK]]
+    * composition: [[ivfRecallCurve]] sweeps PRUNING (nprobe),
+    * [[ivfpqRerankCurve]] REFINEMENT (rerank depth), [[ivfpqMCurve]]
+    * COMPRESSION (m), and this sweeps the coarse quantizer's
+    * GRANULARITY (cells) at all three held fixed. At fixed nprobe the
+    * probed corpus fraction is ~nprobe/cells, so cells is the scan-
+    * bandwidth knob: more cells = fewer candidates scanned per query
+    * (`n_cand`, the cost column) against recall lost to true neighbors
+    * landing in unprobed cells. The r18 deferral note said "the builds
+    * don't share" — true only of the coarse quantizer itself: the PQ
+    * codebook, the corpus encode, the per-query LUTs and the exact-top5
+    * baseline are all cells-INDEPENDENT and built once, and ADC scores
+    * are cells-independent too (the legs only decide candidate
+    * MEMBERSHIP), so scoring runs once over the DISTINCT union of all
+    * legs' candidates and joins back to the cells-tagged membership.
+    * What repeats per cells value is one sample-bounded k-means and one
+    * map-side assignment pass over the cached corpus — the irreducible
+    * per-leg cost, linear each.
+    *
+    * Admission algebra per leg is [[ivfpqRerankCurve]]'s verbatim: an
+    * exact-top5 member survives the depth-`rerank` exact re-rank iff
+    * its ADC rank along the (cells, q_id) total order is ≤ rerank. By
+    * construction the cells = 8 row equals [[ivfpqMCurve]]'s m = 8 row
+    * AND [[ivfpqRerankCurve]]'s rerank = 32 row — the three sweeps'
+    * shared-defaults crossing point (Round19Spec pins the triple
+    * equality plus a literal [[ivfPqTopK]] run). No SQL oracle —
+    * codebooks are engine-specific sketch state (the [[pqTopK]]
+    * convention); accuracy lives in the spec, cost in the sidecar. */
+  def ivfpqCellsCurve(spark: SparkSession, dir: String,
+      cellsSeq: Seq[Int] = Seq(4, 8, 16), nprobe: Int = 2, rerank: Int = 32,
+      m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = GraftSession.trackCache(vecs(spark, dir))
+    val subs = GraftSession.trackCache(pqSubvectors(e, m))
+    val codebook = pqCodebook(e, m, k, iters)
+    val codes = GraftSession.trackCache(pqEncoded(subs, codebook))
+    val queries = e.filter(col("vec_id") < 10)
+    // per-cells candidate legs, union'd under a cells tag; cached — the
+    // frame feeds the shared scoring, the rank join AND the cost rollup
+    val candAll = GraftSession.trackCache(cellsSeq.map { c =>
+      val coarse = kmeans(e, c, iters)
+      val probe = probeCells(queries, coarse, nprobe).select("q_id", "cid")
+      assignedTo(e.filter(col("vec_id") >= 10), coarse)
+        .select(col("vec_id"), col("cid"))
+        .join(broadcast(probe), Seq("cid"))
+        .select(lit(c).as("cells"), col("q_id"), col("vec_id"))
+    }.reduce(_.unionAll(_)))
+    // ONE shared ADC pass over the distinct candidate union
+    val scored = GraftSession.trackCache(
+      pqAdcScores(e, candAll.select("q_id", "vec_id").distinct()
+          .join(codes, Seq("vec_id")),
+        pqLut(subs, codebook), perQuery = true)
+        .select("q_id", "n_id", "ascore"))
+    val aranked = candAll
+      .select(col("cells"), col("q_id"), col("vec_id").as("n_id"))
+      .join(scored, Seq("q_id", "n_id"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("cells", "q_id").orderBy(col("ascore").desc, col("n_id"))))
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    val exact = GraftSession.trackCache(
+      rankTop5(corpus.crossJoin(broadcast(q)).withColumn("cosine", cosineCol))
+        .select("q_id", "n_id"))
+    val nExact = exact.count()
+    require(nExact > 0,
+      "ivfpqCellsCurve: empty exact baseline — the embeddings table has " +
+        "no corpus rows or no query rows (vec_id < 10); the recall curve " +
+        "is undefined on this input")
+    val hits = aranked.filter(col("arank") <= rerank)
+      .join(exact, Seq("q_id", "n_id"))
+      .groupBy("cells").agg(count(lit(1)).as("n_hits"))
+    val costs = candAll.groupBy("cells", "q_id").agg(count(lit(1)).as("ncand"))
+      .groupBy("cells").agg(sum("ncand").as("n_cand"),
+        sum(least(lit(rerank.toLong), col("ncand"))).as("n_reranked"))
+    // anchor every swept cells value (a zero-hit leg still reports)
+    cellsSeq.toDF("cells")
+      .join(broadcast(costs), Seq("cells"), "left")
+      .join(broadcast(hits), Seq("cells"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      .withColumn("n_reranked", coalesce(col("n_reranked"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("n_exact", lit(nExact))
+      .withColumn("recall_at_5",
+        round(col("n_hits") * 10000.0d / nExact) / 10000.0d)
+      .orderBy("cells")
+      .select("cells", "n_cand", "n_reranked", "n_hits", "n_exact",
+        "recall_at_5")
+  }
+
   /** Columnar subvector layout (vec_id, m, sv); 1-based slice, dim 64. */
   private def pqSubvectors(e: DataFrame, m: Int): DataFrame = {
     val sub = 64 / m
