@@ -300,10 +300,27 @@ class Round12Spec extends SparkSpec {
     // window over the node set); the one-time edge BUILD below the cache
     // legitimately uses a window sum for wtot since r19 (it rides the
     // single explicit src exchange instead of a second degree-join
-    // exchange), so the assertion reads only the plan ABOVE the
-    // InMemoryRelation — the executed plan prints loop operators first.
-    assert(!plan.split("InMemoryRelation")(0).contains("Window "),
-      "no WindowExec belongs in the rank loop")
+    // exchange). r20 (ADVICE): the check walks the physical plan TREE
+    // and stops descending at the cache boundary, instead of splitting
+    // the printed string on "InMemoryRelation" — the string split
+    // assumed loop operators always print above the first cached
+    // relation, which a plan-printing change or an early-printed second
+    // cache would silently break.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windowAboveCache(p: SparkPlan): Boolean = p match {
+      case _: InMemoryTableScanExec => false
+      case _: WindowExec => true
+      case a: AdaptiveSparkPlanExec => windowAboveCache(a.executedPlan)
+      case q: QueryStageExec => windowAboveCache(q.plan)
+      case r: ReusedExchangeExec => windowAboveCache(r.child)
+      case other => other.children.exists(windowAboveCache)
+    }
+    assert(!windowAboveCache(out.queryExecution.executedPlan),
+      "no WindowExec belongs in the rank loop (above the edge cache)")
     assert(plan.contains("InMemoryTableScan"),
       "the edge frame must be cached once and re-read per iteration")
     val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq

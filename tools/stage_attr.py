@@ -50,13 +50,25 @@ def main():
             "cpuS": g("internal.metrics.executorCpuTime") / 1e9,
             "runS": g("internal.metrics.executorRunTime") / 1e3,
         })
+    # r20 (ADVICE): retried stages emit one StageCompleted per ATTEMPT —
+    # summing every row double-counts a retried stage's shuffle/spill in
+    # the headline totals. Totals keep only the last attempt per Stage ID;
+    # earlier attempts stay in the table, flagged with a trailing '*'.
+    last = {}
+    for r in rows:
+        if r["stage"] not in last or r["attempt"] > last[r["stage"]]["attempt"]:
+            last[r["stage"]] = r
     rows.sort(key=lambda r: -r["swMB"])
-    tot_w = sum(r["swMB"] for r in rows)
-    tot_sp = sum(r["spillMB"] for r in rows)
-    print(f"total shuffle write {tot_w:10.0f} MB   disk spill {tot_sp:8.0f} MB")
+    tot_w = sum(r["swMB"] for r in last.values())
+    tot_sp = sum(r["spillMB"] for r in last.values())
+    retried = sum(1 for r in rows if last[r["stage"]] is not r)
+    print(f"total shuffle write {tot_w:10.0f} MB   disk spill {tot_sp:8.0f} MB"
+          + (f"   ({retried} superseded attempt(s) excluded, marked *)"
+             if retried else ""))
     print(f"{'stage':>5} {'tasks':>5} {'swMB':>8} {'swRec':>12} {'srMB':>8} "
           f"{'srRec':>12} {'spill':>7} {'cpuS':>7} {'runS':>7}  name")
     for r in rows:
+        r["name"] += "" if last[r["stage"]] is r else " *"
         if r["swMB"] < min_mb and r["srMB"] < min_mb and r["spillMB"] < min_mb:
             continue
         print(f"{r['stage']:>5} {r['tasks']:>5} {r['swMB']:>8.0f} "
