@@ -188,7 +188,22 @@ object Graph {
     // canonical orientation: u = the larger endpoint, v = the smaller
     var e = pairs.select(greatest(col("c"), col("s")).as("u"),
       least(col("c"), col("s")).as("v"))
-    for (_ <- 1 to rounds) {
+    // Early fixed-point exit (r20, guide §1.2 "don't compute things you
+    // throw away"): each alternation is a DETERMINISTIC function of the
+    // edge SET, so e_{k+1} == e_k implies every later round reproduces
+    // e_k verbatim and rounds k+2..8 are pure waste. Measured convergence
+    // is 3-5 rounds at every tested sf against the fixed 8-round
+    // contract, so 3-5 full alternations (explode + two agg self-joins +
+    // union + two distincts + checkpoint each) are skipped per run. The
+    // check itself is two node-bounded actions per round (a count on the
+    // fresh checkpoint + one except). The OUTPUT is unchanged by
+    // construction — the declared contract stays "the 8-round unrolled
+    // recurrence" (the oracle replays it; Round12Spec pins round 8 as a
+    // fixed point), this only skips provably-identical work.
+    var eCount = -1L
+    var converged = false
+    var round = 0
+    while (round < rounds && !converged) {
       // lineage cut, load-bearing twice over: each alternation references
       // its input ~8× (sym explode ×2, two agg self-joins, the union), so
       // an uncut plan grows 8^round — the analyzer's DeduplicateRelations
@@ -198,11 +213,12 @@ object Graph {
       // the next round from a leaf — the same per-iteration checkpoint
       // GraphFrames ships for this exact algorithm; a multi-executor
       // deployment would flip to reliable `checkpoint` on shared storage.
-      e = e.localCheckpoint()
+      val prev = e.localCheckpoint()
+      if (eCount < 0L) eCount = prev.count()
       // LARGE-STAR over the symmetric closure: every node u links its
       // STRICTLY LARGER neighbors to m = min(Γ(u) ∪ {u}); output stays
       // canonical (m <= u < emitted source).
-      val sym = e.select(explode(array(
+      val sym = prev.select(explode(array(
           struct(col("u"), col("v")),
           struct(col("v").as("u"), col("u").as("v")))).as("p"))
         .select(col("p.u").as("u"), col("p.v").as("v"))
@@ -213,10 +229,18 @@ object Graph {
       // smaller neighborhood (and itself) to that neighborhood's min
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
       val j = ls.join(ssMin, "u")
-      e = j.select(col("u"), col("m").as("v"))
+      val next = j.select(col("u"), col("m").as("v"))
         .unionByName(j.where(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v")))
         .distinct()
+        .localCheckpoint()
+      // both sides are distinct row sets, so |next| == |prev| plus an
+      // empty one-sided difference IS set equality
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(prev).isEmpty
+      eCount = nextCount
+      e = next
+      round += 1
     }
     // converged star edges point every non-root at its component's min
     // node; roots occur only on the v side — the (v, v) union row makes
@@ -993,15 +1017,32 @@ object Graph {
       rounds: Int = 8): DataFrame = {
     var e = repeatTradeSym(spark, dir).localCheckpoint()
     val profile = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    profile += ((0L, e.select("src").distinct().count(), e.count()))
+    var nNodes = e.select("src").distinct().count()
+    var nEdges = e.count()
+    profile += ((0L, nNodes, nEdges))
+    // Fixed-point fill-forward (r20): the peel only ever REMOVES edges
+    // (two semi-joins), so an unchanged edge COUNT means the edge SET is
+    // unchanged, the next round's survivor list is unchanged, and every
+    // remaining round reports the same two counts — skip the 3-stage
+    // round and write the counts directly. Measured convergence is 4-5
+    // rounds against the fixed 9-row contract, so 3-4 full rounds
+    // (degree agg + two semi-joins + checkpoint + two count actions) are
+    // skipped per run; the OUTPUT rows are identical by construction.
+    var done = false
     for (r <- 1 to rounds) {
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select("src")
-      e = e.join(keep, Seq("src"), "left_semi")
-        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint()
-      profile += ((r.toLong, e.select("src").distinct().count(), e.count()))
+      if (!done) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select("src")
+        e = e.join(keep, Seq("src"), "left_semi")
+          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .localCheckpoint()
+        val nE = e.count()
+        done = nE == nEdges
+        if (!done) nNodes = e.select("src").distinct().count()
+        nEdges = nE
+      }
+      profile += ((r.toLong, nNodes, nEdges))
     }
     import spark.implicits._
     profile.toSeq.toDF("round", "n_nodes", "n_directed_edges")

@@ -416,15 +416,42 @@ object Pipeline {
     * the same winner). Scale shape: the only shuffle beyond the cluster
     * machinery is the doc_id equi-join and a cluster-keyed aggregate
     * whose key count is the number of clusters, not documents. */
-  def keepBest(spark: SparkSession, dir: String): DataFrame =
-    Dedup.clusters(spark, dir)
-      .join(TextAnalysis.quality(spark, dir).select("doc_id", "quality_score"),
-        Seq("doc_id"))
+  /** Member cap for [[keepBest]]'s broadcast-membership leg: at or below
+    * this many cluster members (skinny `(doc_id, cluster_id)` rows, tens
+    * of MB hashed) the membership broadcasts and the quality tokenize
+    * runs ONLY on member docs; above it the old full-corpus-quality
+    * shuffled join stands (identical answer — the inner join drops
+    * non-members either way). */
+  val KeepBestBroadcastMaxRows = 1000000L
+
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    // Tokenize ONLY the cluster members (r20, guide §8 "decide with small
+    // rows, move the expensive work after the decision"): the old shape
+    // ran TextAnalysis.quality over the WHOLE corpus and then inner-joined
+    // the near-dup-member-sized cluster list, so ~all of the tokenize HOF
+    // pass scored docs the join immediately dropped (sf5: ~190 task-CPU
+    // seconds of the key's 401 were the full-corpus quality pass; members
+    // are ~1k of 250k docs). The membership is localCheckpoint-ed once
+    // (it feeds the member filter AND the final cluster join) and
+    // broadcast under a measured row cap, the Dedup side-leg convention —
+    // an unexpectedly near-dup-saturated corpus falls back to the
+    // full-scan shuffled join, which is answer-identical.
+    val members = Dedup.clusters(spark, dir).localCheckpoint()
+    val small = members.count() <= KeepBestBroadcastMaxRows
+    val qual =
+      if (small)
+        TextAnalysis.qualityOf(
+          graft.Tables(spark, dir).documents.select("doc_id", "text")
+            .join(broadcast(members.select("doc_id")), Seq("doc_id")))
+      else TextAnalysis.quality(spark, dir)
+    qual.select("doc_id", "quality_score")
+      .join(if (small) broadcast(members) else members, Seq("doc_id"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("quality_score"), col("doc_id"))).as("b"))
       .select(col("cluster_id"), col("b.doc_id").as("kept_doc"),
         col("n_members"), col("b.quality_score").as("best_quality"))
+  }
 
   /** Deterministic corpus shuffle + shard assignment (`pipeline_shard`) —
     * the step between corpus prep and tokenizer sharding: every doc gets

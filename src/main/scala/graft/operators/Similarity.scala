@@ -1013,8 +1013,18 @@ object Similarity {
       // scalar output contract: one row per (vector, component) — every
       // column sortable/hashable, so generic row-comparison harnesses
       // (and plain SQL consumers) can check the result without
-      // array-typed columns
-      .select(col("vec_id"), posexplode(col("pc")))
+      // array-typed columns.
+      // posexplode_OUTER, deliberately (r20, measured): with the inner
+      // posexplode the optimizer infers `size(pc) > 0` from the Generate
+      // and predicate-pushes it below the scatter Exchange — re-inlining
+      // the ENTIRE k×(zip_with+aggregate) projection tree into a Filter
+      // evaluated in the single-row-group scan stage (the round-3
+      // pushdown trap: the projection ran twice, once single-threaded —
+      // measured 18.8 s of emb_pca's 22 s sf10 wall in that one scan
+      // task). `pc` is a transform over the k-element ROTATION LITERAL,
+      // so it is never null and never empty: outer and inner explode
+      // emit identical rows, and outer infers no filter.
+      .select(col("vec_id"), posexplode_outer(col("pc")))
       .select(col("vec_id"), col("pos").cast("int").as("component"),
         col("col").as("value"))
   }

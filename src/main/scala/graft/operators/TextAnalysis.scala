@@ -51,7 +51,16 @@ object TextAnalysis {
     * score — the usual cheap filters before expensive dedup/classify
     * stages. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
+    qualityOf(Tables(spark, dir).documents.select("doc_id", "text"))
+
+  /** [[quality]] over a caller-supplied `(doc_id, text)` frame — the same
+    * expressions, so a consumer that only needs scores for a SUBSET of
+    * documents (e.g. [[Pipeline.keepBest]]'s cluster members) can
+    * restrict the frame first and pay the tokenize pass only on the
+    * surviving rows (r20, guide §8: decide with small rows, run the
+    * expensive per-row work after the decision). */
+  private[operators] def qualityOf(docs: DataFrame): DataFrame =
+    withTokens(docs)
       .withColumn("n_tok", size(col("tk")).cast("long"))
       .withColumn("n_stop", expr(
         "cast(size(filter(tk, x -> x IN ('the','a','of','and','in','to','is'))) as bigint)"))
@@ -115,7 +124,18 @@ object TextAnalysis {
     * partial-aggregated shuffle on the bigram key. */
   def bigrams(spark: SparkSession, dir: String): DataFrame =
     withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
-      .select(col("doc_id"), explode(expr(bigramsExpr)).as("bigram"))
+      // explode_outer + null-drop, the [[bpeEncode]] idiom (r20): plain
+      // explode makes the optimizer infer `size(bigrams) > 0` from the
+      // Generate and predicate-push it below the scatter Exchange — the
+      // whole tokenize tree re-evaluated in the single-row-group scan
+      // task, once per document, before the parallel pass even starts.
+      // Bigram elements are concat()s of non-null tokens, so the
+      // generated column is null ONLY for the empty/absent arrays inner
+      // explode would have dropped — the null-drop restores exact inner
+      // semantics and evaluates on the exploded stream, above the
+      // exchange.
+      .select(col("doc_id"), explode_outer(expr(bigramsExpr)).as("bigram"))
+      .where(col("bigram").isNotNull)
       .groupBy("bigram")
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
 
@@ -187,8 +207,12 @@ object TextAnalysis {
     * no-broadcast rule exists to prevent. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // explode_outer + null-drop (r20, the [[bigrams]] rationale): keeps
+    // the Generate-inferred `size(tk) > 0` filter — and with it the whole
+    // re-inlined tokenize — out of the single-row-group scan stage
     val tok = withTokens(docs.select("doc_id", "text"))
-      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .select(col("doc_id"), explode_outer(col("tk")).as("term"))
+      .where(col("term").isNotNull)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // tf has exactly one row per (doc, term), so df is a plain count over
     // it - no second tokenize pass and no countDistinct shuffle
@@ -235,10 +259,15 @@ object TextAnalysis {
     * exact operand order the DuckDB oracle mirrors. */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // explode_outer + null-drop (r20, the [[bigrams]] rationale). The old
+    // explicit `size(tk) >= 1` pre-filter was itself the round-3 trap (a
+    // predicate on the computed token column, pushed below the scatter
+    // Exchange with the whole tokenize re-inlined) AND redundant: a
+    // 0-token doc emits no term row under inner-explode semantics either.
     val tok = withTokens(docs.select("doc_id", "text"))
-      .filter(expr("size(tk) >= 1"))
       .select(col("doc_id"), expr("cast(size(tk) as bigint)").as("dl"),
-        explode(col("tk")).as("term"))
+        explode_outer(col("tk")).as("term"))
+      .where(col("term").isNotNull)
     val tf = graft.GraftSession.trackCache(
       tok.groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"), max("dl").as("dl")))
@@ -341,8 +370,10 @@ object TextAnalysis {
     * vocabulary fits (the tfidf lesson). */
   def perplexity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // explode_outer + null-drop (r20, the [[bigrams]] rationale)
     val tok = withTokens(docs.select("doc_id", "text"))
-      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .select(col("doc_id"), explode_outer(col("tk")).as("term"))
+      .where(col("term").isNotNull)
     val tf = graft.GraftSession.trackCache(
       tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
@@ -423,8 +454,10 @@ object TextAnalysis {
     * collapse map-side to ONE row. */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("double")
+    // explode_outer + null-drop (r20, the [[bigrams]] rationale)
     val cf = withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
-      .select(explode(col("tk")).as("term"))
+      .select(explode_outer(col("tk")).as("term"))
+      .where(col("term").isNotNull)
       .groupBy("term").agg(count(lit(1)).as("cf"))
     val ranked = GlobalRank.rowNumbered(cf, "rank", col("cf").desc, col("term"))
     val q = ranked.select(
@@ -458,9 +491,15 @@ object TextAnalysis {
     * what has to scale, and it is one map + one tiny-key aggregate. */
   def bpePairs(spark: SparkSession, dir: String): DataFrame =
     withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
-      .select(explode(col("tk")).as("w"))
+      // explode_outer (r20, the [[bigrams]] rationale); the length filter
+      // right below already drops the null rows inner explode would have
+      // skipped (length(NULL) >= 2 is NULL)
+      .select(explode_outer(col("tk")).as("w"))
       .filter(length(col("w")) >= 2)
-      .select(explode(expr(
+      // second explode likewise: for w with length >= 2 the pair array is
+      // non-empty and substring() never null, so outer == inner here and
+      // no inferred filter re-runs the transform
+      .select(explode_outer(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(20)
@@ -540,8 +579,14 @@ object TextAnalysis {
       documents
         .select(col("doc_id"), expr(tokensExpr).as("tk"))
         .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk")))
+    // posexplode_outer + null-drop (r20, the [[bigrams]] rationale): the
+    // inferred `size(grams) > 0` filter re-evaluated the whole 8-hash
+    // chain per token a second time in a Filter below the Generate;
+    // grams are xxhash64 longs (never null), so the null-drop restores
+    // exact inner semantics
     val pos = docs.filter(col("n_tokens") >= 8)
-      .select(col("doc_id"), posexplode(expr(posGramsExpr(8))).as(Seq("pos", "g")))
+      .select(col("doc_id"), posexplode_outer(expr(posGramsExpr(8))).as(Seq("pos", "g")))
+      .where(col("g").isNotNull)
     val dupGrams = pos.groupBy("g").count().filter(col("count") > 1).select("g")
     val dup = pos.join(dupGrams, "g").select("doc_id", "pos")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
@@ -614,7 +659,9 @@ object TextAnalysis {
     * would pin the contract to one engine). */
   def hashedBow(spark: SparkSession, dir: String): DataFrame =
     withTokens(Tables(spark, dir).documents.select("doc_id", "text"))
-      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      // explode_outer + null-drop (r20, the [[bigrams]] rationale)
+      .select(col("doc_id"), explode_outer(col("tk")).as("tok"))
+      .where(col("tok").isNotNull)
       .select(col("doc_id"),
         (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % 64L)
           .as("dim"))
@@ -676,7 +723,10 @@ object TextAnalysis {
     * word vocabulary pays the HOF ~10M times total, not per token. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val words = withTokens(Tables(spark, dir).documents.select("text"))
-      .select(explode(col("tk")).as("w"))
+      // explode_outer + null-drop (r20, the [[bigrams]] rationale — same
+      // trap this function's OWN syms explode below already documents)
+      .select(explode_outer(col("tk")).as("w"))
+      .where(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("c"))
     val enc = words.withColumn("syms",
       expr(s"""CASE WHEN length(w) < 2 THEN array(w)
@@ -752,7 +802,9 @@ object TextAnalysis {
   private def bpeHist(documents: DataFrame): DataFrame =
     GraftSession.trackCache(
       withTokens(documents.select("text"))
-        .select(explode(col("tk")).as("w"))
+        // explode_outer (r20, the [[bigrams]] rationale); the rlike
+        // filter below already drops the null rows (rlike(NULL) is NULL)
+        .select(explode_outer(col("tk")).as("w"))
         .where(col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w").agg(count(lit(1)).as("c"))
         .select(col("w"), col("c"), concat(lit("||"),
@@ -885,8 +937,12 @@ object TextAnalysis {
     val hist = bpeHist(documents)
     val merges = bpeTrainMerges(hist, rounds)
     bpeChainSegmented(hist, merges)
+      // explode_outer + null-drop (r20, the [[bigrams]] rationale): the
+      // inferred size()>0 filter re-ran the split of the merge-segmented
+      // string a second time per word
       .select(col("w"), col("c"),
-        explode(expr("filter(split(st, '\\\\|'), x -> x <> '')")).as("token"))
+        explode_outer(expr("filter(split(st, '\\\\|'), x -> x <> '')")).as("token"))
+      .where(col("token").isNotNull)
       .groupBy("token")
       .agg(sum("c").as("n_tokens"), countDistinct("w").as("n_words"))
       .orderBy(col("n_tokens").desc, col("token"))
@@ -913,15 +969,30 @@ object TextAnalysis {
     * no-keyed-exchange plan and a full driver-side replay). */
   def chunk(spark: SparkSession, dir: String,
       win: Int = 16, stride: Int = 12): DataFrame =
+    // The empty-doc guard moved from a `size(tk) > 0` PRE-filter to a
+    // `size(ctk) > 0` POST-filter (r20): the pre-filter was the round-3
+    // trap verbatim — a predicate on the computed token column,
+    // predicate-pushed below the scatter Exchange with the whole
+    // tokenize re-inlined into the single-row-group scan task — and the
+    // Generate additionally inferred a `sequence(0, k-1)` filter that
+    // re-inlined the tokenize a THIRD time (k is a function of tk).
+    // Equivalence: k >= 1 always, so the sequence is never empty
+    // (outer == inner explode); for a doc with tokens every emitted
+    // chunk has >= 1 token by the k/stride construction, and for an
+    // empty/null-text doc the single k=1 chunk has an empty/null ctk —
+    // exactly the rows the post-filter drops and the old pre-filter
+    // never admitted. The post-filter references the generated
+    // chunk_idx, so it cannot be pushed below the Generate; it
+    // re-evaluates only the cheap slice, never the tokenize.
     Tables(spark, dir).documents
       .select(col("doc_id"), expr(tokensExpr).as("tk"))
-      .where(size(col("tk")) > 0)
       .withColumn("k",
         expr(s"1 + CASE WHEN size(tk) > $win THEN (size(tk) - $win + $stride - 1) div $stride ELSE 0 END"))
       .select(col("doc_id"), col("tk"),
-        explode(expr("sequence(0, k - 1)")).as("chunk_idx"))
+        explode_outer(expr("sequence(0, k - 1)")).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         expr(s"slice(tk, chunk_idx * $stride + 1, least($win, size(tk) - chunk_idx * $stride))").as("ctk"))
+      .where(size(col("ctk")) > 0)
       .select(col("doc_id"), col("chunk_idx"),
         size(col("ctk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("ctk"))).as("chunk_hash"))
@@ -953,10 +1024,15 @@ object TextAnalysis {
   def collocations(spark: SparkSession, dir: String,
       minCount: Int = 5): DataFrame = {
     val docs = withTokens(Tables(spark, dir).documents.select("text"))
-    val uni = docs.select(explode(col("tk")).as("w"))
+    // explode_outer + null-drop on BOTH legs (r20, the [[bigrams]]
+    // rationale) — each leg scans documents raw, so each inferred filter
+    // was its own single-row-group-stage tokenize
+    val uni = docs.select(explode_outer(col("tk")).as("w"))
+      .where(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("cu"))
     val bgAll = graft.GraftSession.trackCache(
-      docs.select(explode(expr(bigramsExpr)).as("bigram"))
+      docs.select(explode_outer(expr(bigramsExpr)).as("bigram"))
+        .where(col("bigram").isNotNull)
         .groupBy("bigram").agg(count(lit(1)).as("cab")))
     val n = bgAll.select(sum("cab").as("n"))
     bgAll.where(col("cab") >= minCount)
